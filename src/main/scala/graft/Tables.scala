@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Access to the engine's table layer.
+  *
+  * The driver testdata (`TESTDATA.md`) is one parquet file per table under a
+  * scale-factor directory. At production scale these would be
+  * date-partitioned directories on object storage (the archive layout of
+  * `/root/reference/triton/store_reader.go:54-67` re-expressed as a Spark
+  * partitioned file index), so every reader goes through this single
+  * indirection point.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with its nanosecond timestamp normalized: adds `ts_us`
+    * (microseconds since epoch, BIGINT) and rewrites `ts` as a
+    * microsecond TIMESTAMP. Works whether the session read the parquet
+    * NANOS column as LongType (`spark.sql.legacy.parquet.nanosAsLong=true`)
+    * or a future Spark reads it natively as TimestampType.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts", timestamp_micros($"ts_us"))
+      case _ =>
+        raw.withColumn("ts_us", unix_micros($"ts"))
+    }
+  }
+
+  /** Session tuned for the local[32] harness but with settings that hold on
+    * a real cluster: AQE re-plans skew/shuffle at runtime, shuffle
+    * partitions sized to cores (the driver overrides per-run), broadcast
+    * threshold left at default so dimension tables broadcast.
+    */
+  def session(appName: String, cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables.{events, table}
+
+/** Event-stream operators: the reference's query surface re-expressed over
+  * the `events` table (which stands in for the Kinesis stream / S3 archive
+  * in batch form — SURVEY.md §2.1, §2.3).
+  *
+  * Timestamp discipline: `events.ts` is nanosecond parquet; Spark truncates
+  * to microseconds on read, so every oracle compares on `epoch_us` and all
+  * ordering uses (microseconds, event_id) to stay deterministic across
+  * engines.
+  */
+object EventOps {
+
+  /** The reference `cat` query (`/root/reference/triton.go:344-367`,
+    * `/root/reference/triton/store_reader.go:54-111`): scan an archive date
+    * range for one client, ordered. Date-range predicate + client predicate
+    * push into the scan; at scale the `date` partition column makes the
+    * range a directory-pruning operation rather than a filter.
+    */
+  def catRange(s: SparkSession, dir: String,
+               start: String = "2024-01-05", end: String = "2024-01-10",
+               client: String = "purchase"): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .where($"ts" >= lit(start).cast("timestamp") && $"ts" < lit(end).cast("timestamp"))
+      .where($"event_type" === client)
+      .orderBy($"ts", $"event_id")
+      .select(
+        $"event_id",
+        $"ts_us".as("ts_us"),
+        $"user_id",
+        $"event_type",
+        $"value")
+  }
+
+  /** Serial concat reader (`/root/reference/triton/reader.go:13-38`): two
+    * archive slices unioned with a provenance tag, globally ordered — the
+    * Spark form of reading archive files in sequence.
+    */
+  def unionSlices(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val a = ev.where($"ts" < lit("2024-01-03").cast("timestamp")).withColumn("slice", lit("early"))
+    val b = ev.where($"ts" >= lit("2024-01-28").cast("timestamp")).withColumn("slice", lit("late"))
+    a.unionByName(b)
+      .groupBy($"slice", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"slice", $"event_type")
+  }
+
+  /** Tumbling processing-window aggregation — the batch shape of the hourly
+    * archive rotation (`/root/reference/triton/store.go:106-125`) and of a
+    * Structured Streaming `window($"ts", "1 hour")` aggregation.
+    */
+  def hourlyRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(12, 2))).cast("double").as("sum_value"),
+        count_distinct($"user_id").as("n_users"))
+      .select(unix_seconds($"hour").as("hour_epoch"), $"n_events", $"sum_value", $"n_users")
+      .orderBy($"hour_epoch")
+  }
+
+  /** Checkpoint lag stats (`/root/reference/triton/checkpoint.go:127-151`):
+    * age of each shard's last committed position vs the stream head. Here
+    * event_type plays the shard; the head is the global max timestamp —
+    * deterministic, unlike the reference's wall-clock `now()`.
+    */
+  def lagStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val perShard = ev.groupBy($"event_type".as("shard"))
+      .agg(max($"ts_us").as("last_us"), count(lit(1)).as("n_records"))
+    val head = ev.agg(max($"ts_us").as("head_us"))
+    perShard.crossJoin(broadcast(head))
+      .select(
+        $"shard",
+        $"n_records",
+        (($"head_us" - $"last_us") / lit(1000000L)).cast("long").as("age_sec"))
+      .orderBy($"shard")
+  }
+
+  /** Record decode with dead-letter semantics
+    * (`/root/reference/triton/stream_reader.go:173-194`): parse the JSON
+    * payload permissively, segregate corrupt rows, aggregate the survivors —
+    * Spark's `from_json` returns null on corrupt input, the analog of
+    * log-and-skip.
+    */
+  def decodeProps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .withColumn("is_corrupt", $"k".isNull)
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"is_corrupt", 1L).otherwise(0L)).as("n_corrupt"),
+        sum(coalesce($"k", lit(0L))).as("sum_k"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  /** Sessionization: 30-minute-gap sessions per user via the
+    * gaps-and-islands window pattern — one shuffle on user_id, no state
+    * blowup, the batch twin of `session_window` in streaming.
+    */
+  def sessionize(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events(s, dir)
+      .select($"user_id", $"event_id", $"ts_us".as("ts_us"))
+      .withColumn("prev_us", lag($"ts_us", 1).over(w))
+      .withColumn("new_sess", when($"prev_us".isNull || $"ts_us" - $"prev_us" > gapUs, 1L).otherwise(0L))
+      .groupBy($"user_id")
+      .agg(sum($"new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  /** As-of join, scale-safe formulation: for every purchase, the most recent
+    * preceding click of the same user. Instead of a range join (quadratic
+    * blowup), union the two event kinds and carry the last click forward
+    * with `last(..., ignoreNulls)` over one (user, time) window — a single
+    * shuffle, linear work, the idiomatic big-data as-of.
+    */
+  def asOfLastClick(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts_us".as("ts_us"))
+      .where($"event_type".isin("purchase", "click"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("last_click_id", last(when($"event_type" === "click", $"event_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_us", last(when($"event_type" === "click", $"ts_us"), ignoreNulls = true).over(w))
+      .where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts_us".as("purchase_us"),
+        $"last_click_id", $"last_click_us")
+      .orderBy($"purchase_id")
+  }
+
+  /** Archive key naming + parse round-trip
+    * (`/root/reference/triton/archive.go:45-81`,
+    * `/root/reference/triton/store.go:91-104`): build
+    * `YYYYMMDD/<stream>-<client>-<unixTs>.tri` keys from event processing
+    * time, parse them back with the key regex, and count files per
+    * (date, client) — the discovery listing a StoreReader does.
+    */
+  def archiveKeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = events(s, dir)
+      .select(
+        concat(
+          date_format($"ts", "yyyyMMdd"), lit("/"),
+          lit("events"), lit("-"),
+          $"event_type", lit("-"),
+          ($"ts_us" / lit(1000000L)).cast("long").cast("string"),
+          lit(".tri")).as("key"))
+    keyed
+      .withColumn("kdate", regexp_extract($"key", "^([0-9]{8})/", 1))
+      .withColumn("stream", regexp_extract($"key", "^[0-9]{8}/([a-z_]+)-", 1))
+      .withColumn("client", regexp_extract($"key", "^[0-9]{8}/[a-z_]+-([a-z_]+)-", 1))
+      .groupBy($"kdate", $"stream", $"client")
+      .agg(count(lit(1)).as("n_files"))
+      .orderBy($"kdate", $"client")
+  }
+
+  /** Distinct cardinality per shard: exact + HyperLogLog sketch side by
+    * side. The approx column is deliberately NOT oracle-checked (sketch
+    * estimates are engine-specific); at 100 TB the sketch is the one you
+    * run.
+    */
+  def userCardinality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        count_distinct($"user_id").as("n_users_exact"),
+        approx_count_distinct($"user_id", 0.01).as("n_users_approx"))
+      .orderBy($"event_type")
+  }
+}

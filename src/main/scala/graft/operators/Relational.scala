@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables.table
+
+/** Relational operator surface (SURVEY.md §2.5).
+  *
+  * The reference has only filter/sort/union/projection
+  * (`/root/reference/triton/store_reader.go:54-111`); joins, aggregations,
+  * windows, set ops and grouping sets are the engine's extension surface,
+  * expressed purely through the DataFrame API so Catalyst plans them
+  * (broadcast vs shuffle join, partial aggregation, AQE skew handling).
+  *
+  * Determinism discipline (DuckDB-oracle hash match): money doubles are cast
+  * to DECIMAL before any arithmetic so sums are exact; outputs are only
+  * BIGINT / DOUBLE / STRING / BOOLEAN; integer sums on the oracle side are
+  * cast back to BIGINT (DuckDB widens to HUGEINT).
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Q1-style pricing summary: single shuffle, partial aggregation map-side.
+    * At 100 TB this is the canonical "wide scan + low-cardinality groupBy" —
+    * 6 groups, so partial agg reduces each task's output to a handful of
+    * rows before the exchange.
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(12, 2)) - dec($"l_discount"))).cast("double").as("sum_disc_price"),
+        (sum(dec($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec($"l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Star-schema join: customer ⋈ nation ⋈ region with both dimension sides
+    * explicitly broadcast — zero shuffle for the joins, one for the agg.
+    */
+  def customerByRegion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val customer = table(s, dir, "customer")
+    val nation = broadcast(table(s, dir, "nation"))
+    val region = broadcast(table(s, dir, "region"))
+    customer
+      .join(nation, $"c_nationkey" === $"n_nationkey")
+      .join(region, $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(dec($"c_acctbal")).cast("double").as("sum_acctbal"))
+      .orderBy($"r_name")
+  }
+
+  /** Fact-fact join: orders ⋈ lineitem on orderkey. Both sides large → a
+    * shuffle (sort-merge/shuffled-hash picked by Catalyst+AQE). Filters are
+    * applied before the join so they push into the parquet scan.
+    */
+  def revenueByPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = table(s, dir, "orders").where($"o_orderstatus" =!= "F")
+    val lineitem = table(s, dir, "lineitem").where($"l_discount" > 0.0)
+    orders.join(lineitem, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(12, 2)) - dec($"l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Global top-k: orderBy+limit plans as TakeOrderedAndProject — per-
+    * partition heap + driver merge, no full sort, no shuffle of the data.
+    */
+  def topOrders(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    table(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(k)
+  }
+
+  /** Per-group top-k via ranking window; one shuffle on the partition key.
+    * Tie-broken on the unique order key so results are deterministic.
+    */
+  def topOrdersPerCustomer(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    table(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= k)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk".cast("long").as("rk"))
+  }
+
+  /** Left-semi join (EXISTS): customers that have at least one 'O' order,
+    * aggregated per market segment. Semi-join keeps only the probe side —
+    * no row multiplication, broadcastable when the filtered build side is
+    * small.
+    */
+  def activeCustomersBySegment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val customer = table(s, dir, "customer")
+    val open = table(s, dir, "orders").where($"o_orderstatus" === "O").select($"o_custkey")
+    customer.join(open, $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no big-ticket order, per
+    * nation. The filter shrinks the build side before the anti-join.
+    */
+  def idleCustomersByNation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val customer = table(s, dir, "customer")
+    val nation = broadcast(table(s, dir, "nation"))
+    val ordered = table(s, dir, "orders")
+      .where($"o_totalprice" > 400000.0).select($"o_custkey")
+    customer.join(ordered, $"c_custkey" === $"o_custkey", "left_anti")
+      .join(nation, $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_idle"))
+      .orderBy($"n_name")
+  }
+
+  /** Grouping sets via ROLLUP (region, nation): totals at every level in one
+    * pass (Expand + single aggregation).
+    */
+  def customerRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val customer = table(s, dir, "customer")
+    val nation = broadcast(table(s, dir, "nation"))
+    val region = broadcast(table(s, dir, "region"))
+    customer
+      .join(nation, $"c_nationkey" === $"n_nationkey")
+      .join(region, $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  /** Set ops beyond union: suppliers and customers sharing a nation —
+    * intersect/except as distinct set semantics over projected keys.
+    */
+  def nationPresence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val custNations = table(s, dir, "customer").select($"c_nationkey".cast("long").as("nationkey"))
+    val suppNations = table(s, dir, "supplier").select($"s_nationkey".cast("long").as("nationkey"))
+    val both = custNations.intersect(suppNations).withColumn("presence", lit("both"))
+    val custOnly = custNations.except(suppNations).withColumn("presence", lit("customer_only"))
+    both.unionByName(custOnly).orderBy($"presence", $"nationkey")
+  }
+}

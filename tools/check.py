@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the testdata parquet and compare (schema-lenient, value-exact)
+against the parquet written by graft.Verify.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True,
+                        key=lambda s: s.map(lambda v: str(v)))
+    return df
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"MISSING  {name}: no parquet written")
+            fail += 1
+            continue
+        got = pq.read_table(files[0]).to_pandas()
+        want = con.sql(oracle[name]).df()
+        g, w = norm(got), norm(want)
+        if list(g.columns) != list(w.columns):
+            print(f"SCHEMA   {name}: got {list(g.columns)} want {list(w.columns)}")
+            fail += 1
+            continue
+        if len(g) != len(w):
+            print(f"ROWS     {name}: got {len(g)} want {len(w)}")
+            fail += 1
+            continue
+        gv = [tuple(str(x) for x in r) for r in g.itertuples(index=False)]
+        wv = [tuple(str(x) for x in r) for r in w.itertuples(index=False)]
+        if gv != wv:
+            bad = next(i for i, (a, b) in enumerate(zip(gv, wv)) if a != b)
+            print(f"VALUES   {name}: first diff row {bad}:\n  got  {gv[bad]}\n  want {wv[bad]}")
+            fail += 1
+            continue
+        print(f"OK       {name} ({len(g)} rows)")
+        ok += 1
+    print(f"\n{ok} ok, {fail} failed")
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
