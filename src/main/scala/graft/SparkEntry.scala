@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{EventOps, Relational}
+import graft.operators.{EventOps, Multimodal, Relational, Similarity, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,6 +39,20 @@ object SparkEntry {
     "q16_asof_last_click" -> ((s, d) => EventOps.asOfLastClick(s, d)),
     "q17_archive_keys" -> ((s, d) => EventOps.archiveKeys(s, d)),
     "q18_user_cardinality" -> ((s, d) => EventOps.userCardinality(s, d)),
+    "q19_exact_dedup" -> ((s, d) => TextDedup.exactDedup(s, d)),
+    "q20_ngram_jaccard_pairs" -> ((s, d) => TextDedup.ngramJaccardPairs(s, d)),
+    "q21_minhash_lsh_pairs" -> ((s, d) => TextDedup.minhashLshPairs(s, d)),
+    "q22_simhash_pairs" -> ((s, d) => TextDedup.simhashPairs(s, d)),
+    "q23_cosine_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
+    "q24_ann_bruteforce" -> ((s, d) => Similarity.annBruteForce(s, d)),
+    "q25_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "q26_langid_confusion" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
+    "q27_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "q28_token_stats" -> ((s, d) => TextAnalysis.tokenStats(s, d)),
+    "q29_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "q30_blob_meta" -> ((s, d) => Multimodal.blobMeta(s, d)),
+    "q31_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    "q32_session_window" -> ((s, d) => EventOps.sessionWindowNative(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -169,5 +183,135 @@ object SparkEntry {
         |FROM k GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
     // q18_user_cardinality: approx_count_distinct column is engine-specific
     // → rows-only check (no oracle) by design.
+
+    "q19_exact_dedup" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_unique,
+        |  count(*) - count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_dups
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q20_ngram_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) shs FROM t),
+        |n AS (SELECT doc_id, len(shs) nsh FROM sh),
+        |ex AS (SELECT doc_id, unnest(shs) sh FROM sh),
+        |p AS (SELECT a.doc_id da, b.doc_id db, count(*) inter
+        |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT p.da AS doc_a, p.db AS doc_b,
+        |  round(CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter), 6) AS jaccard
+        |FROM p JOIN n x ON p.da = x.doc_id JOIN n y ON p.db = y.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q21_minhash_lsh_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([CAST(concat('0x', substr(md5(ts[i] || ' ' || ts[i+1]), 1, 15)) AS BIGINT)
+        |         for i in range(1, len(ts))]) hs FROM t),
+        |ex AS (SELECT doc_id, unnest(hs) h FROM sh),
+        |seeds AS (SELECT r.s, CAST(concat('0x', substr(md5(CAST(r.s AS VARCHAR)), 1, 15)) AS BIGINT) c FROM range(32) r(s)),
+        |mh AS (SELECT ex.doc_id, seeds.s, min(xor(ex.h, seeds.c)) mh FROM ex, seeds GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(mh ORDER BY s) sig FROM mh GROUP BY 1),
+        |band AS (SELECT doc_id, r.b band, array_to_string(sig[r.b * 4 + 1 : r.b * 4 + 4], ',') bkey
+        |         FROM sig, range(8) r(b)),
+        |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM band a JOIN band b
+        |         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |j AS (SELECT da, db, len(list_intersect(x.hs, y.hs)) inter, len(x.hs) na, len(y.hs) nb
+        |      FROM cand JOIN sh x ON cand.da = x.doc_id JOIN sh y ON cand.db = y.doc_id)
+        |SELECT da AS doc_a, db AS doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+        |FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q22_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+        |tc AS (SELECT doc_id, tok, count(*) c FROM tok GROUP BY 1, 2),
+        |th AS (SELECT doc_id, c, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) h FROM tc),
+        |bits AS (SELECT doc_id, r.j, sum(CASE WHEN (h >> r.j) & 1 = 1 THEN c ELSE -c END) w
+        |         FROM th, range(60) r(j) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, CAST(sum(CASE WHEN w > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) sig
+        |        FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q23_cosine_neardup" ->
+      """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) nrm FROM vv),
+        |p AS (SELECT a.vec_id va, b.vec_id vb,
+        |        list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]), (x, y) -> x + y) / (a.nrm * b.nrm) c
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT va AS vec_a, vb AS vec_b, round(c, 6) AS cosine FROM p WHERE c >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q24_ann_bruteforce" ->
+      """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) nrm FROM vv),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+        |sc AS (SELECT q.query_id, n.vec_id,
+        |        list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y) / (n.nrm * q.qn) c
+        |      FROM n, q WHERE n.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, c, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) rk FROM sc)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id AS neighbor_id, round(c, 6) AS cosine
+        |FROM r WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q25_ann_lsh: candidate recall is engine-specific by design → rows-only check.
+
+    "q26_langid_confusion" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) tok FROM documents),
+        |prof AS (SELECT lang AS plang, tok, count(*) c FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT plang, CAST(sum(c) AS BIGINT) total FROM prof GROUP BY 1),
+        |sc AS (SELECT t.doc_id, t.lang, p.plang,
+        |         CAST(CAST(sum(p.c) AS BIGINT) AS DOUBLE) / tot.total AS score
+        |       FROM toks t JOIN prof p ON t.tok = p.tok JOIN tot ON p.plang = tot.plang
+        |       GROUP BY t.doc_id, t.lang, p.plang, tot.total),
+        |arg AS (SELECT doc_id, lang, plang,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) rn FROM sc)
+        |SELECT lang, plang AS predicted, count(*) AS n FROM arg WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+
+    "q27_quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) ntok, CAST(len(list_distinct(toks)) AS BIGINT) ndist,
+        |  CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT) nstop,
+        |  CAST(list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)), (a, b) -> a + b) AS BIGINT) sumlen
+        |  FROM t)
+        |SELECT doc_id, ntok,
+        |  round(0.4 * (CAST(ndist AS DOUBLE) / ntok) + 0.3 * (1.0 - CAST(nstop AS DOUBLE) / ntok)
+        |    + 0.3 * least(CAST(sumlen AS DOUBLE) / ntok / 10.0, 1.0), 6) AS score
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q28_token_stats" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') toks, text FROM documents),
+        |m AS (SELECT source, CAST(len(toks) AS BIGINT) n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) n_re,
+        |  CAST(list_reduce(list_transform(toks, x -> (length(x) + 3) // 4), (a, b) -> a + b) AS BIGINT) n_bpe
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_ws) AS BIGINT) AS sum_ws_tokens,
+        |  CAST(sum(n_re) AS BIGINT) AS sum_re_tokens, CAST(sum(n_bpe) AS BIGINT) AS sum_bpe_pieces,
+        |  CAST(max(n_ws) AS BIGINT) AS max_ws_tokens
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    "q29_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |tri AS (SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts) - 1)]) tri FROM t),
+        |fp AS (SELECT doc_id, min(CAST(concat('0x', substr(md5(tri), 1, 15)) AS BIGINT)) fingerprint FROM tri GROUP BY 1),
+        |g AS (SELECT fingerprint, count(*) group_size FROM fp GROUP BY 1)
+        |SELECT fp.doc_id, fp.fingerprint, g.group_size FROM fp JOIN g USING (fingerprint) ORDER BY doc_id""".stripMargin,
+
+    "q30_blob_meta" ->
+      """WITH m AS (SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) n_bytes, md5(text) checksum FROM documents),
+        |h AS (SELECT *, CAST(concat('0x', substr(checksum, 1, 15)) AS BIGINT) hv FROM m)
+        |SELECT doc_id, n_bytes, checksum, hv % 1024 AS width, (hv >> 10) % 1024 AS height
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q31_frame_sample" ->
+      """WITH f AS (SELECT doc_id, unnest(list_transform(range(0, (length(text) - 1) // 64 + 1),
+        |  i -> struct_pack(i := i, fr := substr(text, CAST(i * 64 + 1 AS INT), 64)))) AS u FROM documents)
+        |SELECT doc_id, CAST(u.i AS BIGINT) AS frame_idx, md5(u.fr) AS frame_md5
+        |FROM f WHERE u.i % 3 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q32_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |x AS (SELECT user_id, ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS d FROM e)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN d IS NULL OR d > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

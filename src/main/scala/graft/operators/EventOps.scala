@@ -125,6 +125,22 @@ object EventOps {
       .orderBy($"user_id")
   }
 
+  /** Native session windows in batch mode: Spark's `session_window`
+    * (the streaming sessionization operator, usable in batch) merges events
+    * closer than the gap; equivalent to the gaps-and-islands formulation of
+    * `sessionize`, but planned by the dedicated SessionWindow node —
+    * the form that also runs under `readStream` with a watermark.
+    */
+  def sessionWindowNative(s: SparkSession, dir: String, gap: String = "30 minutes"): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy($"user_id", session_window($"ts", gap))
+      .agg(count(lit(1)).as("n_in_session"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_in_session").as("n_events"))
+      .orderBy($"user_id")
+  }
+
   /** As-of join, scale-safe formulation: for every purchase, the most recent
     * preceding click of the same user. Instead of a range join (quadratic
     * blowup), union the two event kinds and carry the last click forward

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.table
+
+/** Text-analysis stages of a training-data pipeline over `documents`:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All scoring sticks to integer sums plus single final divisions so the
+  * doubles are bit-identical to the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Frequency-profile language ID: fit per-language token frequencies over
+    * the corpus (the "train" pass — one aggregation), score each document as
+    * sum(count_lang(token)) / total_lang over its tokens with multiplicity,
+    * predict argmax (ties to the lexicographically first language). Emits
+    * the confusion matrix. Profiles are tiny (langs x vocab) -> broadcast;
+    * the score pass is one shuffle on (doc, lang).
+    */
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = table(s, dir, "documents")
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+    val profile = toks.groupBy($"lang".as("plang"), $"tok").agg(count(lit(1)).as("c"))
+    val totals = profile.groupBy($"plang").agg(sum($"c").as("total"))
+    val prof = broadcast(profile.join(totals, "plang"))
+    val scored = toks.join(prof, "tok")
+      .groupBy($"doc_id", $"lang", $"plang", $"total")
+      .agg(sum($"c").as("hits"))
+      .withColumn("score", $"hits".cast("double") / $"total")
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score".desc, $"plang".asc)))
+      .where($"rn" === 1)
+      .groupBy($"lang", $"plang".as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  /** Per-document quality score: type/token ratio, stopword ratio, capped
+    * mean token length — the length/punct/stopword heuristics of a corpus
+    * filter. Pure per-row projection (no shuffle); embarrassingly parallel
+    * at any scale.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "to", "and")
+    table(s, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .withColumn("ntok", size($"toks").cast("long"))
+      .withColumn("ndist", size(array_distinct($"toks")).cast("long"))
+      .withColumn("nstop", size(expr(
+        s"filter(toks, t -> t in (${stop.map("'" + _ + "'").mkString(",")}))")).cast("long"))
+      .withColumn("sumlen", expr("aggregate(toks, cast(0 as bigint), (acc, t) -> acc + length(t))"))
+      .withColumn("ttr", $"ndist".cast("double") / $"ntok")
+      .withColumn("stop_ratio", $"nstop".cast("double") / $"ntok")
+      .withColumn("avg_len", $"sumlen".cast("double") / $"ntok")
+      .withColumn("score",
+        round(lit(0.4) * $"ttr" + lit(0.3) * (lit(1.0) - $"stop_ratio")
+          + lit(0.3) * least($"avg_len" / 10.0, lit(1.0)), 6))
+      .select($"doc_id", $"ntok", $"score")
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting three ways per source: whitespace tokens, regex word
+    * tokens ([a-z0-9]+), and a BPE-ish subword piece count (ceil(len/4) per
+    * word — the "every ~4 chars is a piece" budget heuristic). Integer-only.
+    */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_ws", size($"toks").cast("long"))
+      .withColumn("n_re", size(regexp_extract_all($"text", lit("[a-z0-9]+"), lit(0))).cast("long"))
+      .withColumn("n_bpe", expr("aggregate(toks, cast(0 as bigint), (acc, t) -> acc + ((length(t) + 3) div 4))"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_ws").as("sum_ws_tokens"),
+        sum($"n_re").as("sum_re_tokens"),
+        sum($"n_bpe").as("sum_bpe_pieces"),
+        max($"n_ws").as("max_ws_tokens"))
+      .orderBy($"source")
+  }
+
+  /** Document fingerprint: winnowing-style minimum 60-bit hash over word
+    * 3-gram shingles (robust to reordering of distant content, stable under
+    * identical prefixes). Emits (doc_id, fingerprint) plus the collision
+    * group size — fingerprint equality is the fast near-dup screen.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = table(s, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id",
+        expr("transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', element_at(toks, i + 1), " +
+          "element_at(toks, i + 2), element_at(toks, i + 3)))")
+          .as("tris"))
+      .select($"doc_id", explode($"tris").as("tri"))
+      .groupBy($"doc_id")
+      .agg(min(TextDedup.hash60($"tri")).as("fingerprint"))
+    val groups = fp.groupBy($"fingerprint").agg(count(lit(1)).as("group_size"))
+    fp.join(groups, "fingerprint")
+      .select($"doc_id", $"fingerprint", $"group_size")
+      .orderBy($"doc_id")
+  }
+}

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.table
+
+/** Large-scale training-data deduplication over the `documents` table.
+  *
+  * Four detectors, each in its scalable formulation (the 100 TB shape), each
+  * deterministic so the DuckDB oracle reproduces it bit-for-bit:
+  *
+  *  - exact: normalized-text hash groupBy (one shuffle on the hash).
+  *  - n-gram Jaccard: PPJoin-style prefix-filtered similarity self-join —
+  *    candidates only via each document's globally-rarest shingles, so the
+  *    quadratic frequent-shingle blowup of a naive inverted index never
+  *    materializes; exact verification on the candidate set only.
+  *  - MinHash + LSH: 32 hashes → 8 bands × 4 rows → band-bucket equi-join
+  *    for candidates → exact Jaccard verification. Linear in corpus size.
+  *  - SimHash: 60-bit signature; 4-chunk pigeonhole banding makes the
+  *    hamming-distance join an equi-join (lossless for distance ≤ 3).
+  *
+  * All hashing is md5-derived (60-bit: 15 hex chars → BIGINT) because both
+  * engines implement md5 identically; Spark's murmur3 `hash()` would be
+  * faster but engine-specific.
+  */
+object TextDedup {
+
+  /** Deterministic 60-bit hash shared with the DuckDB oracle. */
+  def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** doc_id + distinct word-bigram shingle set (+ set size). Tokenization
+    * happens once into a column; the shingle lambda only indexes it.
+    */
+  private[operators] def shingled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id",
+        expr("array_distinct(transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2))))")
+          .as("shs"))
+      .withColumn("nsh", size($"shs"))
+  }
+
+  /** Exact dedup by normalized-text hash: per source, total vs distinct
+    * documents. The keep-one-per-hash form is `row_number() == 1` over the
+    * hash; at 100 TB this is a single shuffle on a 128-bit key with
+    * map-side partial aggregation.
+    */
+  def exactDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .withColumn("h", md5(lower(trim(regexp_replace($"text", "\\s+", " ")))))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct($"h").as("n_unique"),
+        (count(lit(1)) - count_distinct($"h")).as("n_dups"))
+      .orderBy($"source")
+  }
+
+  /** Near-dup pairs with word-bigram Jaccard >= 0.8, via prefix filtering
+    * (PPJoin-style): index only each document's `n - ceil(t*n) + 1` globally
+    * rarest shingles — any pair with J >= t must collide inside those
+    * prefixes — plus the length filter (J >= t forces t*|B| <= |A|), applied
+    * inside the candidate join so oversized pairs never materialize.
+    * Shingles are pre-hashed to 60-bit longs so candidate generation and
+    * set-intersection verification run on primitive longs, not strings.
+    * Exact — the oracle computes the same pairs from a full inverted index
+    * on the raw strings (60-bit collisions over a bounded shingle vocabulary
+    * are negligible).
+    */
+  /** Shingle sets pre-hashed to 60-bit longs: all candidate generation and
+    * verification runs on primitive longs instead of strings.
+    */
+  private[operators] def hashedShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shingled(s, dir)
+      .select($"doc_id", expr("array_distinct(transform(shs, x -> " +
+        "cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint)))").as("hshs"))
+      .withColumn("nsh", size($"hshs"))
+  }
+
+  def ngramJaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    import s.implicits._
+    val sh = hashedShingles(s, dir).cache()
+    val ex = sh.select($"doc_id", $"nsh", explode($"hshs").as("h"))
+    // global document frequency orders shingles rarest-first
+    val df = ex.groupBy($"h").agg(count(lit(1)).as("freq"))
+    val ranked = ex.join(df, "h")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"freq".asc, $"h".asc)))
+      .withColumn("plen", ($"nsh" - ceil(lit(threshold) * $"nsh") + 1).cast("int"))
+      .where($"rn" <= $"plen")
+      .select($"doc_id", $"nsh", $"h", $"rn")
+    // candidate join with the PPJoin length filter (t*|B| <= |A| <= |B|/t)
+    // and positional filter: a prefix match at ranks (ra, rb) bounds the
+    // intersection by 1 + min(na-ra, nb-rb), which must reach the overlap
+    // requirement t/(1+t)*(na+nb). Both are lossless for J >= t.
+    val tt = threshold / (1.0 + threshold)
+    val cand = ranked.as("a").join(ranked.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id"
+          && $"a.nsh" >= lit(threshold) * $"b.nsh"
+          && $"b.nsh" >= lit(threshold) * $"a.nsh"
+          && (lit(1) + least($"a.nsh" - $"a.rn", $"b.nsh" - $"b.rn"))
+             >= lit(tt) * ($"a.nsh" + $"b.nsh"))
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    verifyJaccard(s, cand, sh, threshold)
+  }
+
+  /** MinHash + LSH near-dup pairs: 32-hash signature from one base hash per
+    * shingle xor-mixed with 32 md5-derived seed constants (xor by a constant
+    * is a bijection on the hash space, i.e. a valid minhash permutation and
+    * 32x cheaper than re-hashing); 8 bands x 4 rows; candidates = documents
+    * agreeing on at least one full band; verified with exact Jaccard. The
+    * signature is computed per document in one array pass — no
+    * shingle-by-seed row explosion — and only (doc, band, key) rows ever
+    * shuffle. Linear end to end, no all-pairs stage anywhere.
+    */
+  def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    import s.implicits._
+    val seeds: Seq[Long] = (0 until 32).map { p =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(p.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val sh = hashedShingles(s, dir).cache()
+    val bands = sh
+      .withColumn("sig", expr(
+        s"transform(array(${seeds.mkString("L,")}L), c -> array_min(transform(hshs, h -> h ^ c)))"))
+      .select($"doc_id",
+        posexplode(expr("transform(sequence(0, 7), b -> " +
+          "array_join(transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string)), ','))")))
+      .select($"doc_id", $"pos".as("band"), $"col".as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    verifyJaccard(s, cand, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set against the hashed
+    * shingle sets; emits (doc_a, doc_b, jaccard) ordered. The per-doc set
+    * table is small relative to the corpus text -> broadcast; at 100 TB
+    * these become shuffles on doc_id.
+    */
+  private def verifyJaccard(s: SparkSession, cand: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame = {
+    import s.implicits._
+    cand
+      .join(sh.select($"doc_id".as("doc_a"), $"hshs".as("ha"), $"nsh".as("na")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"hshs".as("hb"), $"nsh".as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect($"ha", $"hb")))
+      .withColumn("jaccard", round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 6))
+      .where($"inter".cast("double") / ($"na" + $"nb" - $"inter") >= threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** SimHash near-dup pairs: 60-bit signature over token frequencies;
+    * pairs at hamming distance <= 3. The pair search splits each signature
+    * into 4 15-bit chunks — by pigeonhole any pair within distance 3 agrees
+    * on at least one chunk, so candidates come from a plain equi-join on
+    * (chunk_idx, chunk_value), never an all-pairs scan.
+    */
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    val tokens = table(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .withColumn("h", hash60($"tok"))
+    val sig = tokens
+      .select($"doc_id", $"c", $"h", explode(sequence(lit(0), lit(59))).as("j"))
+      .withColumn("w", when(expr("(h >> j) & 1") === 1, $"c").otherwise(-$"c"))
+      .groupBy($"doc_id", $"j").agg(sum($"w").as("wsum"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"wsum" > 0, expr("shiftleft(cast(1 as bigint), j)")).otherwise(0L)).as("sig"))
+    val chunks = sig.select($"doc_id", $"sig",
+        explode(sequence(lit(0), lit(3))).as("ci"))
+      .withColumn("cv", expr("(sig >> (ci * 15)) & 32767"))
+    val cand = chunks.as("a").join(chunks.as("b"),
+        $"a.ci" === $"b.ci" && $"a.cv" === $"b.cv" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.sig".as("sig_a"), $"b.sig".as("sig_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(expr("sig_a ^ sig_b")).cast("long"))
+      .where($"hamming" <= maxHamming)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
+}
