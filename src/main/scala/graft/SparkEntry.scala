@@ -53,6 +53,8 @@ object SparkEntry {
     "q30_blob_meta" -> ((s, d) => Multimodal.blobMeta(s, d)),
     "q31_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "q32_session_window" -> ((s, d) => EventOps.sessionWindowNative(s, d)),
+    "q33_tri_roundtrip" -> ((s, d) => EventOps.triRoundtrip(s, d)),
+    "q34_msgpack_roundtrip" -> ((s, d) => EventOps.msgpackRoundtrip(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -313,5 +315,22 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN d IS NULL OR d > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q33_tri_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |  max(epoch_us(ts)) AS max_ts_us,
+        |  min(event_id) AS min_event_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q34_msgpack_roundtrip" ->
+      """WITH r AS (SELECT CASE WHEN event_id % 50 = 0 THEN NULL ELSE event_type END et,
+        |                  CASE WHEN event_id % 50 = 0 THEN NULL ELSE value END v,
+        |                  CASE WHEN event_id % 50 = 0 THEN NULL ELSE epoch_us(ts) END u FROM events)
+        |SELECT COALESCE(et, '_corrupt_') AS event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN et IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |  CAST(sum(CAST(v AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |  max(u) AS max_ts_us
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
   )
 }

@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
       // default; read as raw nanos and normalize in graft.operators.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

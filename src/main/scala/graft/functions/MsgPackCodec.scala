@@ -1,0 +1,386 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Minimal MessagePack codec over Catalyst values, written against the
+  * public msgpack spec (github.com/msgpack/msgpack/blob/master/spec.md) —
+  * the wire format of the reference's records
+  * (`/root/reference/triton/stream_reader.go:173`,
+  * `/root/reference/triton/archive_reader.go:19`).
+  *
+  * Encoding is schema-driven (a Catalyst `DataType` guides both directions):
+  * struct -> map with field-name keys, map -> map, array -> array,
+  * long/int -> int64 family, double -> float64, float -> float32,
+  * string -> str, binary -> bin, boolean -> bool, timestamp -> ext -1
+  * (timestamp96: nanoseconds uint32 + seconds int64), null -> nil.
+  *
+  * Decode is strict about trailing garbage — extra bytes after the
+  * top-level value are an error, mirroring the reference's corrupt-record
+  * check (`/root/reference/triton/stream_reader.go:185-194`); the
+  * expression layer turns decode errors into null (PERMISSIVE semantics).
+  */
+object MsgPackCodec {
+
+  final class MsgPackException(msg: String) extends RuntimeException(msg)
+
+  // ---------------------------------------------------------------- encode
+
+  def encode(value: Any, dt: DataType): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64)
+    write(out, value, dt)
+    out.toByteArray
+  }
+
+  private def write(out: ByteArrayOutputStream, value: Any, dt: DataType): Unit = {
+    if (value == null) { out.write(0xc0); return }
+    dt match {
+      case BooleanType => out.write(if (value.asInstanceOf[Boolean]) 0xc3 else 0xc2)
+      case ByteType => writeLong(out, value.asInstanceOf[Byte].toLong)
+      case ShortType => writeLong(out, value.asInstanceOf[Short].toLong)
+      case IntegerType => writeLong(out, value.asInstanceOf[Int].toLong)
+      case LongType => writeLong(out, value.asInstanceOf[Long])
+      case FloatType =>
+        out.write(0xca); writeBytes(out, ByteBuffer.allocate(4).putFloat(value.asInstanceOf[Float]).array())
+      case DoubleType =>
+        out.write(0xcb); writeBytes(out, ByteBuffer.allocate(8).putDouble(value.asInstanceOf[Double]).array())
+      case StringType => writeStr(out, value.asInstanceOf[UTF8String].getBytes)
+      case BinaryType =>
+        val b = value.asInstanceOf[Array[Byte]]
+        if (b.length < 256) { out.write(0xc4); out.write(b.length) }
+        else if (b.length < 65536) { out.write(0xc5); writeShortLen(out, b.length) }
+        else { out.write(0xc6); writeIntLen(out, b.length) }
+        writeBytes(out, b)
+      case TimestampType =>
+        // ext type -1, timestamp96: uint32 nanoseconds + int64 seconds
+        val us = value.asInstanceOf[Long]
+        val sec = Math.floorDiv(us, 1000000L)
+        val nsec = Math.floorMod(us, 1000000L) * 1000L
+        out.write(0xc7); out.write(12); out.write(0xff)
+        writeBytes(out, ByteBuffer.allocate(12).putInt(nsec.toInt).putLong(sec).array())
+      case st: StructType =>
+        val row = value.asInstanceOf[InternalRow]
+        writeMapHeader(out, st.length)
+        var i = 0
+        while (i < st.length) {
+          writeStr(out, UTF8String.fromString(st(i).name).getBytes)
+          write(out, if (row.isNullAt(i)) null else row.get(i, st(i).dataType), st(i).dataType)
+          i += 1
+        }
+      case MapType(StringType, vt, _) =>
+        val m = value.asInstanceOf[MapData]
+        writeMapHeader(out, m.numElements())
+        val keys = m.keyArray(); val vals = m.valueArray()
+        var i = 0
+        while (i < m.numElements()) {
+          writeStr(out, keys.getUTF8String(i).getBytes)
+          write(out, if (vals.isNullAt(i)) null else vals.get(i, vt), vt)
+          i += 1
+        }
+      case ArrayType(et, _) =>
+        val arr = value.asInstanceOf[ArrayData]
+        val n = arr.numElements()
+        if (n < 16) out.write(0x90 | n)
+        else if (n < 65536) { out.write(0xdc); writeShortLen(out, n) }
+        else { out.write(0xdd); writeIntLen(out, n) }
+        var i = 0
+        while (i < n) { write(out, if (arr.isNullAt(i)) null else arr.get(i, et), et); i += 1 }
+      case NullType => out.write(0xc0)
+      case other => throw new MsgPackException(s"unsupported encode type: $other")
+    }
+  }
+
+  private def writeLong(out: ByteArrayOutputStream, v: Long): Unit = {
+    if (v >= 0 && v < 128) out.write(v.toInt)
+    else if (v < 0 && v >= -32) out.write(0xe0 | (v.toInt & 0x1f))
+    else if (v >= Byte.MinValue && v <= Byte.MaxValue) { out.write(0xd0); out.write(v.toInt) }
+    else if (v >= Short.MinValue && v <= Short.MaxValue) { out.write(0xd1); writeShortLen(out, v.toInt) }
+    else if (v >= Int.MinValue && v <= Int.MaxValue) { out.write(0xd2); writeIntLen(out, v.toInt) }
+    else { out.write(0xd3); writeBytes(out, ByteBuffer.allocate(8).putLong(v).array()) }
+  }
+
+  private def writeStr(out: ByteArrayOutputStream, b: Array[Byte]): Unit = {
+    if (b.length < 32) out.write(0xa0 | b.length)
+    else if (b.length < 256) { out.write(0xd9); out.write(b.length) }
+    else if (b.length < 65536) { out.write(0xda); writeShortLen(out, b.length) }
+    else { out.write(0xdb); writeIntLen(out, b.length) }
+    writeBytes(out, b)
+  }
+
+  private def writeMapHeader(out: ByteArrayOutputStream, n: Int): Unit = {
+    if (n < 16) out.write(0x80 | n)
+    else if (n < 65536) { out.write(0xde); writeShortLen(out, n) }
+    else { out.write(0xdf); writeIntLen(out, n) }
+  }
+
+  private def writeShortLen(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >> 8) & 0xff); out.write(v & 0xff)
+  }
+  private def writeIntLen(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff); out.write((v >> 8) & 0xff); out.write(v & 0xff)
+  }
+  private def writeBytes(out: ByteArrayOutputStream, b: Array[Byte]): Unit = out.write(b, 0, b.length)
+
+  // ---------------------------------------------------------------- decode
+
+  /** Decode one top-level value; trailing bytes raise. */
+  def decode(bytes: Array[Byte], dt: DataType): Any = {
+    val buf = ByteBuffer.wrap(bytes)
+    val v = read(buf, dt)
+    if (buf.hasRemaining)
+      throw new MsgPackException(s"${buf.remaining()} trailing bytes after msgpack value")
+    v
+  }
+
+  /** Decode a concatenation of top-level values (one archive file's record
+    * stream, `/root/reference/triton/archive_reader.go:16-28`) lazily.
+    */
+  def decodeAll(bytes: Array[Byte], dt: DataType): Iterator[Any] = {
+    val buf = ByteBuffer.wrap(bytes)
+    new Iterator[Any] {
+      override def hasNext: Boolean = buf.hasRemaining
+      override def next(): Any = read(buf, dt)
+    }
+  }
+
+  /** Infer a Spark type from the first msgpack value in `bytes` — maps the
+    * msgpack tag space onto (struct, array, long, double, string, binary,
+    * boolean, timestamp). Used for `.tri` schema inference.
+    */
+  def inferType(bytes: Array[Byte]): DataType = inferValue(ByteBuffer.wrap(bytes))
+
+  private def inferValue(buf: ByteBuffer): DataType = {
+    val tag = buf.get() & 0xff
+    tag match {
+      case t if t < 0x80 || t >= 0xe0 || t == 0xcc || t == 0xcd || t == 0xce || t == 0xcf
+           || t == 0xd0 || t == 0xd1 || t == 0xd2 || t == 0xd3 =>
+        if (t >= 0x80 && t < 0xcc) () else skipIntPayload(buf, t)
+        LongType
+      case 0xc0 => NullType
+      case 0xc2 | 0xc3 => BooleanType
+      case 0xca => buf.position(buf.position() + 4); DoubleType
+      case 0xcb => buf.position(buf.position() + 8); DoubleType
+      case t if (t & 0xe0) == 0xa0 || t == 0xd9 || t == 0xda || t == 0xdb =>
+        buf.position(buf.position() + strLen(buf, t)); StringType
+      case 0xc4 | 0xc5 | 0xc6 =>
+        buf.position(buf.position() + binLen(buf, tag)); BinaryType
+      case 0xd4 | 0xd5 | 0xd6 | 0xd7 | 0xd8 | 0xc7 | 0xc8 | 0xc9 =>
+        val (et, n) = extHeader(buf, tag)
+        buf.position(buf.position() + n)
+        if (et == -1) TimestampType else BinaryType
+      case t if (t & 0xf0) == 0x90 || t == 0xdc || t == 0xdd =>
+        val n = arrLen(buf, t)
+        if (n == 0) ArrayType(StringType)
+        else {
+          val et = inferValue(buf)
+          var i = 1
+          while (i < n) { skip(buf); i += 1 }
+          ArrayType(if (et == NullType) StringType else et)
+        }
+      case t if (t & 0xf0) == 0x80 || t == 0xde || t == 0xdf =>
+        val n = mapLen(buf, t)
+        val fields = new Array[StructField](n)
+        var i = 0
+        while (i < n) {
+          val key = UTF8String.fromBytes(readRaw(buf, strLen(buf, buf.get() & 0xff))).toString
+          val ft = inferValue(buf)
+          fields(i) = StructField(key, if (ft == NullType) StringType else ft)
+          i += 1
+        }
+        StructType(fields)
+      case t => throw new MsgPackException(f"cannot infer from tag 0x$t%02x")
+    }
+  }
+
+  private def skipIntPayload(buf: ByteBuffer, tag: Int): Unit = tag match {
+    case 0xcc | 0xd0 => buf.position(buf.position() + 1)
+    case 0xcd | 0xd1 => buf.position(buf.position() + 2)
+    case 0xce | 0xd2 => buf.position(buf.position() + 4)
+    case 0xcf | 0xd3 => buf.position(buf.position() + 8)
+    case _ => ()
+  }
+
+  private def read(buf: ByteBuffer, dt: DataType): Any = {
+    val tag = buf.get() & 0xff
+    if (tag == 0xc0) return null
+    dt match {
+      case BooleanType => tag match {
+        case 0xc2 => false
+        case 0xc3 => true
+        case _ => fail(tag, dt)
+      }
+      case ByteType | ShortType | IntegerType | LongType =>
+        val v = readLong(buf, tag)
+        dt match {
+          case LongType => v
+          case IntegerType => v.toInt
+          case ShortType => v.toShort
+          case ByteType => v.toByte
+        }
+      case FloatType => tag match {
+        case 0xca => buf.getFloat
+        case 0xcb => buf.getDouble.toFloat
+        case _ => readLong(buf, tag).toFloat
+      }
+      case DoubleType => tag match {
+        case 0xcb => buf.getDouble
+        case 0xca => buf.getFloat.toDouble
+        case _ => readLong(buf, tag).toDouble
+      }
+      case StringType => UTF8String.fromBytes(readRaw(buf, strLen(buf, tag)))
+      case BinaryType => readRaw(buf, binLen(buf, tag))
+      case TimestampType =>
+        val (extType, len) = extHeader(buf, tag)
+        if (extType != -1) throw new MsgPackException(s"ext type $extType is not timestamp")
+        len match {
+          case 4 => (buf.getInt.toLong & 0xffffffffL) * 1000000L
+          case 8 =>
+            val d = buf.getLong
+            val nsec = d >>> 34
+            val sec = d & 0x3ffffffffL
+            sec * 1000000L + nsec / 1000L
+          case 12 =>
+            val nsec = buf.getInt.toLong & 0xffffffffL
+            val sec = buf.getLong
+            sec * 1000000L + nsec / 1000L
+          case n => throw new MsgPackException(s"bad timestamp ext length $n")
+        }
+      case st: StructType =>
+        val n = mapLen(buf, tag)
+        val values = new Array[Any](st.length)
+        val idx = st.fieldNames.zipWithIndex.toMap
+        var i = 0
+        while (i < n) {
+          val key = UTF8String.fromBytes(readRaw(buf, strLen(buf, buf.get() & 0xff))).toString
+          idx.get(key) match {
+            case Some(fi) => values(fi) = read(buf, st(fi).dataType)
+            case None => skip(buf) // unknown field: ignore (schemaless producers)
+          }
+          i += 1
+        }
+        new GenericInternalRow(values)
+      case MapType(StringType, vt, _) =>
+        val n = mapLen(buf, tag)
+        val keys = new Array[Any](n); val vals = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          keys(i) = UTF8String.fromBytes(readRaw(buf, strLen(buf, buf.get() & 0xff)))
+          vals(i) = read(buf, vt)
+          i += 1
+        }
+        ArrayBasedMapData(keys, vals)
+      case ArrayType(et, _) =>
+        val n = arrLen(buf, tag)
+        val values = new Array[Any](n)
+        var i = 0
+        while (i < n) { values(i) = read(buf, et); i += 1 }
+        new GenericArrayData(values)
+      case other => throw new MsgPackException(s"unsupported decode type: $other")
+    }
+  }
+
+  private def readLong(buf: ByteBuffer, tag: Int): Long = tag match {
+    case t if t < 0x80 => t.toLong
+    case t if t >= 0xe0 => (t - 256).toLong
+    case 0xcc => (buf.get() & 0xff).toLong
+    case 0xcd => (buf.getShort & 0xffff).toLong
+    case 0xce => buf.getInt.toLong & 0xffffffffL
+    case 0xcf => buf.getLong // uint64 > Long.MaxValue wraps; reference maps to uint64 anyway
+    case 0xd0 => buf.get().toLong
+    case 0xd1 => buf.getShort.toLong
+    case 0xd2 => buf.getInt.toLong
+    case 0xd3 => buf.getLong
+    case t => throw new MsgPackException(f"tag 0x$t%02x is not an integer")
+  }
+
+  private def strLen(buf: ByteBuffer, tag: Int): Int = tag match {
+    case t if (t & 0xe0) == 0xa0 => t & 0x1f
+    case 0xd9 => buf.get() & 0xff
+    case 0xda => buf.getShort & 0xffff
+    case 0xdb => buf.getInt
+    case t => throw new MsgPackException(f"tag 0x$t%02x is not a string")
+  }
+
+  private def binLen(buf: ByteBuffer, tag: Int): Int = tag match {
+    case 0xc4 => buf.get() & 0xff
+    case 0xc5 => buf.getShort & 0xffff
+    case 0xc6 => buf.getInt
+    case t => strLen(buf, t) // tolerate str-encoded binary (old producers)
+  }
+
+  private def mapLen(buf: ByteBuffer, tag: Int): Int = tag match {
+    case t if (t & 0xf0) == 0x80 => t & 0x0f
+    case 0xde => buf.getShort & 0xffff
+    case 0xdf => buf.getInt
+    case t => throw new MsgPackException(f"tag 0x$t%02x is not a map")
+  }
+
+  private def arrLen(buf: ByteBuffer, tag: Int): Int = tag match {
+    case t if (t & 0xf0) == 0x90 => t & 0x0f
+    case 0xdc => buf.getShort & 0xffff
+    case 0xdd => buf.getInt
+    case t => throw new MsgPackException(f"tag 0x$t%02x is not an array")
+  }
+
+  private def extHeader(buf: ByteBuffer, tag: Int): (Int, Int) = tag match {
+    case 0xd4 => (buf.get().toInt, 1)
+    case 0xd5 => (buf.get().toInt, 2)
+    case 0xd6 => (buf.get().toInt, 4)
+    case 0xd7 => (buf.get().toInt, 8)
+    case 0xd8 => (buf.get().toInt, 16)
+    case 0xc7 => { val n = buf.get() & 0xff; (buf.get().toInt, n) }
+    case 0xc8 => { val n = buf.getShort & 0xffff; (buf.get().toInt, n) }
+    case 0xc9 => { val n = buf.getInt; (buf.get().toInt, n) }
+    case t => throw new MsgPackException(f"tag 0x$t%02x is not ext")
+  }
+
+  private def readRaw(buf: ByteBuffer, n: Int): Array[Byte] = {
+    if (n < 0 || n > buf.remaining())
+      throw new MsgPackException(s"length $n exceeds remaining ${buf.remaining()}")
+    val b = new Array[Byte](n); buf.get(b); b
+  }
+
+  /** Skip one value of any type (unknown struct fields). */
+  private def skip(buf: ByteBuffer): Unit = {
+    val tag = buf.get() & 0xff
+    tag match {
+      case t if t < 0x80 || t >= 0xe0 => ()
+      case t if (t & 0xe0) == 0xa0 => buf.position(buf.position() + (t & 0x1f))
+      case t if (t & 0xf0) == 0x80 => var i = 0; val n = t & 0x0f; while (i < n) { skip(buf); skip(buf); i += 1 }
+      case t if (t & 0xf0) == 0x90 => var i = 0; val n = t & 0x0f; while (i < n) { skip(buf); i += 1 }
+      case 0xc0 | 0xc2 | 0xc3 => ()
+      case 0xcc | 0xd0 => buf.position(buf.position() + 1)
+      case 0xcd | 0xd1 => buf.position(buf.position() + 2)
+      case 0xce | 0xd2 | 0xca => buf.position(buf.position() + 4)
+      case 0xcf | 0xd3 | 0xcb => buf.position(buf.position() + 8)
+      case 0xd9 => buf.position(buf.position() + (buf.get() & 0xff))
+      case 0xda => buf.position(buf.position() + (buf.getShort & 0xffff))
+      case 0xdb => buf.position(buf.position() + buf.getInt)
+      case 0xc4 => buf.position(buf.position() + (buf.get() & 0xff))
+      case 0xc5 => buf.position(buf.position() + (buf.getShort & 0xffff))
+      case 0xc6 => buf.position(buf.position() + buf.getInt)
+      case 0xd4 => buf.position(buf.position() + 2)
+      case 0xd5 => buf.position(buf.position() + 3)
+      case 0xd6 => buf.position(buf.position() + 5)
+      case 0xd7 => buf.position(buf.position() + 9)
+      case 0xd8 => buf.position(buf.position() + 17)
+      case 0xc7 => { val n = buf.get() & 0xff; buf.position(buf.position() + 1 + n) }
+      case 0xc8 => { val n = buf.getShort & 0xffff; buf.position(buf.position() + 1 + n) }
+      case 0xc9 => { val n = buf.getInt; buf.position(buf.position() + 1 + n) }
+      case 0xde => { var i = 0; val n = buf.getShort & 0xffff; while (i < n) { skip(buf); skip(buf); i += 1 } }
+      case 0xdf => { var i = 0; val n = buf.getInt; while (i < n) { skip(buf); skip(buf); i += 1 } }
+      case 0xdc => { var i = 0; val n = buf.getShort & 0xffff; while (i < n) { skip(buf); i += 1 } }
+      case 0xdd => { var i = 0; val n = buf.getInt; while (i < n) { skip(buf); i += 1 } }
+      case t => throw new MsgPackException(f"cannot skip tag 0x$t%02x")
+    }
+  }
+
+  private def fail(tag: Int, dt: DataType): Nothing =
+    throw new MsgPackException(f"tag 0x$tag%02x does not decode as $dt")
+}

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `to_msgpack(value)` — encode any struct/map/array/scalar column to
+  * MessagePack bytes (the reference's record wire format,
+  * `/root/reference/triton/store.go:144-154`).
+  */
+case class ToMsgPack(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any = MsgPackCodec.encode(input, child.dataType)
+  override protected def withNewChildInternal(newChild: Expression): ToMsgPack = copy(child = newChild)
+  override def prettyName: String = "to_msgpack"
+}
+
+/** `from_msgpack(bin, 'ddl schema')` — decode MessagePack bytes into the
+  * given type. PERMISSIVE: corrupt bytes (bad tags, truncation, trailing
+  * garbage) decode to null rather than failing the task — the engine's
+  * form of the reference's log-and-skip dead-lettering
+  * (`/root/reference/triton/stream_reader.go:174-194`); pair with
+  * `count(case when decoded is null ...)` for the skip counter.
+  */
+case class FromMsgPack(child: Expression, targetType: DataType)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = targetType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    try MsgPackCodec.decode(input.asInstanceOf[Array[Byte]], targetType)
+    catch { case _: Exception => null }
+  override protected def withNewChildInternal(newChild: Expression): FromMsgPack = copy(child = newChild)
+  override def prettyName: String = "from_msgpack"
+}
+
+object MsgPackExpressions {
+  /** Builder for SQL registration: from_msgpack(bin, 'a INT, b STRING'). */
+  def fromMsgPackBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(bin, schema) if schema.foldable =>
+      val ddl = schema.eval(null).asInstanceOf[UTF8String].toString
+      val dt = try DataType.fromDDL(ddl) catch {
+        case _: Exception => DataType.fromJson(ddl)
+      }
+      FromMsgPack(bin, dt)
+    case _ => throw new IllegalArgumentException(
+      "from_msgpack(binary, 'ddl schema string literal')")
+  }
+
+  def toMsgPackBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(v) => ToMsgPack(v)
+    case _ => throw new IllegalArgumentException("to_msgpack(value)")
+  }
+
+  def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[ToMsgPack].getName, null, name, usage, "", "", "", "", "", "", "built-in")
+}

@@ -189,6 +189,52 @@ object EventOps {
       .orderBy($"kdate", $"client")
   }
 
+  /** Full archive lifecycle under the correctness gate: events → `.tri`
+    * store (snappy+msgpack, date/client-partitioned,
+    * `graft.sources.Archive`) → range read with partition pruning +
+    * single-client check → aggregate. The oracle aggregates the original
+    * table directly, so any encode/decode or pruning defect hash-mismatches.
+    */
+  def triRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_tri_${java.util.UUID.randomUUID()}").getAbsolutePath
+    val ev = events(s, dir).select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    graft.sources.Archive.store(ev, root, "graft")
+    graft.sources.Archive.read(s, root, "graft", "20240101", "20241231")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(12, 2))).cast("double").as("sum_value"),
+        max(unix_micros($"ts")).as("max_ts_us"),
+        min($"event_id").as("min_event_id"))
+      .orderBy($"event_type")
+  }
+
+  /** msgpack codec round-trip with dead-letter semantics: encode the record
+    * struct with `to_msgpack`, corrupt every 50th payload (0xc1 — a tag the
+    * spec never assigns), decode with `from_msgpack` (PERMISSIVE → null),
+    * and aggregate survivors + corruption counts — the engine form of the
+    * reference's skip-and-count decode loop
+    * (`/root/reference/triton/stream_reader.go:173-194`).
+    */
+  def msgpackRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ddl = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ts_us BIGINT"
+    events(s, dir)
+      .withColumn("bin",
+        when($"event_id" % 50 === 0, expr("X'c1'"))
+          .otherwise(expr("to_msgpack(struct(event_id, user_id, event_type, value, ts_us))")))
+      .withColumn("rec", expr(s"from_msgpack(bin, '$ddl')"))
+      .groupBy(coalesce($"rec.event_type", lit("_corrupt_")).as("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"rec".isNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum($"rec.value".cast(DecimalType(12, 2))).cast("double").as("sum_value"),
+        max($"rec.ts_us").as("max_ts_us"))
+      .orderBy($"event_type")
+  }
+
   /** Distinct cardinality per shard: exact + HyperLogLog sketch side by
     * side. The approx column is deliberately NOT oracle-checked (sketch
     * estimates are engine-specific); at 100 TB the sketch is the one you

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Archive naming + store/reader surface: the reference's S3 layout
+  * (`YYYYMMDD/<stream>-<client>-<unixTs>.tri`,
+  * `/root/reference/triton/store.go:91-104`,
+  * `/root/reference/triton/archive.go:45-81`) re-expressed as a Spark
+  * partitioned file index: `date`/`client` become partition columns so
+  * Catalyst partition pruning replaces the hand-rolled per-day prefix
+  * listing of `/root/reference/triton/store_reader.go:54-111`.
+  */
+object Archive {
+
+  /** The reference's archive key regex (`/root/reference/triton/archive.go:46`). */
+  val KeyPattern = "^(\\d{8})/(.+)-(\\d+)\\.tri$".r
+
+  def archiveKey(date: String, stream: String, client: String, unixTs: Long): String =
+    s"$date/$stream-$client-$unixTs.tri"
+
+  /** Parse `YYYYMMDD/<stream>[-<client>]-<unixTs>.tri` →
+    * (date, stream, client, sortValue); malformed keys → None (the skip
+    * path of `/root/reference/triton/store_reader.go:75-79`).
+    */
+  def parseKey(key: String): Option[(String, String, String, Long)] = key match {
+    case KeyPattern(date, name, ts) =>
+      val (stream, client) = name.lastIndexOf('-') match {
+        case -1 => (name, "")
+        case i => (name.substring(0, i), name.substring(i + 1))
+      }
+      Some((date, stream, client, ts.toLong))
+    case _ => None
+  }
+
+  /** Store a batch of records into the archive: date/client-partitioned
+    * `.tri` files. The buffered/rotated/uploaded lifecycle of the
+    * reference's Store (`/root/reference/triton/store.go:106-171`) is
+    * subsumed by the file sink: each task streams through a snappy-framed
+    * writer, files commit atomically, and `maxRecordsPerFile` bounds file
+    * size the way hourly rotation bounded it.
+    */
+  def store(df: DataFrame, root: String, client: String): Unit =
+    df
+      .withColumn("date", date_format(col("ts"), "yyyyMMdd"))
+      .withColumn("client", lit(client))
+      .write.format("tri")
+      .partitionBy("date", "client")
+      .mode("append")
+      .save(root)
+
+  /** Archive range scan — the `cat` query
+    * (`/root/reference/triton/store_reader.go:54-111`): date-range +
+    * client predicates prune partitions (no data read outside the range),
+    * single-client invariant enforced like the reference's mixed-client
+    * error (`store_reader.go:90-99`).
+    */
+  def read(spark: SparkSession, root: String, client: String,
+           startDate: String, endDate: String): DataFrame = {
+    val df = spark.read.format("tri").load(root)
+      .where(col("date") >= startDate && col("date") <= endDate)
+    val filtered = if (client.nonEmpty) df.where(col("client") === client) else df
+    val clients = filtered.select("client").distinct().collect().map(_.getString(0))
+    if (clients.length > 1)
+      throw new IllegalStateException(s"mixed clients in archive range: ${clients.sorted.mkString(",")}")
+    filtered
+  }
+}

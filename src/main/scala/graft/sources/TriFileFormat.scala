@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptContext}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.{FileFormat, OutputWriter, OutputWriterFactory, PartitionedFile}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+import org.xerial.snappy.{SnappyFramedInputStream, SnappyFramedOutputStream}
+
+import graft.functions.MsgPackCodec
+
+/** `.tri` archive files: a snappy framing-format stream over concatenated
+  * MessagePack maps — the reference's at-rest format
+  * (write: `/root/reference/triton/store.go:134-135`,
+  * read: `/root/reference/triton/archive_reader.go:12-28`). Registered as
+  * `format("tri")`, read/write + schema inference; works for both batch and
+  * Structured Streaming (file source/sink machinery builds on FileFormat).
+  *
+  * Files are not splittable (snappy framed stream, record boundaries
+  * unknown) — matching the reference's file-at-a-time reader; parallelism
+  * comes from the file count, which the store's rotation policy bounds.
+  * Decoding against `requiredSchema` gives column pruning for free: unknown
+  * or unreferenced msgpack keys are skipped, never materialized.
+  */
+class TriFileFormat extends FileFormat with DataSourceRegister with Serializable {
+
+  override def shortName(): String = "tri"
+
+  override def toString: String = "TRI"
+
+  override def inferSchema(sparkSession: SparkSession, options: Map[String, String],
+                           files: Seq[FileStatus]): Option[StructType] = {
+    files.headOption.map { f =>
+      val fs = f.getPath.getFileSystem(sparkSession.sessionState.newHadoopConf())
+      val in = new SnappyFramedInputStream(fs.open(f.getPath))
+      try {
+        val head = new Array[Byte](1 << 20)
+        var off = 0; var n = 0
+        while (off < head.length && { n = in.read(head, off, head.length - off); n > 0 }) off += n
+        MsgPackCodec.inferType(java.util.Arrays.copyOf(head, off)) match {
+          case st: StructType => st
+          case other => StructType(Seq(StructField("value", other)))
+        }
+      } finally in.close()
+    }
+  }
+
+  override def isSplitable(sparkSession: SparkSession, options: Map[String, String],
+                           path: Path): Boolean = false
+
+  override def buildReader(sparkSession: SparkSession, dataSchema: StructType,
+                           partitionSchema: StructType, requiredSchema: StructType,
+                           filters: Seq[Filter], options: Map[String, String],
+                           hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
+    val broadcastedConf = sparkSession.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
+    (file: PartitionedFile) => {
+      val path = file.toPath
+      val fs = path.getFileSystem(broadcastedConf.value.value)
+      val in = new SnappyFramedInputStream(fs.open(path))
+      val bytes = try {
+        val out = new java.io.ByteArrayOutputStream(1 << 20)
+        val buf = new Array[Byte](1 << 16)
+        var n = 0
+        while ({ n = in.read(buf); n > 0 }) out.write(buf, 0, n)
+        out.toByteArray
+      } finally in.close()
+      MsgPackCodec.decodeAll(bytes, requiredSchema).map(_.asInstanceOf[InternalRow])
+    }
+  }
+
+  override def prepareWrite(sparkSession: SparkSession, job: Job,
+                            options: Map[String, String], dataSchema: StructType): OutputWriterFactory =
+    new OutputWriterFactory {
+      override def getFileExtension(context: TaskAttemptContext): String = ".tri"
+      override def newInstance(path: String, dataSchema: StructType,
+                               context: TaskAttemptContext): OutputWriter =
+        new TriOutputWriter(path, dataSchema, context)
+    }
+
+  override def supportDataType(dataType: DataType): Boolean = dataType match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType | FloatType
+         | DoubleType | StringType | BinaryType | TimestampType => true
+    case st: StructType => st.forall(f => supportDataType(f.dataType))
+    case ArrayType(et, _) => supportDataType(et)
+    case MapType(StringType, vt, _) => supportDataType(vt)
+    case NullType => true
+    case _ => false
+  }
+}
+
+private class TriOutputWriter(val path: String, dataSchema: StructType,
+                              context: TaskAttemptContext) extends OutputWriter {
+  private val out = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(context.getConfiguration)
+    new SnappyFramedOutputStream(fs.create(p, false))
+  }
+  override def write(row: InternalRow): Unit = {
+    val b = MsgPackCodec.encode(row, dataSchema)
+    out.write(b, 0, b.length)
+  }
+  override def close(): Unit = out.close()
+}

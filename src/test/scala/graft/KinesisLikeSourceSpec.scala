@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MsgPackCodec
+import graft.streaming.{FakeKinesis, ShardOffsets}
+
+/** The streaming read path (SURVEY.md §2.1 S1-S4, §2.3 C1-C3) against the
+  * in-memory service, mirroring the reference's multi-shard and
+  * corrupt-record tests (`/root/reference/triton/stream_reader_test.go`).
+  */
+class KinesisLikeSourceSpec extends AnyFunSuite with SparkFixture {
+
+  private val recType = StructType(Seq(
+    StructField("id", LongType), StructField("kind", StringType)))
+
+  private def put(stream: String, key: String, id: Long, kind: String): Unit =
+    FakeKinesis.putRecord(stream, key,
+      MsgPackCodec.encode(new GenericInternalRow(
+        Array[Any](id, UTF8String.fromString(kind))), recType))
+
+  test("trim_horizon drains all shards; records decode; cross-shard order free") {
+    FakeKinesis.reset()
+    FakeKinesis.createStream("s1", 3)
+    (1L to 20L).foreach(i => put("s1", s"k$i", i, if (i % 2 == 0) "even" else "odd"))
+    val q = spark.readStream.format("kinesis-graft")
+      .option("stream", "s1").load()
+      .withColumn("rec", expr("from_msgpack(data, 'id BIGINT, kind STRING')"))
+      .select("rec.id", "rec.kind")
+      .writeStream.format("memory").queryName("t1").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t1").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.map(_._1).sorted.toSeq === (1L to 20L))
+    assert(got.count(_._2 == "even") === 10)
+  }
+
+  test("incremental batches + checkpoint resume without duplication") {
+    FakeKinesis.reset()
+    FakeKinesis.createStream("s2", 2)
+    val ckpt = Files.createTempDirectory("src_ckpt").toString
+    val out = Files.createTempDirectory("src_out").toString
+    (1L to 5L).foreach(i => put("s2", s"k$i", i, "a"))
+    def run(): Unit = {
+      val q = spark.readStream.format("kinesis-graft")
+        .option("stream", "s2").load()
+        .withColumn("rec", expr("from_msgpack(data, 'id BIGINT, kind STRING')"))
+        .select("rec.id")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq === (1L to 5L))
+    (6L to 9L).foreach(i => put("s2", s"k$i", i, "a"))
+    run() // restarted query, same checkpoint -> resumes AFTER_SEQUENCE_NUMBER, no dupes
+    assert(spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq === (1L to 9L))
+  }
+
+  test("startingPosition=latest skips the backlog") {
+    FakeKinesis.reset()
+    FakeKinesis.createStream("s3", 1)
+    (1L to 7L).foreach(i => put("s3", s"k$i", i, "old"))
+    val df = spark.readStream.format("kinesis-graft")
+      .option("stream", "s3").option("startingPosition", "latest").load()
+      .withColumn("rec", expr("from_msgpack(data, 'id BIGINT, kind STRING')"))
+      .select("rec.id")
+    val q = df.writeStream.format("memory").queryName("t3").start()
+    q.processAllAvailable()
+    put("s3", "kx", 100L, "new")
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("t3").collect().map(_.getLong(0)).toSeq === Seq(100L))
+  }
+
+  test("corrupt records dead-letter to null, good ones survive (S4)") {
+    FakeKinesis.reset()
+    FakeKinesis.createStream("s4", 1)
+    put("s4", "k1", 1L, "good")
+    FakeKinesis.putRecord("s4", "k2", Array[Byte](0xc1.toByte, 0x00)) // reserved tag
+    put("s4", "k3", 3L, "good")
+    val q = spark.readStream.format("kinesis-graft")
+      .option("stream", "s4").load()
+      .withColumn("rec", expr("from_msgpack(data, 'id BIGINT, kind STRING')"))
+      .select(col("sequence_number"), col("rec.id").as("id"))
+      .writeStream.format("memory").queryName("t4").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("t4").collect()
+    assert(rows.length === 3) // all delivered
+    assert(rows.count(_.isNullAt(1)) === 1) // one dead-lettered
+    assert(rows.filter(!_.isNullAt(1)).map(_.getLong(1)).sorted.toSeq === Seq(1L, 3L))
+  }
+
+  test("throttling is retried with backoff (reference retry whitelist)") {
+    FakeKinesis.reset()
+    FakeKinesis.createStream("s5", 1)
+    put("s5", "k", 42L, "x")
+    FakeKinesis.injectThrottles("s5", 3) // < maxRetries=4 -> must succeed
+    val q = spark.readStream.format("kinesis-graft")
+      .option("stream", "s5").load()
+      .withColumn("rec", expr("from_msgpack(data, 'id BIGINT, kind STRING')"))
+      .select("rec.id")
+      .writeStream.format("memory").queryName("t5").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("t5").collect().map(_.getLong(0)).toSeq === Seq(42L))
+  }
+
+  test("offsets serialize/deserialize stably (C1/C2 shape)") {
+    val o = ShardOffsets(Map("shard-1" -> 5L, "shard-0" -> -1L))
+    assert(o.json === """{"shard-0":-1,"shard-1":5}""")
+    assert(ShardOffsets.fromJson(o.json) === o)
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MsgPackCodec
+
+/** Codec laws: decode(encode(x)) == x over generated nested values
+  * (mirrors the reference's round-trip fixtures,
+  * `/root/reference/tritond/client_test.go:21-29`), plus the corrupt-input
+  * contract of `/root/reference/triton/stream_reader.go:174-194`.
+  */
+class MsgPackCodecSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("s", StringType),
+    StructField("n", LongType),
+    StructField("d", DoubleType),
+    StructField("b", BooleanType),
+    StructField("ts", TimestampType),
+    StructField("bytes", BinaryType),
+    StructField("arr", ArrayType(LongType)),
+    StructField("m", MapType(StringType, StringType)),
+    StructField("nested", StructType(Seq(
+      StructField("x", LongType), StructField("y", StringType))))))
+
+  private val genValue: Gen[GenericInternalRow] = for {
+    s <- Gen.alphaNumStr.map(x => UTF8String.fromString(x.take(300)))
+    n <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    d <- Gen.chooseNum(-1e12, 1e12)
+    b <- Gen.oneOf(true, false)
+    ts <- Gen.chooseNum(-62135596800000000L, 253402300799000000L) // 0001..9999 in micros
+    bytes <- Gen.containerOf[Array, Byte](Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    arr <- Gen.listOfN(5, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    mk <- Gen.listOfN(3, Gen.alphaNumStr.map(_.take(10))).map(_.distinct)
+    x <- Gen.chooseNum(Int.MinValue.toLong, Int.MaxValue.toLong)
+  } yield new GenericInternalRow(Array[Any](
+    s, n, d, b, ts, bytes, new GenericArrayData(arr.toArray),
+    ArrayBasedMapData(mk.map(UTF8String.fromString).toArray,
+      mk.map(k => UTF8String.fromString(k.reverse)).toArray),
+    new GenericInternalRow(Array[Any](x, UTF8String.fromString("y" * 40)))))
+
+  private def assertRowEq(a: GenericInternalRow, b: GenericInternalRow): Unit = {
+    assert(b.getUTF8String(0) === a.getUTF8String(0))
+    assert(b.getLong(1) === a.getLong(1))
+    assert(b.getDouble(2) === a.getDouble(2))
+    assert(b.getBoolean(3) === a.getBoolean(3))
+    assert(b.getLong(4) === a.getLong(4))
+    assert(b.getBinary(5).toSeq === a.getBinary(5).toSeq)
+    assert(b.getArray(6).toLongArray.toSeq === a.getArray(6).toLongArray.toSeq)
+    val (ma, mb) = (a.getMap(7), b.getMap(7))
+    assert(mb.keyArray.toSeq[UTF8String](StringType) === ma.keyArray.toSeq[UTF8String](StringType))
+    assert(mb.valueArray.toSeq[UTF8String](StringType) === ma.valueArray.toSeq[UTF8String](StringType))
+    assert(b.getStruct(8, 2).getLong(0) === a.getStruct(8, 2).getLong(0))
+  }
+
+  test("round-trip property over 200 generated nested records") {
+    (0 until 200).foreach { i =>
+      val row = genValue.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val bytes = MsgPackCodec.encode(row, schema)
+      val back = MsgPackCodec.decode(bytes, schema).asInstanceOf[GenericInternalRow]
+      assertRowEq(row, back)
+    }
+  }
+
+  test("integer width boundaries round-trip") {
+    for (v <- Seq(0L, 1L, 127L, 128L, 255L, 256L, 65535L, 65536L, -1L, -32L, -33L,
+      -128L, -129L, -32768L, -32769L, Int.MaxValue.toLong, Int.MaxValue + 1L,
+      Long.MaxValue, Long.MinValue)) {
+      val dt = StructType(Seq(StructField("v", LongType)))
+      val r = new GenericInternalRow(Array[Any](v))
+      assert(MsgPackCodec.decode(MsgPackCodec.encode(r, dt), dt)
+        .asInstanceOf[GenericInternalRow].getLong(0) === v)
+    }
+  }
+
+  test("trailing garbage raises (reference extra-bytes check)") {
+    val dt = StructType(Seq(StructField("v", LongType)))
+    val good = MsgPackCodec.encode(new GenericInternalRow(Array[Any](7L)), dt)
+    val bad = good ++ Array[Byte](1, 2, 3)
+    assertThrows[MsgPackCodec.MsgPackException](MsgPackCodec.decode(bad, dt))
+  }
+
+  test("reserved tag 0xc1 and truncation raise") {
+    val dt = StructType(Seq(StructField("v", LongType)))
+    assertThrows[Exception](MsgPackCodec.decode(Array(0xc1.toByte), dt))
+    val good = MsgPackCodec.encode(new GenericInternalRow(Array[Any](
+      UTF8String.fromString("hello world"))),
+      StructType(Seq(StructField("v", StringType))))
+    assertThrows[Exception](
+      MsgPackCodec.decode(good.take(good.length - 3), StructType(Seq(StructField("v", StringType)))))
+  }
+
+  test("unknown fields are skipped, missing fields decode null") {
+    val wide = StructType(Seq(StructField("a", LongType), StructField("zz", StringType)))
+    val bytes = MsgPackCodec.encode(
+      new GenericInternalRow(Array[Any](5L, UTF8String.fromString("x"))), wide)
+    val narrow = StructType(Seq(StructField("a", LongType), StructField("absent", LongType)))
+    val row = MsgPackCodec.decode(bytes, narrow).asInstanceOf[GenericInternalRow]
+    assert(row.getLong(0) === 5L)
+    assert(row.isNullAt(1))
+  }
+
+  test("timestamp ext formats: ts32/ts64/ts96 all decode") {
+    val dt = TimestampType
+    // ts96 via our encoder
+    val us = 1704067200123456L
+    val enc = MsgPackCodec.encode(us, dt)
+    assert(MsgPackCodec.decode(enc, dt) === us)
+    // ts32: fixext4, type -1, seconds only
+    val ts32 = Array[Byte](0xd6.toByte, 0xff.toByte, 0x65, 0x92.toByte, 0x00, 0x80.toByte)
+    val sec = java.nio.ByteBuffer.wrap(ts32, 2, 4).getInt.toLong
+    assert(MsgPackCodec.decode(ts32, dt) === sec * 1000000L)
+  }
+
+  test("schema inference maps tags to Spark types") {
+    val st = StructType(Seq(StructField("s", StringType), StructField("n", LongType),
+      StructField("d", DoubleType), StructField("ts", TimestampType),
+      StructField("arr", ArrayType(LongType))))
+    val bytes = MsgPackCodec.encode(new GenericInternalRow(Array[Any](
+      UTF8String.fromString("x"), 1L, 1.5, 1704067200000000L,
+      new GenericArrayData(Array(1L, 2L)))), st)
+    assert(MsgPackCodec.inferType(bytes) === st)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Archive
+import graft.streaming.StreamOps
+
+/** Streaming sink + event-time operators (SURVEY.md §2.2 K1, §2.5
+  * watermarks/stateful rows) driven through MemoryStream.
+  */
+class StreamOpsSpec extends AnyFunSuite with SparkFixture {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("store pipeline: stream -> date-partitioned .tri archive, restart-safe (K1)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("store_root").toString
+    val ckpt = Files.createTempDirectory("store_ckpt").toString
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    in.addData((1L, ts("2024-01-05 10:00:00"), 1.0), (2L, ts("2024-01-06 11:00:00"), 2.0))
+    val df = in.toDF.toDF("event_id", "ts", "value")
+    StreamOps.startStore(df, root, "clientA", ckpt).awaitTermination()
+    // second run with more data resumes from the checkpoint (no re-write of batch 0)
+    in.addData((3L, ts("2024-01-06 12:00:00"), 3.0))
+    StreamOps.startStore(df, root, "clientA", ckpt).awaitTermination()
+    val back = Archive.read(spark, root, "clientA", "20240101", "20241231")
+    assert(back.select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(back.select("date").distinct().as[String].collect().sorted.toSeq
+      === Seq("20240105", "20240106"))
+  }
+
+  test("watermarked tumbling window counts, late row beyond watermark dropped") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val out = StreamOps.tumblingCounts(in.toDF.toDF("ts", "event_type"), "10 minutes", "1 hour")
+    val q = out.writeStream.format("memory").queryName("tumble")
+      .outputMode("append").start()
+    in.addData((ts("2024-01-05 10:05:00"), "a"), (ts("2024-01-05 10:40:00"), "a"),
+      (ts("2024-01-05 11:10:00"), "b"))
+    q.processAllAvailable()
+    // advance watermark past 11:10-0:10 -> hour 10 closes
+    in.addData((ts("2024-01-05 12:30:00"), "c"))
+    q.processAllAvailable()
+    // this arrives below the watermark (12:20) -> dropped from hour 10
+    in.addData((ts("2024-01-05 10:59:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tumble")
+      .select($"window_start".cast("string"), $"event_type", $"n").as[(String, String, Long)]
+      .collect().toSet
+    assert(rows.contains(("2024-01-05 10:00:00", "a", 2L))) // late row not counted
+  }
+
+  test("session windows in streaming merge by gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val out = StreamOps.sessionCounts(in.toDF.toDF("user_id", "ts"), "1 minute", "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    in.addData((7L, ts("2024-01-05 10:00:00")), (7L, ts("2024-01-05 10:10:00")),
+      (7L, ts("2024-01-05 12:00:00")))
+    q.processAllAvailable()
+    in.addData((7L, ts("2024-01-05 23:00:00"))) // advance watermark, close sessions
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess").select($"user_id", $"n_in_session").as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(rows.take(2) === Seq((7L, 1L), (7L, 2L))) // one 2-event session, one singleton
+  }
+
+  test("flatMapGroupsWithState keeps running per-user counts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val out = StreamOps.runningUserCounts(spark, in.toDS)
+    val q = out.toDF("user", "n", "last").writeStream.format("memory")
+      .queryName("state").outputMode("append").start()
+    in.addData((1L, 10L), (1L, 20L), (2L, 5L))
+    q.processAllAvailable()
+    in.addData((1L, 30L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("state").as[(Long, Long, Long)].collect().toSet
+    assert(rows.contains((1L, 2L, 20L))) // after batch 1
+    assert(rows.contains((1L, 3L, 30L))) // state carried into batch 2
+    assert(rows.contains((2L, 1L, 5L)))
+  }
+}

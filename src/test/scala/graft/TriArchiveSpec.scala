@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Archive
+
+/** `.tri` format + archive layout contract
+  * (`/root/reference/triton/store_test.go:27-44,84-114`,
+  * `/root/reference/triton/archive_test.go:9-74`).
+  */
+class TriArchiveSpec extends AnyFunSuite with SparkFixture {
+
+  test("tri write/read round-trip preserves rows and types") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tri_rt").resolve("out").toString
+    val df = Seq(
+      (1L, "click", 1.5, "2024-01-05 10:00:00"),
+      (2L, "view", -2.25, "2024-01-05 11:30:00"),
+      (3L, "purchase", 0.0, "2024-01-06 09:15:00"))
+      .toDF("id", "kind", "v", "t")
+      .withColumn("t", to_timestamp($"t"))
+    df.write.format("tri").save(dir)
+    val back = spark.read.format("tri").load(dir)
+    assert(back.schema.map(f => (f.name, f.dataType)).toSet
+      === df.schema.map(f => (f.name, f.dataType)).toSet)
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq
+      === df.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("column pruning: reading two columns decodes only those") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tri_prune").resolve("out").toString
+    Seq((1L, "a", 9.9), (2L, "b", 8.8)).toDF("id", "kind", "v")
+      .write.format("tri").save(dir)
+    val pruned = spark.read.format("tri").load(dir).select("id", "kind")
+    assert(pruned.columns.toSeq === Seq("id", "kind"))
+    assert(pruned.orderBy("id").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("archive store + range read prunes partitions and orders") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("tri_arch").toString
+    val ev = Seq(
+      (1L, "2024-01-05 10:00:00", 1.0),
+      (2L, "2024-01-06 10:00:00", 2.0),
+      (3L, "2024-01-07 10:00:00", 3.0))
+      .toDF("event_id", "ts", "value").withColumn("ts", to_timestamp($"ts"))
+    Archive.store(ev, root, "clientA")
+    val in = Archive.read(spark, root, "clientA", "20240105", "20240106")
+    assert(in.select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // partition pruning visible in the plan: only 2 of 3 date dirs survive
+    val plan = in.queryExecution.executedPlan.toString
+    assert(in.rdd.getNumPartitions <= 2)
+  }
+
+  test("mixed clients in a range raise (reference single-client invariant)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("tri_mixed").toString
+    val ev = Seq((1L, "2024-01-05 10:00:00", 1.0))
+      .toDF("event_id", "ts", "value").withColumn("ts", to_timestamp($"ts"))
+    Archive.store(ev, root, "clientA")
+    Archive.store(ev, root, "clientB")
+    assertThrows[IllegalStateException](
+      Archive.read(spark, root, "", "20240101", "20241231"))
+    // naming a client selects only it
+    assert(Archive.read(spark, root, "clientA", "20240101", "20241231").count() === 1)
+  }
+
+  test("archive key parse contract incl. client split and malformed keys") {
+    assert(Archive.parseKey("20240105/events-clientA-1704448800.tri")
+      === Some(("20240105", "events", "clientA", 1704448800L)))
+    assert(Archive.parseKey("20240105/events-1704448800.tri")
+      === Some(("20240105", "events", "", 1704448800L)))
+    assert(Archive.parseKey("garbage") === None)
+    assert(Archive.parseKey("2024/short-1.tri") === None)
+    assert(Archive.archiveKey("20240105", "events", "clientA", 1704448800L)
+      === "20240105/events-clientA-1704448800.tri")
+  }
+}
