@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** CLI entry points matching the reference binary's four commands
+  * (`/root/reference/triton.go:176-375`):
+  *
+  *   store  --sf-dir D --root R --client C      events table -> .tri archive
+  *   cat    --root R --client C --start YYYYMMDD --end YYYYMMDD   archive -> JSON lines
+  *   shards --stream S                          list shard ids
+  *   stats  --checkpoint DIR --client C --stream S   graphite-style lag lines
+  *
+  * `sbt "runMain graft.Cli cat --root /tmp/arch --client c1 --start 20240101 --end 20241231"`
+  */
+object Cli {
+
+  private def opts(args: Array[String]): Map[String, String] =
+    args.drop(1).sliding(2, 2).collect { case Array(k, v) => k.stripPrefix("--") -> v }.toMap
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println("usage: store|cat|shards|stats ..."); sys.exit(2) }
+    val o = opts(args)
+    lazy val spark = Tables.session("graft-cli", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    args(0) match {
+      case "store" =>
+        val ev = Tables.events(spark, o("sf-dir"))
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        sources.Archive.store(ev, o("root"), o.getOrElse("client", "graft"))
+        println(s"stored -> ${o("root")}")
+      case "cat" =>
+        // JSON-per-line export (`/root/reference/triton.go:361-365`)
+        sources.Archive.read(spark, o("root"), o.getOrElse("client", ""),
+            o("start"), o("end"))
+          .orderBy(col("date"), col("event_id"))
+          .toJSON.collect().foreach(println)
+      case "shards" =>
+        streaming.FakeKinesis.listShards(o("stream")).foreach(println)
+      case "stats" =>
+        streaming.Checkpoints.statsLines(spark, o("checkpoint"),
+          o.getOrElse("client", "graft"), o.getOrElse("stream", "events"))
+          .foreach(println)
+      case other =>
+        System.err.println(s"unknown command: $other"); sys.exit(2)
+    }
+  }
+}

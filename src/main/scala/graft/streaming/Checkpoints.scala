@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queryable checkpoint surface (C1-C4): Structured Streaming's offset log
+  * IS the checkpoint store (written after each sink commit — the
+  * durable-then-checkpoint ordering of
+  * `/root/reference/triton/store.go:51-67`); this reads it back as a
+  * DataFrame so the reference's `stats` lag view
+  * (`/root/reference/triton/checkpoint.go:127-151`,
+  * `/root/reference/triton.go:142-155`) is a plain query.
+  */
+object Checkpoints {
+
+  /** Per-shard committed sequence numbers from the newest batch in a
+    * query's offset log, with the commit age in seconds.
+    */
+  def offsets(spark: SparkSession, checkpointLocation: String): DataFrame = {
+    import spark.implicits._
+    val dir = new java.io.File(checkpointLocation, "offsets")
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.forall(_.isDigit))
+    val rows: Seq[(Long, String, Long, Long)] = files.sortBy(_.getName.toLong).lastOption.toSeq.flatMap { f =>
+      val batchId = f.getName.toLong
+      val ageSec = (System.currentTimeMillis() - f.lastModified()) / 1000L
+      scala.io.Source.fromFile(f).getLines().toSeq.drop(2) // v1 line + metadata line
+        .flatMap(line => ShardOffsets.fromJson(line).seqs.toSeq)
+        .map { case (shard, seq) => (batchId, shard, seq, ageSec) }
+    }
+    rows.toDF("batch_id", "shard", "sequence_number", "age_sec")
+  }
+
+  /** Graphite-style lag lines `client.stream.shard.age -> seconds`
+    * (`/root/reference/triton/checkpoint.go:145-147`).
+    */
+  def statsLines(spark: SparkSession, checkpointLocation: String,
+                 client: String, stream: String): Seq[String] = {
+    import spark.implicits._
+    offsets(spark, checkpointLocation)
+      .select(concat_ws(".", lit(client), lit(stream), col("shard"), lit("age")), col("age_sec"))
+      .as[(String, Long)].collect().toSeq
+      .map { case (k, v) => s"$k $v" }
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MsgPackCodec
+import graft.streaming.{Checkpoints, FakeKinesis}
+
+/** C4: the queryable checkpoint/lag surface over a real streaming query's
+  * offset log (`/root/reference/triton/checkpoint.go:127-151`).
+  */
+class CheckpointsSpec extends AnyFunSuite with SparkFixture {
+
+  test("offset log reads back as (batch, shard, seq) with ages; stats lines render") {
+    FakeKinesis.reset()
+    FakeKinesis.createStream("ck", 2)
+    val rt = StructType(Seq(StructField("id", LongType)))
+    (1L to 6L).foreach(i => FakeKinesis.putRecord("ck", s"k$i",
+      MsgPackCodec.encode(new GenericInternalRow(Array[Any](i)), rt)))
+    val ckpt = Files.createTempDirectory("ck_ckpt").toString
+    val out = Files.createTempDirectory("ck_out").toString
+    val q = spark.readStream.format("kinesis-graft").option("stream", "ck").load()
+      .select(col("sequence_number"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+
+    val df = Checkpoints.offsets(spark, ckpt)
+    val rows = df.collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(rows.keySet === Set("shard-0", "shard-1"))
+    assert(rows.values.sum === FakeKinesis.latestSequence("ck", "shard-0")
+      + FakeKinesis.latestSequence("ck", "shard-1"))
+    assert(df.select("age_sec").collect().forall(_.getLong(0) >= 0))
+
+    val lines = Checkpoints.statsLines(spark, ckpt, "clientA", "ck")
+    assert(lines.length === 2)
+    assert(lines.forall(_.matches("""clientA\.ck\.shard-\d\.age \d+""")))
+  }
+}
