@@ -92,16 +92,25 @@ object TextAnalysis {
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // partition-local min-hash kernel: no trigram explode/shuffle — each
+    // document folds its trigrams into one 60-bit minimum in place.
     val fp = table(s, dir, "documents")
-      .withColumn("toks", split($"text", " "))
-      .select($"doc_id",
-        expr("transform(sequence(0, size(toks) - 3), " +
-          "i -> concat_ws(' ', element_at(toks, i + 1), " +
-          "element_at(toks, i + 2), element_at(toks, i + 3)))")
-          .as("tris"))
-      .select($"doc_id", explode($"tris").as("tri"))
-      .groupBy($"doc_id")
-      .agg(min(TextDedup.hash60($"tri")).as("fingerprint"))
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = text.split(' ')
+          var minH = Long.MaxValue
+          var i = 0
+          while (i + 2 < toks.length) {
+            val tri = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+            val h = TextDedup.hash60Bytes(md, tri)
+            if (h < minH) minH = h
+            i += 1
+          }
+          (id, minH)
+        }
+      }.toDF("doc_id", "fingerprint")
     val groups = fp.groupBy($"fingerprint").agg(count(lit(1)).as("group_size"))
     fp.join(groups, "fingerprint")
       .select($"doc_id", $"fingerprint", $"group_size")

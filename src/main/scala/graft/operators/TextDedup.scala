@@ -29,18 +29,36 @@ object TextDedup {
   /** Deterministic 60-bit hash shared with the DuckDB oracle. */
   def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** doc_id + distinct word-bigram shingle set (+ set size). Tokenization
-    * happens once into a column; the shingle lambda only indexes it.
+  /** JVM twin of [[hash60]]: the first 15 hex chars of an md5 are the first
+    * 8 digest bytes as a big-endian long, unsigned-shifted by one nibble —
+    * no hex-string round trip in hot kernels.
     */
-  private[operators] def shingled(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def hash60Bytes(md: java.security.MessageDigest, s: String): Long =
+    java.nio.ByteBuffer.wrap(md.digest(s.getBytes("UTF-8")), 0, 8).getLong >>> 4
+
+  /** doc_id + distinct word-bigram shingle set hashed to sorted 60-bit
+    * longs (+ set size), built in one partition-local pass — candidate
+    * generation and verification never touch shingle strings.
+    */
+  private[operators] def hashedShingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     table(s, dir, "documents")
-      .withColumn("toks", split($"text", " "))
-      .select($"doc_id",
-        expr("array_distinct(transform(sequence(0, size(toks) - 2), " +
-          "i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2))))")
-          .as("shs"))
-      .withColumn("nsh", size($"shs"))
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = text.split(' ')
+          val hs = scala.collection.mutable.HashSet[Long]()
+          var i = 0
+          while (i + 1 < toks.length) {
+            hs += hash60Bytes(md, toks(i) + " " + toks(i + 1))
+            i += 1
+          }
+          val arr = hs.toArray
+          java.util.Arrays.sort(arr)
+          (id, arr, arr.length)
+        }
+      }.toDF("doc_id", "hshs", "nsh")
   }
 
   /** Exact dedup by normalized-text hash: per source, total vs distinct
@@ -71,17 +89,6 @@ object TextDedup {
     * on the raw strings (60-bit collisions over a bounded shingle vocabulary
     * are negligible).
     */
-  /** Shingle sets pre-hashed to 60-bit longs: all candidate generation and
-    * verification runs on primitive longs instead of strings.
-    */
-  private[operators] def hashedShingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    shingled(s, dir)
-      .select($"doc_id", expr("array_distinct(transform(shs, x -> " +
-        "cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint)))").as("hshs"))
-      .withColumn("nsh", size($"hshs"))
-  }
-
   def ngramJaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     import s.implicits._
     val sh = hashedShingles(s, dir).cache()
@@ -107,7 +114,28 @@ object TextDedup {
              >= lit(tt) * ($"a.nsh" + $"b.nsh"))
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    verifyJaccard(s, cand, sh, threshold)
+    // verification kernel: sorted-set two-pointer intersect against a
+    // broadcast of the (small relative to corpus text) shingle-set map —
+    // only (id, id) pairs shuffle; at 100 TB the map becomes a doc_id join.
+    val docsMap = sh.select($"doc_id", $"hshs") // already sorted
+      .as[(Long, Array[Long])].collect().toMap
+    val bDocs = s.sparkContext.broadcast(docsMap)
+    val verified = cand.as[(Long, Long)].mapPartitions { it =>
+      val m = bDocs.value
+      it.flatMap { case (a, b) =>
+        val ha = m(a); val hb = m(b)
+        var i = 0; var j = 0; var inter = 0
+        while (i < ha.length && j < hb.length) {
+          if (ha(i) == hb(j)) { inter += 1; i += 1; j += 1 }
+          else if (ha(i) < hb(j)) i += 1 else j += 1
+        }
+        val jac = inter.toDouble / (ha.length + hb.length - inter)
+        if (jac >= threshold) Iterator((a, b, jac)) else Iterator.empty
+      }
+    }.toDF("doc_a", "doc_b", "jac")
+    verified
+      .select($"doc_a", $"doc_b", round($"jac", 6).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** MinHash + LSH near-dup pairs: 32-hash signature from one base hash per
@@ -167,16 +195,28 @@ object TextDedup {
     */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     import s.implicits._
-    val tokens = table(s, dir, "documents")
-      .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
-      .withColumn("h", hash60($"tok"))
-    val sig = tokens
-      .select($"doc_id", $"c", $"h", explode(sequence(lit(0), lit(59))).as("j"))
-      .withColumn("w", when(expr("(h >> j) & 1") === 1, $"c").otherwise(-$"c"))
-      .groupBy($"doc_id", $"j").agg(sum($"w").as("wsum"))
-      .groupBy($"doc_id")
-      .agg(sum(when($"wsum" > 0, expr("shiftleft(cast(1 as bigint), j)")).otherwise(0L)).as("sig"))
+    // signature kernel: one partition-local pass per document (token
+    // counting + 60-bit weight vector), emitting only (doc_id, sig) — the
+    // alternative (explode tokens x 60 bits, shuffle, re-aggregate) moves
+    // ~60x the corpus through an exchange for the same integer math.
+    val sig = table(s, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val counts = scala.collection.mutable.HashMap[String, Int]()
+          text.split(' ').foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
+          val w = new Array[Long](60)
+          counts.foreach { case (tok, c) =>
+            val h = hash60Bytes(md, tok)
+            var j = 0
+            while (j < 60) { if (((h >> j) & 1L) == 1L) w(j) += c else w(j) -= c; j += 1 }
+          }
+          var sg = 0L; var j = 0
+          while (j < 60) { if (w(j) > 0) sg |= 1L << j; j += 1 }
+          (id, sg)
+        }
+      }.toDF("doc_id", "sig")
     val chunks = sig.select($"doc_id", $"sig",
         explode(sequence(lit(0), lit(3))).as("ci"))
       .withColumn("cv", expr("(sig >> (ci * 15)) & 32767"))
