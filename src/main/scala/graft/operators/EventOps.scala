@@ -242,10 +242,15 @@ object EventOps {
     */
   def userCardinality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // pre-aggregate to distinct (type, user) pairs: one shuffle with
+    // map-side combine instead of the Expand duplication a mixed
+    // exact+approx distinct aggregate plans; the HLL sketch is
+    // duplicate-insensitive, so its estimate is identical either way.
     events(s, dir)
+      .select($"event_type", $"user_id").distinct()
       .groupBy($"event_type")
       .agg(
-        count_distinct($"user_id").as("n_users_exact"),
+        count(lit(1)).as("n_users_exact"),
         approx_count_distinct($"user_id", 0.01).as("n_users_approx"))
       .orderBy($"event_type")
   }

@@ -35,6 +35,26 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
       === Seq("20240105", "20240106"))
   }
 
+  test("flagship pipeline end to end: sharded stream -> decode -> .tri archive -> range query") {
+    import spark.implicits._
+    import graft.streaming.FakeKinesis
+    FakeKinesis.reset()
+    FakeKinesis.createStream("pipe", 2)
+    val p = new graft.streaming.StreamProducer
+    p.put("pipe", "k1", Map("event_id" -> 1L, "ts" -> ts("2024-01-05 10:00:00"), "value" -> 1.5))
+    p.put("pipe", "k2", Map("event_id" -> 2L, "ts" -> ts("2024-01-06 10:00:00"), "value" -> 2.5))
+    p.put("pipe", "k3", Map("event_id" -> 3L, "ts" -> ts("2024-01-09 10:00:00"), "value" -> 3.5))
+    val root = Files.createTempDirectory("pipe_root").toString
+    val ckpt = Files.createTempDirectory("pipe_ckpt").toString
+    val decoded = spark.readStream.format("kinesis-graft").option("stream", "pipe").load()
+      .selectExpr("from_msgpack(data, 'event_id BIGINT, ts TIMESTAMP, value DOUBLE') AS r")
+      .select("r.event_id", "r.ts", "r.value")
+    StreamOps.startStore(decoded, root, "prod", ckpt).awaitTermination()
+    val got = Archive.read(spark, root, "prod", "20240105", "20240106")
+    assert(got.select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(got.select("value").as[Double].collect().sorted.toSeq === Seq(1.5, 2.5))
+  }
+
   test("watermarked tumbling window counts, late row beyond watermark dropped") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
