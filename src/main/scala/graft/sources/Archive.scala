@@ -40,12 +40,14 @@ object Archive {
     * writer, files commit atomically, and `maxRecordsPerFile` bounds file
     * size the way hourly rotation bounded it.
     */
-  def store(df: DataFrame, root: String, client: String): Unit =
+  def store(df: DataFrame, root: String, client: String,
+            maxRecordsPerFile: Long = 1000000L): Unit =
     df
       .withColumn("date", date_format(col("ts"), "yyyyMMdd"))
       .withColumn("client", lit(client))
       .write.format("tri")
       .partitionBy("date", "client")
+      .option("maxRecordsPerFile", maxRecordsPerFile) // bounds file size like hourly rotation did
       .mode("append")
       .save(root)
 
