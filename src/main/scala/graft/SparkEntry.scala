@@ -55,6 +55,8 @@ object SparkEntry {
     "q32_session_window" -> ((s, d) => EventOps.sessionWindowNative(s, d)),
     "q33_tri_roundtrip" -> ((s, d) => EventOps.triRoundtrip(s, d)),
     "q34_msgpack_roundtrip" -> ((s, d) => EventOps.msgpackRoundtrip(s, d)),
+    "q35_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
+    "q36_event_cube" -> ((s, d) => EventOps.eventCube(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -332,5 +334,32 @@ object SparkEntry {
         |  CAST(sum(CAST(v AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
         |  max(u) AS max_ts_us
         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q35_ann_ivf" ->
+      """WITH vv AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) nrm FROM vv),
+        |el AS (SELECT label, r.i AS i, CAST(v[r.i] AS DECIMAL(25,12)) AS x FROM vv, range(1, 65) r(i)),
+        |cent AS (SELECT label, i, CAST(CAST(sum(x) AS DECIMAL(30,12)) AS DOUBLE) / count(*) AS c FROM el GROUP BY 1, 2),
+        |centv AS (SELECT label, list(c ORDER BY i) cv FROM cent GROUP BY 1),
+        |centn AS (SELECT label, cv, sqrt(list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)) cn FROM centv),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+        |qc AS (SELECT q.query_id, c.label, q.qv, q.qn,
+        |        list_reduce(list_transform(range(1, 65), i -> q.qv[i] * c.cv[i]), (x, y) -> x + y) / (q.qn * c.cn) AS csim
+        |       FROM q, centn c),
+        |probed AS (SELECT query_id, label, qv, qn FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, label ASC) crk FROM qc) t
+        |  WHERE crk <= 2),
+        |sc AS (SELECT p.query_id, n.vec_id,
+        |        list_reduce(list_transform(range(1, 65), i -> n.v[i] * p.qv[i]), (x, y) -> x + y) / (n.nrm * p.qn) AS c
+        |       FROM probed p JOIN n ON p.label = n.label WHERE n.vec_id <> p.query_id),
+        |r AS (SELECT query_id, vec_id, c, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) rk FROM sc)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id AS neighbor_id, round(c, 6) AS cosine
+        |FROM r WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q36_event_cube" ->
+      """SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY CUBE(event_type, user_id % 10)
+        |ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST""".stripMargin,
   )
 }

@@ -189,6 +189,20 @@ object EventOps {
       .orderBy($"kdate", $"client")
   }
 
+  /** CUBE grouping sets: counts and value sums at every (event_type,
+    * user_bucket) granularity in one pass — Expand + a single aggregation,
+    * the other half of the grouping-sets surface next to `customerRollup`.
+    */
+  def eventCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .withColumn("user_bucket", $"user_id" % 10)
+      .cube($"event_type", $"user_bucket")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+      .orderBy($"event_type".asc_nulls_first, $"user_bucket".asc_nulls_first)
+  }
+
   /** Full archive lifecycle under the correctness gate: events → `.tri`
     * store (snappy+msgpack, date/client-partitioned,
     * `graft.sources.Archive`) → range read with partition pruning +

@@ -92,6 +92,54 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** IVF-style ANN: a coarse quantizer (here: per-label centroids — the
+    * stand-in for a k-means codebook, computed as elementwise means) maps
+    * each query to its nProbe nearest cells; only those cells' vectors are
+    * scored exactly. The inverted-file structure is the 100 TB path when
+    * LSH recall is insufficient: the corpus partitions/buckets by cell id,
+    * a probe touches nProbe cells, and the exact re-rank is bounded.
+    * Centroid means go through DECIMAL sums so parallel aggregation order
+    * cannot perturb the doubles (the oracle reproduces them exactly).
+    */
+  def annIvf(s: SparkSession, dir: String, k: Int = 5, nProbe: Int = 2): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val vecs = table(s, dir, "embeddings")
+      .select($"vec_id", $"label",
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", sqrt(aggregate(transform($"v", x => x * x), lit(0.0), _ + _)))
+    // build: elementwise DECIMAL-exact centroid per label (the codebook)
+    val cents = vecs
+      .select($"label", posexplode($"v"))
+      .groupBy($"label", $"pos")
+      .agg((sum(col("col").cast(DecimalType(25, 12))).cast(DecimalType(30, 12)).cast("double")
+        / count(lit(1))).as("c"))
+      .groupBy($"label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+      .withColumn("cn", sqrt(aggregate(transform($"cv", x => x * x), lit(0.0), _ + _)))
+    val queries = vecs.where($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    // probe: nProbe nearest cells per query (deterministic tie-break on label)
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        aggregate(zip_with($"qv", $"cv", _ * _), lit(0.0), _ + _) / ($"qn" * $"cn"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"csim".desc, $"label".asc)))
+      .where($"crk" <= nProbe)
+      .select($"query_id", $"label", $"qv", $"qn")
+    // search: exact cosine inside the probed cells only
+    probed.join(vecs, Seq("label"))
+      .where($"vec_id" =!= $"query_id")
+      .withColumn("cosine",
+        aggregate(zip_with($"v", $"qv", _ * _), lit(0.0), _ + _) / ($"nrm" * $"qn"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)))
+      .where($"rank" <= k)
+      .select($"query_id", $"rank".cast("long").as("rank"), $"vec_id".as("neighbor_id"),
+        round($"cosine", 6).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Random-hyperplane LSH ANN: 16 deterministic hyperplanes (md5-derived
     * weights in [-1, 1], precomputed once on the driver) -> 16-bit sign
     * signature -> 4 bands of 4 bits; a candidate must share >= 1 band with
