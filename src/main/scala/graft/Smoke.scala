@@ -24,7 +24,8 @@ object Smoke {
         functions.MsgPackCodec.encode(
           new GenericInternalRow(Array[Any](i, UTF8String.fromString("t"))), rt))
     }
-    val q = spark.readStream.format("kinesis-graft").option("stream", "demo").load()
+    val q = spark.readStream.format("kinesis-graft").option("stream", "demo")
+      .option("minFetchIntervalMs", "100").load()
       .withColumn("rec", expr("from_msgpack(data, 'id BIGINT, kind STRING')"))
       .select($"shard_id", $"sequence_number", $"rec.id".as("id"))
       .writeStream.format("memory").queryName("smoke_stream").start()

@@ -43,7 +43,8 @@ class KinesisLikeSource extends TableProvider with org.apache.spark.sql.sources.
     val opts = new CaseInsensitiveStringMap(properties)
     new KinesisLikeTable(opts.get("stream"),
       Option(opts.get("startingPosition")).getOrElse("trim_horizon"),
-      Option(opts.get("backoffUnitMs")).map(_.toLong).getOrElse(1L))
+      Option(opts.get("backoffUnitMs")).map(_.toLong).getOrElse(1L),
+      Option(opts.get("minFetchIntervalMs")).map(_.toLong).getOrElse(0L))
   }
 }
 
@@ -56,7 +57,8 @@ object KinesisLikeSource {
     StructField("data", BinaryType, nullable = false)))
 }
 
-private class KinesisLikeTable(stream: String, startingPosition: String, backoffUnitMs: Long)
+private class KinesisLikeTable(stream: String, startingPosition: String,
+                               backoffUnitMs: Long, minFetchIntervalMs: Long)
     extends Table with SupportsRead {
   require(stream != null, "option 'stream' is required")
   override def name(): String = s"kinesis-graft:$stream"
@@ -67,7 +69,7 @@ private class KinesisLikeTable(stream: String, startingPosition: String, backoff
     () => new Scan {
       override def readSchema(): StructType = KinesisLikeSource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new KinesisLikeStream(stream, startingPosition, backoffUnitMs)
+        new KinesisLikeStream(stream, startingPosition, backoffUnitMs, minFetchIntervalMs)
     }
 }
 
@@ -84,7 +86,8 @@ object ShardOffsets {
     ShardOffsets(entry.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toLong).toMap)
 }
 
-private class KinesisLikeStream(stream: String, startingPosition: String, backoffUnitMs: Long)
+private class KinesisLikeStream(stream: String, startingPosition: String,
+                                backoffUnitMs: Long, minFetchIntervalMs: Long)
     extends MicroBatchStream {
 
   override def initialOffset(): Offset = {
@@ -107,8 +110,8 @@ private class KinesisLikeStream(stream: String, startingPosition: String, backof
     val s = start.asInstanceOf[ShardOffsets].seqs
     val e = end.asInstanceOf[ShardOffsets].seqs
     e.keys.toArray.sorted.map { shard =>
-      ShardPartition(stream, shard, s.getOrElse(shard, -1L), e(shard), backoffUnitMs)
-        : InputPartition
+      ShardPartition(stream, shard, s.getOrElse(shard, -1L), e(shard),
+        backoffUnitMs, minFetchIntervalMs): InputPartition
     }
   }
 
@@ -121,11 +124,14 @@ private class KinesisLikeStream(stream: String, startingPosition: String, backof
 }
 
 private case class ShardPartition(stream: String, shard: String,
-                                  fromSeq: Long, toSeq: Long, backoffUnitMs: Long)
+                                  fromSeq: Long, toSeq: Long, backoffUnitMs: Long,
+                                  minFetchIntervalMs: Long)
     extends InputPartition
 
-/** One shard's slice of the batch: fetch with quadratic-backoff retry,
-  * emit envelope rows for sequence numbers in (fromSeq, toSeq].
+/** One shard's slice of the batch: fetch with quadratic-backoff retry and
+  * per-shard poll spacing (`MinPollInterval`,
+  * `/root/reference/triton/stream.go:38,63-75`), emit envelope rows for
+  * sequence numbers in (fromSeq, toSeq].
   */
 private class ShardReader(p: ShardPartition) extends PartitionReader[InternalRow] {
   private val maxRetries = 4 // triton/stream.go:41
@@ -134,6 +140,10 @@ private class ShardReader(p: ShardPartition) extends PartitionReader[InternalRow
   private var current: FakeKinesis.Rec = _
 
   private def fetch(): Iterator[FakeKinesis.Rec] = {
+    if (p.minFetchIntervalMs > 0) {
+      val wait = ShardReader.nextAllowedFetch(p.stream, p.shard, p.minFetchIntervalMs)
+      if (wait > 0) Thread.sleep(wait)
+    }
     while (true) {
       try {
         return FakeKinesis.getRecords(p.stream, p.shard, p.fromSeq, Int.MaxValue)
@@ -158,4 +168,21 @@ private class ShardReader(p: ShardPartition) extends PartitionReader[InternalRow
       current.sequenceNumber, UTF8String.fromString(current.partitionKey), current.data))
 
   override def close(): Unit = ()
+}
+
+private object ShardReader {
+  private val lastFetch = scala.collection.mutable.Map[(String, String), Long]()
+
+  /** Milliseconds the caller must still wait to honor the per-shard poll
+    * interval; reserves the next slot. JVM-wide, matching local[n]; on a
+    * real cluster each executor paces its own shard assignments.
+    */
+  def nextAllowedFetch(stream: String, shard: String, intervalMs: Long): Long =
+    synchronized {
+      val now = System.currentTimeMillis()
+      val allowed = lastFetch.getOrElse((stream, shard), 0L) + intervalMs
+      val wait = math.max(0L, allowed - now)
+      lastFetch((stream, shard)) = now + wait
+      wait
+    }
 }

@@ -109,6 +109,24 @@ class KinesisLikeSourceSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table("t5").collect().map(_.getLong(0)).toSeq === Seq(42L))
   }
 
+  test("per-shard poll spacing honors minFetchIntervalMs (reference MinPollInterval)") {
+    FakeKinesis.reset()
+    FakeKinesis.createStream("s6", 1)
+    put("s6", "k", 1L, "x")
+    val q = spark.readStream.format("kinesis-graft")
+      .option("stream", "s6").option("minFetchIntervalMs", "150").load()
+      .select(col("sequence_number"))
+      .writeStream.format("memory").queryName("t6").start()
+    q.processAllAvailable() // batch 1 fetches shard-0
+    put("s6", "k", 2L, "x")
+    val t0 = System.currentTimeMillis()
+    q.processAllAvailable() // batch 2 must wait out the poll interval
+    val elapsed = System.currentTimeMillis() - t0
+    q.stop()
+    assert(spark.table("t6").count() === 2)
+    assert(elapsed >= 100, s"second fetch should be rate-limited, took ${elapsed}ms")
+  }
+
   test("offsets serialize/deserialize stably (C1/C2 shape)") {
     val o = ShardOffsets(Map("shard-1" -> 5L, "shard-0" -> -1L))
     assert(o.json === """{"shard-0":-1,"shard-1":5}""")

@@ -70,6 +70,21 @@ class TriArchiveSpec extends AnyFunSuite with SparkFixture {
     assert(Archive.read(spark, root, "clientA", "20240101", "20241231").count() === 1)
   }
 
+  test("tri works as a file stream source (readStream over the archive)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tri_stream").resolve("in").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "kind").write.format("tri").save(dir)
+    val schema = spark.read.format("tri").load(dir).schema
+    val q = spark.readStream.format("tri").schema(schema).load(dir)
+      .writeStream.format("memory").queryName("tri_stream").start()
+    q.processAllAvailable()
+    // late-arriving file is picked up by the next micro-batch
+    Seq((3L, "c")).toDF("id", "kind").write.format("tri").mode("append").save(dir)
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("tri_stream").select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L))
+  }
+
   test("archive key parse contract incl. client split and malformed keys") {
     assert(Archive.parseKey("20240105/events-clientA-1704448800.tri")
       === Some(("20240105", "events", "clientA", 1704448800L)))
