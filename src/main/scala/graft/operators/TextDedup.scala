@@ -149,19 +149,28 @@ object TextDedup {
     */
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     import s.implicits._
-    val seeds: Seq[Long] = (0 until 32).map { p =>
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(p.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(15), 16)
-    }
+    val seeds: Array[Long] = (0 until 32).map { p =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      hash60Bytes(md, p.toString)
+    }.toArray
     val sh = hashedShingles(s, dir).cache()
-    val bands = sh
-      .withColumn("sig", expr(
-        s"transform(array(${seeds.mkString("L,")}L), c -> array_min(transform(hshs, h -> h ^ c)))"))
-      .select($"doc_id",
-        posexplode(expr("transform(sequence(0, 7), b -> " +
-          "array_join(transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string)), ','))")))
-      .select($"doc_id", $"pos".as("band"), $"col".as("bkey"))
+    // signature + banding kernel: 32 xor-min folds over the shingle array
+    // and 8 (doc, band, key) rows out per document — nothing else shuffles
+    val bands = sh.select($"doc_id", $"hshs").as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, hs) =>
+          val sig = new Array[Long](32)
+          var p = 0
+          while (p < 32) {
+            var m = Long.MaxValue; val c = seeds(p); var i = 0
+            while (i < hs.length) { val v = hs(i) ^ c; if (v < m) m = v; i += 1 }
+            sig(p) = m; p += 1
+          }
+          (0 until 8).iterator.map { b =>
+            (id, b, s"${sig(b * 4)},${sig(b * 4 + 1)},${sig(b * 4 + 2)},${sig(b * 4 + 3)}")
+          }
+        }
+      }.toDF("doc_id", "band", "bkey")
     val cand = bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))

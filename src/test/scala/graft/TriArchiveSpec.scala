@@ -85,6 +85,22 @@ class TriArchiveSpec extends AnyFunSuite with SparkFixture {
       === Seq(1L, 2L, 3L))
   }
 
+  test("tri works as a streaming file sink (writeStream.format(tri))") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val out = Files.createTempDirectory("tri_sink").resolve("out").toString
+    val ckpt = Files.createTempDirectory("tri_sink_ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    in.addData((1L, "a"), (2L, "b"))
+    val q = in.toDF.toDF("id", "kind")
+      .writeStream.format("tri").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.format("tri").load(out).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L))
+  }
+
   test("archive key parse contract incl. client split and malformed keys") {
     assert(Archive.parseKey("20240105/events-clientA-1704448800.tri")
       === Some(("20240105", "events", "clientA", 1704448800L)))
