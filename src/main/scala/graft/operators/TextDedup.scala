@@ -92,15 +92,24 @@ object TextDedup {
   def ngramJaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     import s.implicits._
     val sh = hashedShingles(s, dir).cache()
-    val ex = sh.select($"doc_id", $"nsh", explode($"hshs").as("h"))
-    // global document frequency orders shingles rarest-first
-    val df = ex.groupBy($"h").agg(count(lit(1)).as("freq"))
-    val ranked = ex.join(df, "h")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"freq".asc, $"h".asc)))
-      .withColumn("plen", ($"nsh" - ceil(lit(threshold) * $"nsh") + 1).cast("int"))
-      .where($"rn" <= $"plen")
-      .select($"doc_id", $"nsh", $"h", $"rn")
+    // global document frequency orders shingles rarest-first; the counts
+    // aggregate map-side to vocabulary size, then broadcast so prefix
+    // selection is a partition-local sort per document instead of a
+    // 500k-row join + window shuffle. Any consistent total order keeps the
+    // prefix filter lossless, so at 100 TB a frequency sketch would do.
+    val freqMap: Map[Long, Long] = sh.select(explode($"hshs").as("h"))
+      .groupBy($"h").count().as[(Long, Long)].collect().toMap
+    val bFreq = s.sparkContext.broadcast(freqMap)
+    val ranked = sh.select($"doc_id", $"hshs").as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val fm = bFreq.value
+        it.flatMap { case (id, hs) =>
+          val nsh = hs.length
+          val plen = nsh - math.ceil(threshold * nsh).toInt + 1
+          val sorted = hs.sortBy(h => (fm(h), h))
+          (0 until math.min(plen, nsh)).iterator.map(i => (id, nsh, sorted(i), i + 1))
+        }
+      }.toDF("doc_id", "nsh", "h", "rn")
     // candidate join with the PPJoin length filter (t*|B| <= |A| <= |B|/t)
     // and positional filter: a prefix match at ranks (ra, rb) bounds the
     // intersection by 1 + min(na-ra, nb-rb), which must reach the overlap

@@ -36,6 +36,17 @@ object FakeKinesis {
     streams(name) = new Stream(shards)
   }
 
+  /** Reshard: append `n` new shards (Kinesis shard split). The reference
+    * never re-lists and caps at 100 (`triton/stream_reader.go:56,86`); the
+    * engine's source re-lists per batch and picks these up mid-query.
+    */
+  def addShards(name: String, n: Int): Unit = synchronized {
+    val st = streams(name)
+    val grown = new Stream(st.shards.length + n)
+    Array.copy(st.shards, 0, grown.shards, 0, st.shards.length)
+    streams(name) = grown
+  }
+
   def listShards(name: String): Seq[String] = synchronized {
     streams(name).shards.indices.map(i => s"shard-$i")
   }

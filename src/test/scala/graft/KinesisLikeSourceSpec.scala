@@ -127,6 +127,26 @@ class KinesisLikeSourceSpec extends AnyFunSuite with SparkFixture {
     assert(elapsed >= 100, s"second fetch should be rate-limited, took ${elapsed}ms")
   }
 
+  test("shards appearing mid-query are discovered and read (re-list per batch)") {
+    FakeKinesis.reset()
+    FakeKinesis.createStream("s7", 1)
+    put("s7", "k1", 1L, "x")
+    val q = spark.readStream.format("kinesis-graft")
+      .option("stream", "s7").load()
+      .withColumn("rec", expr("from_msgpack(data, 'id BIGINT, kind STRING')"))
+      .select(col("shard_id"), col("rec.id").as("id"))
+      .writeStream.format("memory").queryName("t7").start()
+    q.processAllAvailable()
+    FakeKinesis.addShards("s7", 1) // reshard while the query is running
+    // drive keys onto both shards of the grown stream
+    (2L to 9L).foreach(i => put("s7", s"k$i", i, "x"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("t7").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(_._2).sorted.toSeq === (1L to 9L))
+    assert(rows.map(_._1).distinct.sorted.toSeq === Seq("shard-0", "shard-1"),
+      s"new shard must be read mid-query, saw ${rows.map(_._1).distinct.toSeq}")
+  }
+
   test("offsets serialize/deserialize stably (C1/C2 shape)") {
     val o = ShardOffsets(Map("shard-1" -> 5L, "shard-0" -> -1L))
     assert(o.json === """{"shard-0":-1,"shard-1":5}""")
