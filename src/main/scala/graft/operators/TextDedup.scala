@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+
 import graft.Tables.table
 
 /** Large-scale training-data deduplication over the `documents` table.
@@ -26,12 +26,10 @@ import graft.Tables.table
   */
 object TextDedup {
 
-  /** Deterministic 60-bit hash shared with the DuckDB oracle. */
-  def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
-  /** JVM twin of [[hash60]]: the first 15 hex chars of an md5 are the first
-    * 8 digest bytes as a big-endian long, unsigned-shifted by one nibble —
-    * no hex-string round trip in hot kernels.
+  /** The 60-bit hash (SQL form `conv(substring(md5(x), 1, 15), 16, 10)`)
+    * computed without a hex-string round trip: the first 15 hex chars of an
+    * md5 are the first 8 digest bytes as a big-endian long, unsigned-shifted
+    * by one nibble.
     */
   private[operators] def hash60Bytes(md: java.security.MessageDigest, s: String): Long =
     java.nio.ByteBuffer.wrap(md.digest(s.getBytes("UTF-8")), 0, 8).getLong >>> 4
