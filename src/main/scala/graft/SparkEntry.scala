@@ -57,6 +57,8 @@ object SparkEntry {
     "q34_msgpack_roundtrip" -> ((s, d) => EventOps.msgpackRoundtrip(s, d)),
     "q35_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "q36_event_cube" -> ((s, d) => EventOps.eventCube(s, d)),
+    "q37_salted_agg" -> ((s, d) => EventOps.saltedAgg(s, d)),
+    "q38_range_join" -> ((s, d) => EventOps.rangeJoinBuckets(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -361,5 +363,20 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY CUBE(event_type, user_id % 10)
         |ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST""".stripMargin,
+
+    "q37_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q38_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS u FROM events),
+        |p AS (SELECT event_id, user_id, u FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, u FROM e WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_id,
+        |  CAST((SELECT count(*) FROM c
+        |        WHERE c.user_id = p.user_id AND c.u >= p.u - 300000000 AND c.u < p.u) AS BIGINT)
+        |    AS n_recent_clicks
+        |FROM p ORDER BY purchase_id""".stripMargin,
   )
 }

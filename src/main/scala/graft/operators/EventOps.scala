@@ -189,6 +189,49 @@ object EventOps {
       .orderBy($"kdate", $"client")
   }
 
+  /** Salting for skew, made explicit: a hot grouping key is split across 16
+    * salt lanes for the first (heavy) aggregation, then the tiny salted
+    * partials combine in a second pass. With decimal sums the result is
+    * bit-identical to the direct groupBy (the oracle computes exactly
+    * that) — AQE's skew handling does this adaptively for joins; this is
+    * the manual pattern for aggregations over pathological keys.
+    */
+  def saltedAgg(s: SparkSession, dir: String, lanes: Int = 16): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .withColumn("salt", $"user_id" % lanes)
+      .groupBy($"event_type", $"salt")
+      .agg(count(lit(1)).as("pn"), sum($"value".cast(DecimalType(12, 2))).as("psum"))
+      .groupBy($"event_type")
+      .agg(sum($"pn").as("n"), sum($"psum").cast("double").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  /** Range join without the quadratic blowup: for every purchase, count the
+    * same user's clicks in the preceding 5 minutes. The inequality join is
+    * bucketized — clicks key by their 5-minute slot, each purchase probes
+    * its own and the previous slot — so the range condition rides on an
+    * equi-join (user, bucket) that Spark shuffles/broadcasts normally; a
+    * raw `t1.ts BETWEEN t2.ts - d AND t2.ts` join would plan a
+    * nested-loop cross product.
+    */
+  def rangeJoinBuckets(s: SparkSession, dir: String, windowUs: Long = 300000000L): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"event_id", $"user_id", $"event_type", $"ts_us")
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id", $"ts_us".as("c_us"), expr(s"ts_us div $windowUs").as("bucket"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts_us".as("p_us"),
+        explode(array(expr(s"ts_us div $windowUs"), expr(s"ts_us div $windowUs - 1"))).as("bucket"))
+    purchases.join(clicks, Seq("user_id", "bucket"), "left")
+      .withColumn("hit",
+        when($"c_us".isNotNull && $"c_us" >= $"p_us" - windowUs && $"c_us" < $"p_us", 1L)
+          .otherwise(0L))
+      .groupBy($"purchase_id")
+      .agg(sum($"hit").as("n_recent_clicks"))
+      .orderBy($"purchase_id")
+  }
+
   /** CUBE grouping sets: counts and value sums at every (event_type,
     * user_bucket) granularity in one pass — Expand + a single aggregation,
     * the other half of the grouping-sets surface next to `customerRollup`.
