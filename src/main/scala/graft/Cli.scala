@@ -28,10 +28,12 @@ object Cli {
         sources.Archive.store(ev, o("root"), o.getOrElse("client", "graft"))
         println(s"stored -> ${o("root")}")
       case "cat" =>
-        // JSON-per-line export (`/root/reference/triton.go:361-365`)
+        // JSON-per-line export (`/root/reference/triton.go:361-365`);
+        // record fields only — partition bookkeeping stays out of the JSON
         sources.Archive.read(spark, o("root"), o.getOrElse("client", ""),
             o("start"), o("end"))
           .orderBy(col("date"), col("event_id"))
+          .drop("date", "client")
           .toJSON.collect().foreach(println)
       case "shards" =>
         streaming.FakeKinesis.listShards(o("stream")).foreach(println)

@@ -19,5 +19,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("from_msgpack"),
       MsgPackExpressions.info("from_msgpack", "from_msgpack(bin, ddl) - decode MessagePack bytes as the DDL type"),
       MsgPackExpressions.fromMsgPackBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier("hash60"),
+      MsgPackExpressions.info("hash60", "hash60(str) - 60-bit md5-derived content hash (codegen)"),
+      { args: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        require(args.length == 1, "hash60(str)")
+        graft.functions.Hash60(args.head)
+      }))
   }
 }

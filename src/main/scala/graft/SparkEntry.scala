@@ -59,6 +59,7 @@ object SparkEntry {
     "q36_event_cube" -> ((s, d) => EventOps.eventCube(s, d)),
     "q37_salted_agg" -> ((s, d) => EventOps.saltedAgg(s, d)),
     "q38_range_join" -> ((s, d) => EventOps.rangeJoinBuckets(s, d)),
+    "q39_topk_agg" -> ((s, d) => EventOps.topkAgg(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -378,5 +379,12 @@ object SparkEntry {
         |        WHERE c.user_id = p.user_id AND c.u >= p.u - 300000000 AND c.u < p.u) AS BIGINT)
         |    AS n_recent_clicks
         |FROM p ORDER BY purchase_id""".stripMargin,
+
+    "q39_topk_agg" ->
+      """SELECT event_type, CAST(rk AS BIGINT) AS rank, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) rk
+        |  FROM events) t
+        |WHERE rk <= 3 ORDER BY event_type, rank""".stripMargin,
   )
 }

@@ -246,6 +246,25 @@ object EventOps {
       .orderBy($"event_type".asc_nulls_first, $"user_bucket".asc_nulls_first)
   }
 
+  /** Custom typed UDAF in action: exact top-k (value desc, id asc) per
+    * event_type through `graft.functions.TopKAggregator` — a bounded
+    * buffer that combines map-side, so only k rows per group per partition
+    * reach the shuffle (vs the rank-window formulation of
+    * `topOrdersPerCustomer`, which shuffles every row).
+    */
+  def topkAgg(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Encoders
+    val topk = udaf(new graft.functions.TopKAggregator(k), Encoders.product[(Long, Double)])
+    events(s, dir)
+      .groupBy($"event_type")
+      .agg(topk($"event_id", $"value").as("top"))
+      .select($"event_type", posexplode($"top"))
+      .select($"event_type", ($"pos" + 1).cast("long").as("rank"),
+        $"col._1".as("event_id"), $"col._2".as("value"))
+      .orderBy($"event_type", $"rank")
+  }
+
   /** Full archive lifecycle under the correctness gate: events → `.tri`
     * store (snappy+msgpack, date/client-partitioned,
     * `graft.sources.Archive`) → range read with partition pruning +
