@@ -252,7 +252,7 @@ object MsgPackCodec {
           case n => throw new MsgPackException(s"bad timestamp ext length $n")
         }
       case st: StructType =>
-        val n = mapLen(buf, tag)
+        val n = sane(buf, mapLen(buf, tag))
         val values = new Array[Any](st.length)
         val idx = st.fieldNames.zipWithIndex.toMap
         var i = 0
@@ -266,7 +266,7 @@ object MsgPackCodec {
         }
         new GenericInternalRow(values)
       case MapType(StringType, vt, _) =>
-        val n = mapLen(buf, tag)
+        val n = sane(buf, mapLen(buf, tag))
         val keys = new Array[Any](n); val vals = new Array[Any](n)
         var i = 0
         while (i < n) {
@@ -276,7 +276,7 @@ object MsgPackCodec {
         }
         ArrayBasedMapData(keys, vals)
       case ArrayType(et, _) =>
-        val n = arrLen(buf, tag)
+        val n = sane(buf, arrLen(buf, tag))
         val values = new Array[Any](n)
         var i = 0
         while (i < n) { values(i) = read(buf, et); i += 1 }
@@ -338,6 +338,17 @@ object MsgPackCodec {
     case 0xc8 => { val n = buf.getShort & 0xffff; (buf.get().toInt, n) }
     case 0xc9 => { val n = buf.getInt; (buf.get().toInt, n) }
     case t => throw new MsgPackException(f"tag 0x$t%02x is not ext")
+  }
+
+  /** Guard container counts from corrupt input before allocating: every
+    * element costs >= 1 byte, so a count beyond the remaining bytes is
+    * garbage — fail fast instead of OOMing the executor on the dead-letter
+    * path.
+    */
+  private def sane(buf: ByteBuffer, n: Int): Int = {
+    if (n < 0 || n > buf.remaining())
+      throw new MsgPackException(s"container count $n exceeds remaining ${buf.remaining()} bytes")
+    n
   }
 
   private def readRaw(buf: ByteBuffer, n: Int): Array[Byte] = {

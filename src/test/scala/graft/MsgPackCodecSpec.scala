@@ -118,6 +118,24 @@ class MsgPackCodecSpec extends AnyFunSuite {
     assert(MsgPackCodec.decode(ts32, dt) === sec * 1000000L)
   }
 
+  test("fuzz: random bytes never crash, hang, or over-allocate — error or value") {
+    val rnd = new scala.util.Random(42)
+    val dt = StructType(Seq(StructField("a", LongType), StructField("b", StringType),
+      StructField("c", ArrayType(LongType)), StructField("d", MapType(StringType, StringType))))
+    var decoded = 0; var rejected = 0
+    (0 until 20000).foreach { _ =>
+      val bytes = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      try { MsgPackCodec.decode(bytes, dt); decoded += 1 }
+      catch { case _: Exception => rejected += 1 }
+    }
+    assert(decoded + rejected === 20000)
+    assert(rejected > 0) // overwhelmingly garbage
+    // huge declared container count on a tiny buffer fails fast, no allocation
+    val bomb = Array[Byte](0xdd.toByte, 0x7f, -1, -1, -1) // array32 with ~2^31 elements
+    assertThrows[MsgPackCodec.MsgPackException](
+      MsgPackCodec.decode(bomb, ArrayType(LongType)))
+  }
+
   test("schema inference maps tags to Spark types") {
     val st = StructType(Seq(StructField("s", StringType), StructField("n", LongType),
       StructField("d", DoubleType), StructField("ts", TimestampType),
