@@ -23,18 +23,39 @@ object TextAnalysis {
     import s.implicits._
     val toks = table(s, dir, "documents")
       .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
-    val profile = toks.groupBy($"lang".as("plang"), $"tok").agg(count(lit(1)).as("c"))
-    val totals = profile.groupBy($"plang").agg(sum($"c").as("total"))
-    val prof = broadcast(profile.join(totals, "plang"))
-    val scored = toks.join(prof, "tok")
-      .groupBy($"doc_id", $"lang", $"plang", $"total")
-      .agg(sum($"c").as("hits"))
-      .withColumn("score", $"hits".cast("double") / $"total")
-    scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"score".desc, $"plang".asc)))
-      .where($"rn" === 1)
-      .groupBy($"lang", $"plang".as("predicted"))
+    // train pass: per-language token frequencies — vocabulary-sized, so it
+    // collects and broadcasts; the corpus never joins row-by-row
+    val profile: Map[(String, String), Long] = toks
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect().map { case (l, t, c) => (l, t) -> c }.toMap
+    val langs = profile.keys.map(_._1).toSeq.distinct.sorted
+    val totals: Map[String, Long] =
+      langs.map(l => l -> profile.collect { case ((`l`, _), c) => c }.sum).toMap
+    val bProf = s.sparkContext.broadcast((profile, langs, totals))
+    // score pass: one kernel sweep per document — integer hit sums per
+    // language (order-free), one division, argmax with lang-asc tie-break;
+    // identical arithmetic to the oracle's join+group formulation
+    val predicted = table(s, dir, "documents")
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)]
+      .mapPartitions { it =>
+        val (prof, ls, tot) = bProf.value
+        it.map { case (_, lang, text) =>
+          val hits = new Array[Long](ls.length)
+          text.split(' ').foreach { t =>
+            var i = 0
+            while (i < ls.length) { hits(i) += prof.getOrElse((ls(i), t), 0L); i += 1 }
+          }
+          var best = 0; var bestScore = -1.0; var i = 0
+          while (i < ls.length) {
+            val sc = hits(i).toDouble / tot(ls(i))
+            if (sc > bestScore) { bestScore = sc; best = i }
+            i += 1
+          }
+          (lang, ls(best))
+        }
+      }.toDF("lang", "predicted")
+    predicted
+      .groupBy($"lang", $"predicted")
       .agg(count(lit(1)).as("n"))
       .orderBy($"lang", $"predicted")
   }
