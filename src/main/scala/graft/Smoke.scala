@@ -33,6 +33,18 @@ object Smoke {
     val streamed = spark.table("smoke_stream")
     println(s"SMOKE stream_rows=${streamed.count()} shards=${streamed.select("shard_id").distinct().count()}")
 
+    // 1b. streaming dedup over the same stream (id 1 published twice)
+    streaming.FakeKinesis.putRecord("demo", "k1",
+      functions.MsgPackCodec.encode(
+        new GenericInternalRow(Array[Any](1L, UTF8String.fromString("dup"))), rt))
+    val q2 = spark.readStream.format("kinesis-graft").option("stream", "demo").load()
+      .withColumn("rec", expr("from_msgpack(data, 'id BIGINT, kind STRING')"))
+      .select($"rec.id".as("event_id"), current_timestamp().as("ts"))
+      .transform(df => streaming.StreamOps.dedupStream(df))
+      .writeStream.format("memory").queryName("smoke_dedup").start()
+    q2.processAllAvailable(); q2.stop()
+    println(s"SMOKE dedup_rows=${spark.table("smoke_dedup").count()} (expect 10: 11 puts, 1 dup)")
+
     // 2. archive: store -> pruned range read
     val root = java.nio.file.Files.createTempDirectory("smoke_tri").resolve("arch").toString
     val ev = Seq((1L, "2024-01-05 10:00:00", 2.5), (2L, "2024-01-08 11:00:00", 7.5))

@@ -54,6 +54,18 @@ object StreamOps {
       .agg(count(lit(1)).as("n_in_session"))
       .select(col("user_id"), col("session_window.start").as("session_start"), col("n_in_session"))
 
+  /** Streaming exact dedup: duplicates of an id arriving within the
+    * watermark window are dropped with bounded state —
+    * `dropDuplicatesWithinWatermark` expires each key once the watermark
+    * passes it, so state never grows with the stream (plain
+    * `dropDuplicates` on a stream retains every key forever). The live
+    * form of the batch `TextDedup.exactDedup` stage.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom keyed state: running per-user event counter + last-seen
     * timestamp via `flatMapGroupsWithState` — the engine's
     * arbitrary-stateful-processing extension point (the reference has no

@@ -96,6 +96,23 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.take(2) === Seq((7L, 1L), (7L, 2L))) // one 2-event session, one singleton
   }
 
+  test("streaming dedup drops in-watermark duplicates with bounded state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val out = StreamOps.dedupStream(in.toDF.toDF("event_id", "ts"), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    in.addData((1L, ts("2024-01-05 10:00:00")), (1L, ts("2024-01-05 10:01:00")),
+      (2L, ts("2024-01-05 10:02:00")))
+    q.processAllAvailable()
+    in.addData((1L, ts("2024-01-05 10:03:00"))) // still a duplicate
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup").select($"event_id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L)) // each id exactly once
+  }
+
   test("flatMapGroupsWithState keeps running per-user counts") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
