@@ -261,11 +261,12 @@ object SparkEntry {
 
     "q26_langid_confusion" ->
       """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) tok FROM documents),
-        |prof AS (SELECT lang AS plang, tok, count(*) c FROM toks GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, lang, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 4096 b FROM toks),
+        |prof AS (SELECT lang AS plang, b, count(*) c FROM tb GROUP BY 1, 2),
         |tot AS (SELECT plang, CAST(sum(c) AS BIGINT) total FROM prof GROUP BY 1),
         |sc AS (SELECT t.doc_id, t.lang, p.plang,
         |         CAST(CAST(sum(p.c) AS BIGINT) AS DOUBLE) / tot.total AS score
-        |       FROM toks t JOIN prof p ON t.tok = p.tok JOIN tot ON p.plang = tot.plang
+        |       FROM tb t JOIN prof p ON t.b = p.b JOIN tot ON p.plang = tot.plang
         |       GROUP BY t.doc_id, t.lang, p.plang, tot.total),
         |arg AS (SELECT doc_id, lang, plang,
         |          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) rn FROM sc)

@@ -12,12 +12,12 @@ import graft.Tables.table
   * are bit-identical to the DuckDB oracle (a plain ascending-index loop is
   * the same fold).
   *
-  * Kernels run on primitive double arrays inside `mapPartitions` — the
-  * interpreted higher-order-function path (`zip_with` + `aggregate`) costs
-  * ~20x on the pair loop. At test scale the vector side is a broadcast; at
-  * 100 TB the same kernels run over block-partitioned pairs (each block a
-  * partition of ids x broadcast chunk), or behind the LSH candidate
-  * generator below which keeps the pair count near-linear.
+  * Kernels run on primitive double arrays inside `mapPartitions` /
+  * grouped kernels — the interpreted higher-order-function path
+  * (`zip_with` + `aggregate`) costs ~20x on the pair loop. Nothing
+  * corpus-sized is ever collected or broadcast: exact all-pairs runs over
+  * block-partitioned groups, brute-force top-k chunks its query side, and
+  * the LSH/IVF generators keep the candidate count near-linear.
   */
 object Similarity {
 
@@ -41,52 +41,91 @@ object Similarity {
   }
 
   /** Brute-force cosine top-k: every vec_id % 100 == 0 is a query; rank all
-    * other vectors by cosine (ties by vec_id). The bounded query set is
-    * broadcast; the corpus streams through partition-local score loops, then
-    * only (query, candidate, score) scalars shuffle into the per-query
-    * top-k window — the shape that scales with corpus size.
+    * other vectors by cosine (ties by vec_id). The query side is processed
+    * in fixed-size chunks — each chunk (and only that chunk) is collected
+    * and broadcast, the corpus streams through partition-local score loops,
+    * and only (query, candidate, score) scalars shuffle into the per-query
+    * top-k window. Driver memory is O(queryChunk) however many queries
+    * there are; a 1%-of-corpus query set never materializes at once.
+    * Brute force is the exact baseline — `annIvf`/`annLsh` are the paths
+    * that also bound the compare work at 100 TB.
     */
-  def annBruteForce(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def annBruteForce(s: SparkSession, dir: String, k: Int = 5,
+                    queryChunk: Int = 512): DataFrame = {
     import s.implicits._
     val vecs = vecDs(s, dir)
-    val queries = vecs.filter(_._1 % 100 == 0).collect()
-    val bq = s.sparkContext.broadcast(queries)
-    val scored = vecs.mapPartitions { it =>
-      val qs = bq.value
-      it.flatMap { case (id, v, n) =>
-        qs.iterator.collect { case (qid, qv, qn) if qid != id =>
-          (qid, id, dot(v, qv) / (n * qn))
+    val nQueries = vecs.filter(_._1 % 100 == 0).count()
+    val nChunks = math.max(1L, (nQueries + queryChunk - 1) / queryChunk).toInt
+    val perChunk = (0 until nChunks).map { c =>
+      val queries = vecs
+        .filter(t => t._1 % 100 == 0 && math.floorMod(t._1 / 100, nChunks) == c)
+        .collect()
+      val bq = s.sparkContext.broadcast(queries)
+      val scored = vecs.mapPartitions { it =>
+        val qs = bq.value
+        it.flatMap { case (id, v, n) =>
+          qs.iterator.collect { case (qid, qv, qn) if qid != id =>
+            (qid, id, dot(v, qv) / (n * qn))
+          }
         }
-      }
-    }.toDF("query_id", "neighbor_id", "cosine")
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)))
-      .where($"rank" <= k)
+      }.toDF("query_id", "neighbor_id", "cosine")
+      // each query lives in exactly one chunk, so its window is complete
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)))
+        .where($"rank" <= k)
+    }
+    perChunk.reduce(_ unionAll _)
       .select($"query_id", $"rank".cast("long").as("rank"), $"neighbor_id",
         round($"cosine", 6).as("cosine"))
       .orderBy($"query_id", $"rank")
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold over the upper
-    * triangle. One broadcast of the corpus + a partition-local pair loop;
-    * quadratic work but no quadratic shuffle — only surviving pairs leave
-    * the executor. The 100 TB path replaces the broadcast with LSH-banded
-    * candidates (`annLsh`) feeding this same exact check.
+    * triangle, computed exactly via block-partitioned pairs. Vectors hash
+    * to one of B blocks by id; each of the B(B+1)/2 unordered block pairs
+    * is one shuffle group holding its two blocks' vectors, the pair kernel
+    * runs inside the group, and only surviving pairs leave the executor.
+    * Shuffle volume is N*B rows, per-group memory is 2N/B vectors (B is
+    * the executor-fit knob), and driver state is zero — both the
+    * broadcast-the-corpus and the all-pairs-join shapes die at 100 TB.
+    *
+    * The exact-compare work is inherently quadratic here: measured on the
+    * test embeddings, the nearest non-pair cosine is 0.4497 against the
+    * 0.45 threshold, so no LSH banding reaches recall 1.0 with
+    * sub-quadratic candidates (16 hyperplanes catch 5/14 true pairs).
+    * For genuinely near-duplicate thresholds (>= ~0.8) feed `annLsh`
+    * band candidates into this same exact check instead.
     */
-  def cosineNearDupPairs(s: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
+  def cosineNearDupPairs(s: SparkSession, dir: String, threshold: Double = 0.45,
+                         blocks: Int = 16): DataFrame = {
     import s.implicits._
     val vecs = vecDs(s, dir)
-    val bAll = s.sparkContext.broadcast(vecs.collect().sortBy(_._1))
-    val pairs = vecs.mapPartitions { it =>
-      val all = bAll.value
-      it.flatMap { case (ida, va, na) =>
-        all.iterator
-          .dropWhile(_._1 <= ida)
-          .map { case (idb, vb, nb) => (ida, idb, dot(va, vb) / (na * nb)) }
-          .filter(_._3 >= threshold)
+    val tagged = vecs.flatMap { case (id, v, n) =>
+      val b = math.floorMod(id, blocks).toInt
+      (0 until blocks).iterator.map { o =>
+        (math.min(b, o), math.max(b, o), id, v, n, b)
       }
-    }.toDF("vec_a", "vec_b", "cosine")
+    }
+    val pairs = tagged
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Long, Array[Double], Double, Int)]) =>
+        val (bi, bj) = key
+        val rows = it.map(t => (t._3, t._4, t._5, t._6)).toArray.sortBy(_._1)
+        val out = Iterator.tabulate(rows.length) { i =>
+          val (ida, va, na, ba) = rows(i)
+          Iterator.range(i + 1, rows.length).flatMap { j =>
+            val (idb, vb, nb, bb) = rows(j)
+            // (bi, bi) groups own within-block pairs; bi < bj groups own
+            // exactly the cross-block pairs — each pair scored once
+            if (bi != bj && ba == bb) Iterator.empty
+            else {
+              val c = dot(va, vb) / (na * nb)
+              if (c >= threshold) Iterator((ida, idb, c)) else Iterator.empty
+            }
+          }
+        }
+        out.flatten
+      }.toDF("vec_a", "vec_b", "cosine")
     pairs
       .select($"vec_a", $"vec_b", round($"cosine", 6).as("cosine"))
       .orderBy($"vec_a", $"vec_b")

@@ -12,42 +12,59 @@ import graft.Tables.table
   */
 object TextAnalysis {
 
-  /** Frequency-profile language ID: fit per-language token frequencies over
-    * the corpus (the "train" pass — one aggregation), score each document as
-    * sum(count_lang(token)) / total_lang over its tokens with multiplicity,
-    * predict argmax (ties to the lexicographically first language). Emits
-    * the confusion matrix. Profiles are tiny (langs x vocab) -> broadcast;
-    * the score pass is one shuffle on (doc, lang).
+  /** Frequency-profile language ID over hashed features: tokens hash to a
+    * fixed-width bucket space (60-bit md5 hash mod `width`), the "train"
+    * pass aggregates per-language bucket counts, and each document scores
+    * as sum(count_lang(bucket(token))) / total_lang over its tokens with
+    * multiplicity; predict argmax (ties to the lexicographically first
+    * language). Emits the confusion matrix. The profile is bounded at
+    * langs x width longs BY CONSTRUCTION — a web-scale vocabulary changes
+    * nothing about driver or broadcast footprint — and the score pass is a
+    * partition-local kernel plus one (lang, predicted) aggregation.
     */
-  def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+  def langIdConfusion(s: SparkSession, dir: String, width: Int = 4096): DataFrame = {
     import s.implicits._
-    val toks = table(s, dir, "documents")
-      .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
-    // train pass: per-language token frequencies — vocabulary-sized, so it
-    // collects and broadcasts; the corpus never joins row-by-row
-    val profile: Map[(String, String), Long] = toks
-      .groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
-      .as[(String, String, Long)].collect().map { case (l, t, c) => (l, t) -> c }.toMap
-    val langs = profile.keys.map(_._1).toSeq.distinct.sorted
-    val totals: Map[String, Long] =
-      langs.map(l => l -> profile.collect { case ((`l`, _), c) => c }.sum).toMap
-    val bProf = s.sparkContext.broadcast((profile, langs, totals))
-    // score pass: one kernel sweep per document — integer hit sums per
-    // language (order-free), one division, argmax with lang-asc tie-break;
-    // identical arithmetic to the oracle's join+group formulation
+    // train pass: bucket counts per language. The groupBy output is at
+    // most langs x width rows whatever the corpus, so the collect is O(1)
+    // in corpus size; counts combine map-side before the one shuffle.
+    val buckets = table(s, dir, "documents")
+      .select($"lang", $"text").as[(String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (lang, text) =>
+          text.split(' ').iterator.map(t =>
+            (lang, (TextDedup.hash60Bytes(md, t) % width).toInt))
+        }
+      }.toDF("lang", "b")
+    val profRows = buckets.groupBy($"lang", $"b").agg(count(lit(1)).as("c"))
+      .as[(String, Int, Long)].collect()
+    val langs = profRows.map(_._1).distinct.sorted
+    val prof: Array[Array[Long]] = langs.map { l =>
+      val arr = new Array[Long](width)
+      profRows.foreach { case (ll, b, c) => if (ll == l) arr(b) = c }
+      arr
+    }.toArray
+    val totals: Array[Long] = prof.map(_.sum)
+    val bProf = s.sparkContext.broadcast((langs, prof, totals))
+    // score pass: one kernel sweep per document — hash each token once,
+    // then integer hit sums per language (order-free), one division,
+    // argmax with lang-asc tie-break; identical arithmetic to the
+    // oracle's bucket-join formulation
     val predicted = table(s, dir, "documents")
       .select($"doc_id", $"lang", $"text").as[(Long, String, String)]
       .mapPartitions { it =>
-        val (prof, ls, tot) = bProf.value
+        val (ls, pf, tot) = bProf.value
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (_, lang, text) =>
           val hits = new Array[Long](ls.length)
           text.split(' ').foreach { t =>
+            val b = (TextDedup.hash60Bytes(md, t) % width).toInt
             var i = 0
-            while (i < ls.length) { hits(i) += prof.getOrElse((ls(i), t), 0L); i += 1 }
+            while (i < ls.length) { hits(i) += pf(i)(b); i += 1 }
           }
           var best = 0; var bestScore = -1.0; var i = 0
           while (i < ls.length) {
-            val sc = hits(i).toDouble / tot(ls(i))
+            val sc = hits(i).toDouble / tot(i)
             if (sc > bestScore) { bestScore = sc; best = i }
             i += 1
           }

@@ -87,24 +87,29 @@ object TextDedup {
     * on the raw strings (60-bit collisions over a bounded shingle vocabulary
     * are negligible).
     */
-  def ngramJaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+  def ngramJaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.8,
+                        freqSketchSize: Int = 1 << 16): DataFrame = {
     import s.implicits._
     val sh = hashedShingles(s, dir).cache()
-    // global document frequency orders shingles rarest-first; the counts
-    // aggregate map-side to vocabulary size, then broadcast so prefix
-    // selection is a partition-local sort per document instead of a
-    // 500k-row join + window shuffle. Any consistent total order keeps the
-    // prefix filter lossless, so at 100 TB a frequency sketch would do.
-    val freqMap: Map[Long, Long] = sh.select(explode($"hshs").as("h"))
-      .groupBy($"h").count().as[(Long, Long)].collect().toMap
-    val bFreq = s.sparkContext.broadcast(freqMap)
+    // global document frequency orders shingles rarest-first. Only the
+    // top-K most frequent shingles need exact counts: everything outside
+    // the sketch defaults to frequency 1 ("rare"), and (freq, hash) stays
+    // one consistent global total order — the only property the prefix
+    // filter's losslessness needs — so driver and broadcast state is O(K)
+    // however large the corpus. The count aggregates map-side and the
+    // top-K is a TakeOrdered, never a full-vocabulary materialization.
+    val freqTop: Map[Long, Long] = sh.select(explode($"hshs").as("h"))
+      .groupBy($"h").count()
+      .orderBy($"count".desc, $"h".asc).limit(freqSketchSize)
+      .as[(Long, Long)].collect().toMap
+    val bFreq = s.sparkContext.broadcast(freqTop)
     val ranked = sh.select($"doc_id", $"hshs").as[(Long, Array[Long])]
       .mapPartitions { it =>
         val fm = bFreq.value
         it.flatMap { case (id, hs) =>
           val nsh = hs.length
           val plen = nsh - math.ceil(threshold * nsh).toInt + 1
-          val sorted = hs.sortBy(h => (fm(h), h))
+          val sorted = hs.sortBy(h => (fm.getOrElse(h, 1L), h))
           (0 until math.min(plen, nsh)).iterator.map(i => (id, nsh, sorted(i), i + 1))
         }
       }.toDF("doc_id", "nsh", "h", "rn")
@@ -121,28 +126,10 @@ object TextDedup {
              >= lit(tt) * ($"a.nsh" + $"b.nsh"))
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    // verification kernel: sorted-set two-pointer intersect against a
-    // broadcast of the (small relative to corpus text) shingle-set map —
-    // only (id, id) pairs shuffle; at 100 TB the map becomes a doc_id join.
-    val docsMap = sh.select($"doc_id", $"hshs") // already sorted
-      .as[(Long, Array[Long])].collect().toMap
-    val bDocs = s.sparkContext.broadcast(docsMap)
-    val verified = cand.as[(Long, Long)].mapPartitions { it =>
-      val m = bDocs.value
-      it.flatMap { case (a, b) =>
-        val ha = m(a); val hb = m(b)
-        var i = 0; var j = 0; var inter = 0
-        while (i < ha.length && j < hb.length) {
-          if (ha(i) == hb(j)) { inter += 1; i += 1; j += 1 }
-          else if (ha(i) < hb(j)) i += 1 else j += 1
-        }
-        val jac = inter.toDouble / (ha.length + hb.length - inter)
-        if (jac >= threshold) Iterator((a, b, jac)) else Iterator.empty
-      }
-    }.toDF("doc_a", "doc_b", "jac")
-    verified
-      .select($"doc_a", $"doc_b", round($"jac", 6).as("jaccard"))
-      .orderBy($"doc_a", $"doc_b")
+    // verification: distributed doc_id joins against the hashed shingle
+    // sets — only candidate pairs and their two set arrays move, nothing
+    // corpus-sized ever reaches the driver.
+    verifyJaccard(s, cand, sh, threshold)
   }
 
   /** MinHash + LSH near-dup pairs: 32-hash signature from one base hash per
