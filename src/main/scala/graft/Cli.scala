@@ -29,12 +29,15 @@ object Cli {
         println(s"stored -> ${o("root")}")
       case "cat" =>
         // JSON-per-line export (`/root/reference/triton.go:361-365`);
-        // record fields only — partition bookkeeping stays out of the JSON
+        // record fields only — partition bookkeeping stays out of the
+        // JSON. Streamed partition-by-partition (the reference writes
+        // record-at-a-time): a large archive range never materializes on
+        // the driver, and toLocalIterator preserves the global sort.
         sources.Archive.read(spark, o("root"), o.getOrElse("client", ""),
             o("start"), o("end"))
           .orderBy(col("date"), col("event_id"))
           .drop("date", "client")
-          .toJSON.collect().foreach(println)
+          .toJSON.toLocalIterator().forEachRemaining(println(_))
       case "shards" =>
         streaming.FakeKinesis.listShards(o("stream")).foreach(println)
       case "stats" =>

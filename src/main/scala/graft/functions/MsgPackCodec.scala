@@ -129,12 +129,98 @@ object MsgPackCodec {
 
   // ---------------------------------------------------------------- decode
 
+  /** Input abstraction for the decode path: one code path serves both
+    * in-memory byte arrays (bounded — `remainingBound` guards corrupt
+    * container counts) and true incremental streams (`.tri` archive files
+    * decode record-at-a-time off the decompressor, never slurping the
+    * file — the reference's lazy read,
+    * `/root/reference/triton/archive.go:27-43`).
+    */
+  private[graft] sealed trait MsgIn {
+    def u8(): Int
+    def i16(): Short
+    def i32(): Int
+    def i64(): Long
+    def f32(): Float
+    def f64(): Double
+    def raw(n: Int): Array[Byte]
+    def skipBytes(n: Int): Unit
+    def hasMore: Boolean
+    /** Remaining bytes when knowable (buffers); Int.MaxValue for streams. */
+    def remainingBound: Int
+  }
+
+  private final class BufIn(buf: ByteBuffer) extends MsgIn {
+    def u8(): Int = buf.get() & 0xff
+    def i16(): Short = buf.getShort
+    def i32(): Int = buf.getInt
+    def i64(): Long = buf.getLong
+    def f32(): Float = buf.getFloat
+    def f64(): Double = buf.getDouble
+    def raw(n: Int): Array[Byte] = {
+      if (n < 0 || n > buf.remaining())
+        throw new MsgPackException(s"length $n exceeds remaining ${buf.remaining()}")
+      val b = new Array[Byte](n); buf.get(b); b
+    }
+    def skipBytes(n: Int): Unit = {
+      if (n < 0 || n > buf.remaining())
+        throw new MsgPackException(s"skip $n exceeds remaining ${buf.remaining()}")
+      buf.position(buf.position() + n)
+    }
+    def hasMore: Boolean = buf.hasRemaining
+    def remainingBound: Int = buf.remaining()
+  }
+
+  private final class StreamIn(in0: java.io.InputStream) extends MsgIn {
+    private val in = new java.io.DataInputStream(in0)
+    private var peeked = -2 // -2 = nothing peeked; -1 = EOF; else one byte
+    private def take(): Int =
+      if (peeked >= 0) { val b = peeked; peeked = -2; b } else in.read()
+    def u8(): Int = take() match {
+      case -1 | -2 => throw new MsgPackException("EOF inside msgpack value")
+      case b => b
+    }
+    def i16(): Short = ((u8() << 8) | u8()).toShort
+    def i32(): Int = (u8() << 24) | (u8() << 16) | (u8() << 8) | u8()
+    def i64(): Long = (i32().toLong << 32) | (i32().toLong & 0xffffffffL)
+    def f32(): Float = java.lang.Float.intBitsToFloat(i32())
+    def f64(): Double = java.lang.Double.longBitsToDouble(i64())
+    def raw(n: Int): Array[Byte] = {
+      if (n < 0) throw new MsgPackException(s"negative length $n")
+      // grow in bounded chunks so a corrupt length EOFs before a giant
+      // allocation rather than after reserving it
+      if (n <= (1 << 20)) { val b = new Array[Byte](n); readFully(b, n); b }
+      else {
+        val out = new ByteArrayOutputStream(1 << 20)
+        var left = n
+        val chunk = new Array[Byte](1 << 20)
+        while (left > 0) {
+          val m = math.min(left, chunk.length)
+          readFully(chunk, m); out.write(chunk, 0, m); left -= m
+        }
+        out.toByteArray
+      }
+    }
+    private def readFully(b: Array[Byte], n: Int): Unit = {
+      var off = 0
+      if (peeked >= 0 && n > 0) { b(0) = peeked.toByte; peeked = -2; off = 1 }
+      try in.readFully(b, off, n - off)
+      catch { case _: java.io.EOFException => throw new MsgPackException("EOF inside msgpack value") }
+    }
+    def skipBytes(n: Int): Unit = { raw(n); () }
+    def hasMore: Boolean = {
+      if (peeked == -2) peeked = in.read()
+      peeked != -1
+    }
+    def remainingBound: Int = Int.MaxValue
+  }
+
   /** Decode one top-level value; trailing bytes raise. */
   def decode(bytes: Array[Byte], dt: DataType): Any = {
-    val buf = ByteBuffer.wrap(bytes)
-    val v = read(buf, dt)
-    if (buf.hasRemaining)
-      throw new MsgPackException(s"${buf.remaining()} trailing bytes after msgpack value")
+    val in = new BufIn(ByteBuffer.wrap(bytes))
+    val v = read(in, dt)
+    if (in.hasMore)
+      throw new MsgPackException(s"${in.remainingBound} trailing bytes after msgpack value")
     v
   }
 
@@ -142,10 +228,23 @@ object MsgPackCodec {
     * stream, `/root/reference/triton/archive_reader.go:16-28`) lazily.
     */
   def decodeAll(bytes: Array[Byte], dt: DataType): Iterator[Any] = {
-    val buf = ByteBuffer.wrap(bytes)
+    val in = new BufIn(ByteBuffer.wrap(bytes))
     new Iterator[Any] {
-      override def hasNext: Boolean = buf.hasRemaining
-      override def next(): Any = read(buf, dt)
+      override def hasNext: Boolean = in.hasMore
+      override def next(): Any = read(in, dt)
+    }
+  }
+
+  /** Decode a concatenation of top-level values incrementally from a
+    * stream — memory is bounded by the single largest record, not the
+    * file (`.tri` archives are one snappy-framed stream per file; foreign
+    * files with no rotation cap decode safely).
+    */
+  def decodeStream(in0: java.io.InputStream, dt: DataType): Iterator[Any] = {
+    val in = new StreamIn(in0)
+    new Iterator[Any] {
+      override def hasNext: Boolean = in.hasMore
+      override def next(): Any = read(in, dt)
     }
   }
 
@@ -153,10 +252,10 @@ object MsgPackCodec {
     * msgpack tag space onto (struct, array, long, double, string, binary,
     * boolean, timestamp). Used for `.tri` schema inference.
     */
-  def inferType(bytes: Array[Byte]): DataType = inferValue(ByteBuffer.wrap(bytes))
+  def inferType(bytes: Array[Byte]): DataType = inferValue(new BufIn(ByteBuffer.wrap(bytes)))
 
-  private def inferValue(buf: ByteBuffer): DataType = {
-    val tag = buf.get() & 0xff
+  private def inferValue(buf: MsgIn): DataType = {
+    val tag = buf.u8()
     tag match {
       case t if t < 0x80 || t >= 0xe0 || t == 0xcc || t == 0xcd || t == 0xce || t == 0xcf
            || t == 0xd0 || t == 0xd1 || t == 0xd2 || t == 0xd3 =>
@@ -164,15 +263,15 @@ object MsgPackCodec {
         LongType
       case 0xc0 => NullType
       case 0xc2 | 0xc3 => BooleanType
-      case 0xca => buf.position(buf.position() + 4); DoubleType
-      case 0xcb => buf.position(buf.position() + 8); DoubleType
+      case 0xca => buf.skipBytes(4); DoubleType
+      case 0xcb => buf.skipBytes(8); DoubleType
       case t if (t & 0xe0) == 0xa0 || t == 0xd9 || t == 0xda || t == 0xdb =>
-        buf.position(buf.position() + strLen(buf, t)); StringType
+        buf.skipBytes(strLen(buf, t)); StringType
       case 0xc4 | 0xc5 | 0xc6 =>
-        buf.position(buf.position() + binLen(buf, tag)); BinaryType
+        buf.skipBytes(binLen(buf, tag)); BinaryType
       case 0xd4 | 0xd5 | 0xd6 | 0xd7 | 0xd8 | 0xc7 | 0xc8 | 0xc9 =>
         val (et, n) = extHeader(buf, tag)
-        buf.position(buf.position() + n)
+        buf.skipBytes(n)
         if (et == -1) TimestampType else BinaryType
       case t if (t & 0xf0) == 0x90 || t == 0xdc || t == 0xdd =>
         val n = arrLen(buf, t)
@@ -188,7 +287,7 @@ object MsgPackCodec {
         val fields = new Array[StructField](n)
         var i = 0
         while (i < n) {
-          val key = UTF8String.fromBytes(readRaw(buf, strLen(buf, buf.get() & 0xff))).toString
+          val key = UTF8String.fromBytes(buf.raw(strLen(buf, buf.u8()))).toString
           val ft = inferValue(buf)
           fields(i) = StructField(key, if (ft == NullType) StringType else ft)
           i += 1
@@ -198,16 +297,16 @@ object MsgPackCodec {
     }
   }
 
-  private def skipIntPayload(buf: ByteBuffer, tag: Int): Unit = tag match {
-    case 0xcc | 0xd0 => buf.position(buf.position() + 1)
-    case 0xcd | 0xd1 => buf.position(buf.position() + 2)
-    case 0xce | 0xd2 => buf.position(buf.position() + 4)
-    case 0xcf | 0xd3 => buf.position(buf.position() + 8)
+  private def skipIntPayload(buf: MsgIn, tag: Int): Unit = tag match {
+    case 0xcc | 0xd0 => buf.skipBytes(1)
+    case 0xcd | 0xd1 => buf.skipBytes(2)
+    case 0xce | 0xd2 => buf.skipBytes(4)
+    case 0xcf | 0xd3 => buf.skipBytes(8)
     case _ => ()
   }
 
-  private def read(buf: ByteBuffer, dt: DataType): Any = {
-    val tag = buf.get() & 0xff
+  private def read(buf: MsgIn, dt: DataType): Any = {
+    val tag = buf.u8()
     if (tag == 0xc0) return null
     dt match {
       case BooleanType => tag match {
@@ -224,30 +323,30 @@ object MsgPackCodec {
           case ByteType => v.toByte
         }
       case FloatType => tag match {
-        case 0xca => buf.getFloat
-        case 0xcb => buf.getDouble.toFloat
+        case 0xca => buf.f32()
+        case 0xcb => buf.f64().toFloat
         case _ => readLong(buf, tag).toFloat
       }
       case DoubleType => tag match {
-        case 0xcb => buf.getDouble
-        case 0xca => buf.getFloat.toDouble
+        case 0xcb => buf.f64()
+        case 0xca => buf.f32().toDouble
         case _ => readLong(buf, tag).toDouble
       }
-      case StringType => UTF8String.fromBytes(readRaw(buf, strLen(buf, tag)))
-      case BinaryType => readRaw(buf, binLen(buf, tag))
+      case StringType => UTF8String.fromBytes(buf.raw(strLen(buf, tag)))
+      case BinaryType => buf.raw(binLen(buf, tag))
       case TimestampType =>
         val (extType, len) = extHeader(buf, tag)
         if (extType != -1) throw new MsgPackException(s"ext type $extType is not timestamp")
         len match {
-          case 4 => (buf.getInt.toLong & 0xffffffffL) * 1000000L
+          case 4 => (buf.i32().toLong & 0xffffffffL) * 1000000L
           case 8 =>
-            val d = buf.getLong
+            val d = buf.i64()
             val nsec = d >>> 34
             val sec = d & 0x3ffffffffL
             sec * 1000000L + nsec / 1000L
           case 12 =>
-            val nsec = buf.getInt.toLong & 0xffffffffL
-            val sec = buf.getLong
+            val nsec = buf.i32().toLong & 0xffffffffL
+            val sec = buf.i64()
             sec * 1000000L + nsec / 1000L
           case n => throw new MsgPackException(s"bad timestamp ext length $n")
         }
@@ -257,7 +356,7 @@ object MsgPackCodec {
         val idx = st.fieldNames.zipWithIndex.toMap
         var i = 0
         while (i < n) {
-          val key = UTF8String.fromBytes(readRaw(buf, strLen(buf, buf.get() & 0xff))).toString
+          val key = UTF8String.fromBytes(buf.raw(strLen(buf, buf.u8()))).toString
           idx.get(key) match {
             case Some(fi) => values(fi) = read(buf, st(fi).dataType)
             case None => skip(buf) // unknown field: ignore (schemaless producers)
@@ -270,7 +369,7 @@ object MsgPackCodec {
         val keys = new Array[Any](n); val vals = new Array[Any](n)
         var i = 0
         while (i < n) {
-          keys(i) = UTF8String.fromBytes(readRaw(buf, strLen(buf, buf.get() & 0xff)))
+          keys(i) = UTF8String.fromBytes(buf.raw(strLen(buf, buf.u8())))
           vals(i) = read(buf, vt)
           i += 1
         }
@@ -285,109 +384,104 @@ object MsgPackCodec {
     }
   }
 
-  private def readLong(buf: ByteBuffer, tag: Int): Long = tag match {
+  private def readLong(buf: MsgIn, tag: Int): Long = tag match {
     case t if t < 0x80 => t.toLong
     case t if t >= 0xe0 => (t - 256).toLong
-    case 0xcc => (buf.get() & 0xff).toLong
-    case 0xcd => (buf.getShort & 0xffff).toLong
-    case 0xce => buf.getInt.toLong & 0xffffffffL
-    case 0xcf => buf.getLong // uint64 > Long.MaxValue wraps; reference maps to uint64 anyway
-    case 0xd0 => buf.get().toLong
-    case 0xd1 => buf.getShort.toLong
-    case 0xd2 => buf.getInt.toLong
-    case 0xd3 => buf.getLong
+    case 0xcc => buf.u8().toLong
+    case 0xcd => (buf.i16() & 0xffff).toLong
+    case 0xce => buf.i32().toLong & 0xffffffffL
+    case 0xcf => buf.i64() // uint64 > Long.MaxValue wraps; reference maps to uint64 anyway
+    case 0xd0 => buf.u8().toByte.toLong
+    case 0xd1 => buf.i16().toLong
+    case 0xd2 => buf.i32().toLong
+    case 0xd3 => buf.i64()
     case t => throw new MsgPackException(f"tag 0x$t%02x is not an integer")
   }
 
-  private def strLen(buf: ByteBuffer, tag: Int): Int = tag match {
+  private def strLen(buf: MsgIn, tag: Int): Int = tag match {
     case t if (t & 0xe0) == 0xa0 => t & 0x1f
-    case 0xd9 => buf.get() & 0xff
-    case 0xda => buf.getShort & 0xffff
-    case 0xdb => buf.getInt
+    case 0xd9 => buf.u8()
+    case 0xda => buf.i16() & 0xffff
+    case 0xdb => buf.i32()
     case t => throw new MsgPackException(f"tag 0x$t%02x is not a string")
   }
 
-  private def binLen(buf: ByteBuffer, tag: Int): Int = tag match {
-    case 0xc4 => buf.get() & 0xff
-    case 0xc5 => buf.getShort & 0xffff
-    case 0xc6 => buf.getInt
+  private def binLen(buf: MsgIn, tag: Int): Int = tag match {
+    case 0xc4 => buf.u8()
+    case 0xc5 => buf.i16() & 0xffff
+    case 0xc6 => buf.i32()
     case t => strLen(buf, t) // tolerate str-encoded binary (old producers)
   }
 
-  private def mapLen(buf: ByteBuffer, tag: Int): Int = tag match {
+  private def mapLen(buf: MsgIn, tag: Int): Int = tag match {
     case t if (t & 0xf0) == 0x80 => t & 0x0f
-    case 0xde => buf.getShort & 0xffff
-    case 0xdf => buf.getInt
+    case 0xde => buf.i16() & 0xffff
+    case 0xdf => buf.i32()
     case t => throw new MsgPackException(f"tag 0x$t%02x is not a map")
   }
 
-  private def arrLen(buf: ByteBuffer, tag: Int): Int = tag match {
+  private def arrLen(buf: MsgIn, tag: Int): Int = tag match {
     case t if (t & 0xf0) == 0x90 => t & 0x0f
-    case 0xdc => buf.getShort & 0xffff
-    case 0xdd => buf.getInt
+    case 0xdc => buf.i16() & 0xffff
+    case 0xdd => buf.i32()
     case t => throw new MsgPackException(f"tag 0x$t%02x is not an array")
   }
 
-  private def extHeader(buf: ByteBuffer, tag: Int): (Int, Int) = tag match {
-    case 0xd4 => (buf.get().toInt, 1)
-    case 0xd5 => (buf.get().toInt, 2)
-    case 0xd6 => (buf.get().toInt, 4)
-    case 0xd7 => (buf.get().toInt, 8)
-    case 0xd8 => (buf.get().toInt, 16)
-    case 0xc7 => { val n = buf.get() & 0xff; (buf.get().toInt, n) }
-    case 0xc8 => { val n = buf.getShort & 0xffff; (buf.get().toInt, n) }
-    case 0xc9 => { val n = buf.getInt; (buf.get().toInt, n) }
+  private def extHeader(buf: MsgIn, tag: Int): (Int, Int) = tag match {
+    case 0xd4 => (buf.u8().toByte.toInt, 1)
+    case 0xd5 => (buf.u8().toByte.toInt, 2)
+    case 0xd6 => (buf.u8().toByte.toInt, 4)
+    case 0xd7 => (buf.u8().toByte.toInt, 8)
+    case 0xd8 => (buf.u8().toByte.toInt, 16)
+    case 0xc7 => { val n = buf.u8(); (buf.u8().toByte.toInt, n) }
+    case 0xc8 => { val n = buf.i16() & 0xffff; (buf.u8().toByte.toInt, n) }
+    case 0xc9 => { val n = buf.i32(); (buf.u8().toByte.toInt, n) }
     case t => throw new MsgPackException(f"tag 0x$t%02x is not ext")
   }
 
   /** Guard container counts from corrupt input before allocating: every
     * element costs >= 1 byte, so a count beyond the remaining bytes is
     * garbage — fail fast instead of OOMing the executor on the dead-letter
-    * path.
+    * path. (Streams have no knowable bound; their raw reads grow in
+    * bounded chunks instead.)
     */
-  private def sane(buf: ByteBuffer, n: Int): Int = {
-    if (n < 0 || n > buf.remaining())
-      throw new MsgPackException(s"container count $n exceeds remaining ${buf.remaining()} bytes")
+  private def sane(buf: MsgIn, n: Int): Int = {
+    if (n < 0 || n > buf.remainingBound)
+      throw new MsgPackException(s"container count $n exceeds remaining ${buf.remainingBound} bytes")
     n
   }
 
-  private def readRaw(buf: ByteBuffer, n: Int): Array[Byte] = {
-    if (n < 0 || n > buf.remaining())
-      throw new MsgPackException(s"length $n exceeds remaining ${buf.remaining()}")
-    val b = new Array[Byte](n); buf.get(b); b
-  }
-
   /** Skip one value of any type (unknown struct fields). */
-  private def skip(buf: ByteBuffer): Unit = {
-    val tag = buf.get() & 0xff
+  private def skip(buf: MsgIn): Unit = {
+    val tag = buf.u8()
     tag match {
       case t if t < 0x80 || t >= 0xe0 => ()
-      case t if (t & 0xe0) == 0xa0 => buf.position(buf.position() + (t & 0x1f))
+      case t if (t & 0xe0) == 0xa0 => buf.skipBytes(t & 0x1f)
       case t if (t & 0xf0) == 0x80 => var i = 0; val n = t & 0x0f; while (i < n) { skip(buf); skip(buf); i += 1 }
       case t if (t & 0xf0) == 0x90 => var i = 0; val n = t & 0x0f; while (i < n) { skip(buf); i += 1 }
       case 0xc0 | 0xc2 | 0xc3 => ()
-      case 0xcc | 0xd0 => buf.position(buf.position() + 1)
-      case 0xcd | 0xd1 => buf.position(buf.position() + 2)
-      case 0xce | 0xd2 | 0xca => buf.position(buf.position() + 4)
-      case 0xcf | 0xd3 | 0xcb => buf.position(buf.position() + 8)
-      case 0xd9 => buf.position(buf.position() + (buf.get() & 0xff))
-      case 0xda => buf.position(buf.position() + (buf.getShort & 0xffff))
-      case 0xdb => buf.position(buf.position() + buf.getInt)
-      case 0xc4 => buf.position(buf.position() + (buf.get() & 0xff))
-      case 0xc5 => buf.position(buf.position() + (buf.getShort & 0xffff))
-      case 0xc6 => buf.position(buf.position() + buf.getInt)
-      case 0xd4 => buf.position(buf.position() + 2)
-      case 0xd5 => buf.position(buf.position() + 3)
-      case 0xd6 => buf.position(buf.position() + 5)
-      case 0xd7 => buf.position(buf.position() + 9)
-      case 0xd8 => buf.position(buf.position() + 17)
-      case 0xc7 => { val n = buf.get() & 0xff; buf.position(buf.position() + 1 + n) }
-      case 0xc8 => { val n = buf.getShort & 0xffff; buf.position(buf.position() + 1 + n) }
-      case 0xc9 => { val n = buf.getInt; buf.position(buf.position() + 1 + n) }
-      case 0xde => { var i = 0; val n = buf.getShort & 0xffff; while (i < n) { skip(buf); skip(buf); i += 1 } }
-      case 0xdf => { var i = 0; val n = buf.getInt; while (i < n) { skip(buf); skip(buf); i += 1 } }
-      case 0xdc => { var i = 0; val n = buf.getShort & 0xffff; while (i < n) { skip(buf); i += 1 } }
-      case 0xdd => { var i = 0; val n = buf.getInt; while (i < n) { skip(buf); i += 1 } }
+      case 0xcc | 0xd0 => buf.skipBytes(1)
+      case 0xcd | 0xd1 => buf.skipBytes(2)
+      case 0xce | 0xd2 | 0xca => buf.skipBytes(4)
+      case 0xcf | 0xd3 | 0xcb => buf.skipBytes(8)
+      case 0xd9 => buf.skipBytes(buf.u8())
+      case 0xda => buf.skipBytes(buf.i16() & 0xffff)
+      case 0xdb => buf.skipBytes(buf.i32())
+      case 0xc4 => buf.skipBytes(buf.u8())
+      case 0xc5 => buf.skipBytes(buf.i16() & 0xffff)
+      case 0xc6 => buf.skipBytes(buf.i32())
+      case 0xd4 => buf.skipBytes(2)
+      case 0xd5 => buf.skipBytes(3)
+      case 0xd6 => buf.skipBytes(5)
+      case 0xd7 => buf.skipBytes(9)
+      case 0xd8 => buf.skipBytes(17)
+      case 0xc7 => { val n = buf.u8(); buf.skipBytes(1 + n) }
+      case 0xc8 => { val n = buf.i16() & 0xffff; buf.skipBytes(1 + n) }
+      case 0xc9 => { val n = buf.i32(); buf.skipBytes(1 + n) }
+      case 0xde => { var i = 0; val n = buf.i16() & 0xffff; while (i < n) { skip(buf); skip(buf); i += 1 } }
+      case 0xdf => { var i = 0; val n = buf.i32(); while (i < n) { skip(buf); skip(buf); i += 1 } }
+      case 0xdc => { var i = 0; val n = buf.i16() & 0xffff; while (i < n) { skip(buf); i += 1 } }
+      case 0xdd => { var i = 0; val n = buf.i32(); while (i < n) { skip(buf); i += 1 } }
       case t => throw new MsgPackException(f"cannot skip tag 0x$t%02x")
     }
   }

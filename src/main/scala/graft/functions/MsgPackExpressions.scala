@@ -2,17 +2,25 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `to_msgpack(value)` — encode any struct/map/array/scalar column to
   * MessagePack bytes (the reference's record wire format,
-  * `/root/reference/triton/store.go:144-154`).
+  * `/root/reference/triton/store.go:144-154`). Generates code (the
+  * `Hash60` pattern: delegate to the static codec) so encode stays inside
+  * whole-stage codegen instead of forcing an interpreted-projection break.
   */
-case class ToMsgPack(child: Expression) extends UnaryExpression with CodegenFallback {
+case class ToMsgPack(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def nullSafeEval(input: Any): Any = MsgPackCodec.encode(input, child.dataType)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dtRef = ctx.addReferenceObj("mpChildType", child.dataType, classOf[DataType].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MsgPackCodec.encode($c, $dtRef);")
+  }
   override protected def withNewChildInternal(newChild: Expression): ToMsgPack = copy(child = newChild)
   override def prettyName: String = "to_msgpack"
 }
@@ -23,14 +31,38 @@ case class ToMsgPack(child: Expression) extends UnaryExpression with CodegenFall
   * form of the reference's log-and-skip dead-lettering
   * (`/root/reference/triton/stream_reader.go:174-194`); pair with
   * `count(case when decoded is null ...)` for the skip counter.
+  * Codegen'd like `ToMsgPack`; decode errors set null inline.
   */
 case class FromMsgPack(child: Expression, targetType: DataType)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = targetType
   override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
     try MsgPackCodec.decode(input.asInstanceOf[Array[Byte]], targetType)
     catch { case _: Exception => null }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dtRef = ctx.addReferenceObj("mpType", targetType, classOf[DataType].getName)
+    val childGen = child.genCode(ctx)
+    val decoded = ctx.freshName("mpDecoded")
+    val javaType = CodeGenerator.javaType(dataType)
+    val boxed = CodeGenerator.boxedType(dataType)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      $javaType ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+      if (!${childGen.isNull}) {
+        Object $decoded = null;
+        try {
+          $decoded = graft.functions.MsgPackCodec.decode(${childGen.value}, $dtRef);
+        } catch (Exception e) {
+          $decoded = null;
+        }
+        if ($decoded != null) {
+          ${ev.isNull} = false;
+          ${ev.value} = ($boxed) $decoded;
+        }
+      }""")
+  }
   override protected def withNewChildInternal(newChild: Expression): FromMsgPack = copy(child = newChild)
   override def prettyName: String = "from_msgpack"
 }

@@ -60,15 +60,23 @@ class TriFileFormat extends FileFormat with DataSourceRegister with Serializable
     (file: PartitionedFile) => {
       val path = file.toPath
       val fs = path.getFileSystem(broadcastedConf.value.value)
+      // decode records incrementally off the decompressor — memory is
+      // bounded by the largest single record, not the file, so foreign
+      // `.tri` files written without a rotation cap cannot OOM the task
+      // (the reference's lazy read, `/root/reference/triton/archive.go:27-43`)
       val in = new SnappyFramedInputStream(fs.open(path))
-      val bytes = try {
-        val out = new java.io.ByteArrayOutputStream(1 << 20)
-        val buf = new Array[Byte](1 << 16)
-        var n = 0
-        while ({ n = in.read(buf); n > 0 }) out.write(buf, 0, n)
-        out.toByteArray
-      } finally in.close()
-      MsgPackCodec.decodeAll(bytes, requiredSchema).map(_.asInstanceOf[InternalRow])
+      val records = MsgPackCodec.decodeStream(
+        new java.io.BufferedInputStream(in, 1 << 16), requiredSchema)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = {
+          val h = records.hasNext
+          if (!h) in.close() // eager close; listener close is idempotent
+          h
+        }
+        override def next(): InternalRow = records.next().asInstanceOf[InternalRow]
+      }
     }
   }
 

@@ -14,20 +14,30 @@ import org.apache.spark.sql.functions._
 object Checkpoints {
 
   /** Per-shard committed sequence numbers from the newest batch in a
-    * query's offset log, with the commit age in seconds.
+    * query's offset log, with the commit age in seconds. Reads through the
+    * Hadoop FileSystem API, so an HDFS/S3 `checkpointLocation` — the
+    * normal production case — works the same as a local path.
     */
   def offsets(spark: SparkSession, checkpointLocation: String): DataFrame = {
     import spark.implicits._
-    val dir = new java.io.File(checkpointLocation, "offsets")
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.forall(_.isDigit))
-    val rows: Seq[(Long, String, Long, Long)] = files.sortBy(_.getName.toLong).lastOption.toSeq.flatMap { f =>
-      val batchId = f.getName.toLong
-      val ageSec = (System.currentTimeMillis() - f.lastModified()) / 1000L
-      scala.io.Source.fromFile(f).getLines().toSeq.drop(2) // v1 line + metadata line
-        .flatMap(line => ShardOffsets.fromJson(line).seqs.toSeq)
-        .map { case (shard, seq) => (batchId, shard, seq, ageSec) }
-    }
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(checkpointLocation, "offsets")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val rows: Seq[(Long, String, Long, Long)] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq
+        .filter(st => st.getPath.getName.forall(_.isDigit))
+        .sortBy(_.getPath.getName.toLong).lastOption.toSeq.flatMap { st =>
+          val batchId = st.getPath.getName.toLong
+          val ageSec = (System.currentTimeMillis() - st.getModificationTime) / 1000L
+          val in = fs.open(st.getPath)
+          val lines =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+            finally in.close()
+          lines.drop(2) // v1 line + metadata line
+            .flatMap(line => ShardOffsets.fromJson(line).seqs.toSeq)
+            .map { case (shard, seq) => (batchId, shard, seq, ageSec) }
+        }
     rows.toDF("batch_id", "shard", "sequence_number", "age_sec")
   }
 

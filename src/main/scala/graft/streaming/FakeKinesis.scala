@@ -12,11 +12,14 @@ import scala.collection.mutable
   * A production deployment swaps this singleton for the real AWS client
   * behind the same four calls; the DSv2 source code path is identical.
   */
-object FakeKinesis {
+object FakeKinesis extends ShardService {
 
   final case class Rec(sequenceNumber: Long, partitionKey: String, data: Array[Byte])
 
   final class ThrottledException extends RuntimeException("ProvisionedThroughputExceeded")
+
+  /** Successful getRecords calls since reset — lets tests assert paging. */
+  @volatile var getRecordsCalls: Int = 0
 
   private final class Shard {
     val records = mutable.ArrayBuffer[Rec]()
@@ -30,7 +33,7 @@ object FakeKinesis {
   private val streams = mutable.Map[String, Stream]()
   private val throttleBudget = mutable.Map[String, Int]()
 
-  def reset(): Unit = synchronized { streams.clear(); throttleBudget.clear() }
+  def reset(): Unit = synchronized { streams.clear(); throttleBudget.clear(); getRecordsCalls = 0 }
 
   def createStream(name: String, shards: Int): Unit = synchronized {
     streams(name) = new Stream(shards)
@@ -77,6 +80,7 @@ object FakeKinesis {
         throw new ThrottledException
       }
       val idx = shardId.stripPrefix("shard-").toInt
+      getRecordsCalls += 1
       streams(stream).shards(idx).records.iterator
         .filter(_.sequenceNumber > afterSeq).take(limit).toSeq
     }

@@ -44,7 +44,12 @@ class KinesisLikeSource extends TableProvider with org.apache.spark.sql.sources.
     new KinesisLikeTable(opts.get("stream"),
       Option(opts.get("startingPosition")).getOrElse("trim_horizon"),
       Option(opts.get("backoffUnitMs")).map(_.toLong).getOrElse(1L),
-      Option(opts.get("minFetchIntervalMs")).map(_.toLong).getOrElse(0L))
+      Option(opts.get("minFetchIntervalMs")).map(_.toLong).getOrElse(0L),
+      // the reference's GetRecords page cap (RequestLimit=1000,
+      // /root/reference/triton/stream.go:39): one micro-batch never
+      // materializes a shard's whole backlog in a single call
+      Option(opts.get("maxRecordsPerFetch")).map(_.toInt).getOrElse(1000),
+      Option(opts.get("service")).getOrElse(""))
   }
 }
 
@@ -58,7 +63,8 @@ object KinesisLikeSource {
 }
 
 private class KinesisLikeTable(stream: String, startingPosition: String,
-                               backoffUnitMs: Long, minFetchIntervalMs: Long)
+                               backoffUnitMs: Long, minFetchIntervalMs: Long,
+                               maxRecordsPerFetch: Int, serviceName: String)
     extends Table with SupportsRead {
   require(stream != null, "option 'stream' is required")
   override def name(): String = s"kinesis-graft:$stream"
@@ -69,7 +75,8 @@ private class KinesisLikeTable(stream: String, startingPosition: String,
     () => new Scan {
       override def readSchema(): StructType = KinesisLikeSource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new KinesisLikeStream(stream, startingPosition, backoffUnitMs, minFetchIntervalMs)
+        new KinesisLikeStream(stream, startingPosition, backoffUnitMs, minFetchIntervalMs,
+          maxRecordsPerFetch, serviceName)
     }
 }
 
@@ -87,13 +94,16 @@ object ShardOffsets {
 }
 
 private class KinesisLikeStream(stream: String, startingPosition: String,
-                                backoffUnitMs: Long, minFetchIntervalMs: Long)
+                                backoffUnitMs: Long, minFetchIntervalMs: Long,
+                                maxRecordsPerFetch: Int, serviceName: String)
     extends MicroBatchStream {
 
+  private val svc = ShardService.resolve(serviceName)
+
   override def initialOffset(): Offset = {
-    val shards = FakeKinesis.listShards(stream)
+    val shards = svc.listShards(stream)
     val seqs = startingPosition.toLowerCase match {
-      case "latest" => shards.map(s => s -> FakeKinesis.latestSequence(stream, s)).toMap
+      case "latest" => shards.map(s => s -> svc.latestSequence(stream, s)).toMap
       case _ => shards.map(s => s -> -1L).toMap // trim_horizon
     }
     ShardOffsets(seqs)
@@ -102,8 +112,8 @@ private class KinesisLikeStream(stream: String, startingPosition: String,
   override def latestOffset(): Offset = {
     // re-list shards every batch: shards appearing mid-query are picked up
     // (the reference lists once and caps at 100, stream_reader.go:56,86)
-    val shards = FakeKinesis.listShards(stream)
-    ShardOffsets(shards.map(s => s -> FakeKinesis.latestSequence(stream, s)).toMap)
+    val shards = svc.listShards(stream)
+    ShardOffsets(shards.map(s => s -> svc.latestSequence(stream, s)).toMap)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -111,7 +121,7 @@ private class KinesisLikeStream(stream: String, startingPosition: String,
     val e = end.asInstanceOf[ShardOffsets].seqs
     e.keys.toArray.sorted.map { shard =>
       ShardPartition(stream, shard, s.getOrElse(shard, -1L), e(shard),
-        backoffUnitMs, minFetchIntervalMs): InputPartition
+        backoffUnitMs, minFetchIntervalMs, maxRecordsPerFetch, serviceName): InputPartition
     }
   }
 
@@ -125,41 +135,57 @@ private class KinesisLikeStream(stream: String, startingPosition: String,
 
 private case class ShardPartition(stream: String, shard: String,
                                   fromSeq: Long, toSeq: Long, backoffUnitMs: Long,
-                                  minFetchIntervalMs: Long)
+                                  minFetchIntervalMs: Long, maxRecordsPerFetch: Int,
+                                  serviceName: String)
     extends InputPartition
 
-/** One shard's slice of the batch: fetch with quadratic-backoff retry and
-  * per-shard poll spacing (`MinPollInterval`,
-  * `/root/reference/triton/stream.go:38,63-75`), emit envelope rows for
-  * sequence numbers in (fromSeq, toSeq].
+/** One shard's slice of the batch: paged fetches (the reference's
+  * `RequestLimit`, `/root/reference/triton/stream.go:39`) with
+  * quadratic-backoff retry and per-shard poll spacing (`MinPollInterval`,
+  * `/root/reference/triton/stream.go:38,63-75`), emitting envelope rows
+  * for sequence numbers in (fromSeq, toSeq]. A deep backlog drains across
+  * many bounded getRecords calls — the task never holds more than one
+  * page of records.
   */
 private class ShardReader(p: ShardPartition) extends PartitionReader[InternalRow] {
+  private val svc = ShardService.resolve(p.serviceName)
   private val maxRetries = 4 // triton/stream.go:41
-  private var retries = 0
-  private var fetched: Iterator[FakeKinesis.Rec] = _
+  private var cursor = p.fromSeq // last sequence number fetched
+  private var page: Iterator[FakeKinesis.Rec] = Iterator.empty
+  private var exhausted = false
   private var current: FakeKinesis.Rec = _
 
-  private def fetch(): Iterator[FakeKinesis.Rec] = {
+  private def fetchPage(): Seq[FakeKinesis.Rec] = {
     if (p.minFetchIntervalMs > 0) {
       val wait = ShardReader.nextAllowedFetch(p.stream, p.shard, p.minFetchIntervalMs)
       if (wait > 0) Thread.sleep(wait)
     }
+    var retries = 0 // backoff resets after each successful call
     while (true) {
       try {
-        return FakeKinesis.getRecords(p.stream, p.shard, p.fromSeq, Int.MaxValue)
-          .iterator.filter(_.sequenceNumber <= p.toSeq)
+        return svc.getRecords(p.stream, p.shard, cursor, p.maxRecordsPerFetch)
       } catch {
         case _: FakeKinesis.ThrottledException if retries < maxRetries =>
           retries += 1
           Thread.sleep(retries.toLong * retries * p.backoffUnitMs) // retries^2 * unit
       }
     }
-    Iterator.empty
+    Nil
   }
 
   override def next(): Boolean = {
-    if (fetched == null) fetched = fetch()
-    if (fetched.hasNext) { current = fetched.next(); true } else false
+    while (!page.hasNext && !exhausted) {
+      val recs = fetchPage()
+      if (recs.isEmpty) exhausted = true
+      else {
+        cursor = recs.last.sequenceNumber
+        // a short page means the backlog is drained; reaching toSeq means
+        // the rest of the stream belongs to a later micro-batch
+        if (recs.size < p.maxRecordsPerFetch || cursor >= p.toSeq) exhausted = true
+        page = recs.iterator.filter(_.sequenceNumber <= p.toSeq)
+      }
+    }
+    if (page.hasNext) { current = page.next(); true } else false
   }
 
   override def get(): InternalRow =

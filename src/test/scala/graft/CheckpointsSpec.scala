@@ -40,5 +40,16 @@ class CheckpointsSpec extends AnyFunSuite with SparkFixture {
     val lines = Checkpoints.statsLines(spark, ckpt, "clientA", "ck")
     assert(lines.length === 2)
     assert(lines.forall(_.matches("""clientA\.ck\.shard-\d\.age \d+""")))
+
+    // the production case is a URI-qualified checkpointLocation resolved
+    // through the Hadoop FileSystem API (HDFS/S3 in a real deployment; the
+    // scheme'd LocalFileSystem here) — same result, no java.io.File path
+    val viaUri = Checkpoints.offsets(spark, s"file://$ckpt")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(viaUri === rows)
+  }
+
+  test("missing offset dir yields an empty frame, not an error") {
+    assert(Checkpoints.offsets(spark, "/tmp/ck_does_not_exist_xyz").count() === 0)
   }
 }

@@ -30,6 +30,22 @@ class CustomFunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.toLowerCase.contains("fallback"), "must not fall back to interpreted eval")
   }
 
+  test("to_msgpack/from_msgpack stay inside whole-stage codegen (no fallback)") {
+    val df = Tables.table(spark, sfDir, "documents")
+      .selectExpr("named_struct('id', doc_id, 'txt', text) AS rec")
+      .selectExpr("to_msgpack(rec) AS bin")
+      .selectExpr("from_msgpack(bin, 'id BIGINT, txt STRING') AS back")
+      .selectExpr("back.id AS id", "back.txt AS txt")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected codegen stage around msgpack exprs:\n$plan")
+    assert(!plan.toLowerCase.contains("fallback"), "must not fall back to interpreted eval")
+    // corrupt input still dead-letters to null through the generated path
+    val nulls = spark.sql("SELECT from_msgpack(CAST('garbage' AS BINARY), 'id BIGINT') AS v")
+    assert(nulls.collect()(0).isNullAt(0))
+  }
+
   test("TopKAggregator laws: bounded, ordered, merge-associative") {
     val agg = new TopKAggregator(3)
     val rows = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (4L, 1.0), (5L, 7.0))

@@ -147,6 +147,22 @@ class KinesisLikeSourceSpec extends AnyFunSuite with SparkFixture {
       s"new shard must be read mid-query, saw ${rows.map(_._1).distinct.toSeq}")
   }
 
+  test("deep backlog drains across multiple bounded fetches (reference RequestLimit)") {
+    FakeKinesis.reset()
+    FakeKinesis.createStream("s8", 1)
+    (1L to 250L).foreach(i => put("s8", "samekey", i, "x")) // one shard, 250 records
+    val q = spark.readStream.format("kinesis-graft")
+      .option("stream", "s8").option("maxRecordsPerFetch", "100").load()
+      .withColumn("rec", expr("from_msgpack(data, 'id BIGINT, kind STRING')"))
+      .select("rec.id")
+      .writeStream.format("memory").queryName("t8").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("t8").collect().map(_.getLong(0)).sorted.toSeq === (1L to 250L))
+    // 250 records at <=100/call cannot arrive in fewer than 3 fetches
+    assert(FakeKinesis.getRecordsCalls >= 3,
+      s"expected paged draining, saw ${FakeKinesis.getRecordsCalls} getRecords calls")
+  }
+
   test("offsets serialize/deserialize stably (C1/C2 shape)") {
     val o = ShardOffsets(Map("shard-1" -> 5L, "shard-0" -> -1L))
     assert(o.json === """{"shard-0":-1,"shard-1":5}""")

@@ -136,6 +136,61 @@ class MsgPackCodecSpec extends AnyFunSuite {
       MsgPackCodec.decode(bomb, ArrayType(LongType)))
   }
 
+  test("decodeStream equals decodeAll over a concatenated record stream") {
+    val dt = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
+    val bytes = (0 until 1000).flatMap { i =>
+      MsgPackCodec.encode(new GenericInternalRow(
+        Array[Any](i.toLong, UTF8String.fromString(s"rec-$i"))), dt).toSeq
+    }.toArray
+    val viaAll = MsgPackCodec.decodeAll(bytes, dt).toSeq
+    val viaStream = MsgPackCodec.decodeStream(new java.io.ByteArrayInputStream(bytes), dt).toSeq
+    assert(viaStream.length === 1000)
+    viaAll.zip(viaStream).foreach { case (a, b) =>
+      val (ra, rb) = (a.asInstanceOf[GenericInternalRow], b.asInstanceOf[GenericInternalRow])
+      assert(ra.getLong(0) === rb.getLong(0))
+      assert(ra.getUTF8String(1) === rb.getUTF8String(1))
+    }
+  }
+
+  test("decodeStream is incremental: first record reads O(record), not O(file)") {
+    val dt = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
+    val bytes = (0 until 5000).flatMap { i =>
+      MsgPackCodec.encode(new GenericInternalRow(
+        Array[Any](i.toLong, UTF8String.fromString("x" * 100))), dt).toSeq
+    }.toArray
+    var consumed = 0L
+    val counting = new java.io.InputStream {
+      private val in = new java.io.ByteArrayInputStream(bytes)
+      override def read(): Int = { val b = in.read(); if (b >= 0) consumed += 1; b }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val n = in.read(b, off, len); if (n > 0) consumed += n; n
+      }
+    }
+    val it = MsgPackCodec.decodeStream(counting, dt)
+    it.next() // one record
+    assert(consumed < 1024,
+      s"first record must not slurp the ${bytes.length}-byte stream (read $consumed)")
+  }
+
+  test("decodeStream handles a record larger than the chunked-read size") {
+    val dt = StructType(Seq(StructField("big", BinaryType)))
+    val payload = Array.tabulate(3 << 20)(i => (i % 251).toByte) // 3 MiB > 1 MiB chunk
+    val bytes = MsgPackCodec.encode(new GenericInternalRow(Array[Any](payload)), dt)
+    val it = MsgPackCodec.decodeStream(new java.io.ByteArrayInputStream(bytes), dt)
+    val row = it.next().asInstanceOf[GenericInternalRow]
+    assert(java.util.Arrays.equals(row.getBinary(0), payload))
+    assert(!it.hasNext)
+  }
+
+  test("decodeStream raises on mid-record truncation") {
+    val dt = StructType(Seq(StructField("b", StringType)))
+    val bytes = MsgPackCodec.encode(new GenericInternalRow(
+      Array[Any](UTF8String.fromString("hello world, longer than the cut"))), dt)
+    val it = MsgPackCodec.decodeStream(
+      new java.io.ByteArrayInputStream(bytes.take(bytes.length - 5)), dt)
+    assertThrows[MsgPackCodec.MsgPackException](it.next())
+  }
+
   test("schema inference maps tags to Spark types") {
     val st = StructType(Seq(StructField("s", StringType), StructField("n", LongType),
       StructField("d", DoubleType), StructField("ts", TimestampType),
