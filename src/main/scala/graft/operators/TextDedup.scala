@@ -173,20 +173,32 @@ object TextDedup {
   }
 
   /** Exact-Jaccard verification of a candidate pair set against the hashed
-    * shingle sets; emits (doc_a, doc_b, jaccard) ordered. The per-doc set
-    * table is small relative to the corpus text -> broadcast; at 100 TB
-    * these become shuffles on doc_id.
+    * shingle sets: two doc_id joins attach the (sorted) shingle arrays to
+    * each pair, then a partition-local two-pointer intersect scores it —
+    * no per-pair hash-set allocation (`array_intersect` costs ~2x on a
+    * dense candidate set) and nothing corpus-sized on the driver; emits
+    * (doc_a, doc_b, jaccard) ordered.
     */
   private def verifyJaccard(s: SparkSession, cand: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame = {
     import s.implicits._
     cand
-      .join(sh.select($"doc_id".as("doc_a"), $"hshs".as("ha"), $"nsh".as("na")), "doc_a")
-      .join(sh.select($"doc_id".as("doc_b"), $"hshs".as("hb"), $"nsh".as("nb")), "doc_b")
-      .withColumn("inter", size(array_intersect($"ha", $"hb")))
-      .withColumn("jaccard", round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 6))
-      .where($"inter".cast("double") / ($"na" + $"nb" - $"inter") >= threshold)
-      .select($"doc_a", $"doc_b", $"jaccard")
+      .join(sh.select($"doc_id".as("doc_a"), $"hshs".as("ha")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"hshs".as("hb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"ha", $"hb")
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (a, b, ha, hb) =>
+          var i = 0; var j = 0; var inter = 0
+          while (i < ha.length && j < hb.length) {
+            if (ha(i) == hb(j)) { inter += 1; i += 1; j += 1 }
+            else if (ha(i) < hb(j)) i += 1 else j += 1
+          }
+          val jac = inter.toDouble / (ha.length + hb.length - inter)
+          if (jac >= threshold) Iterator((a, b, jac)) else Iterator.empty
+        }
+      }.toDF("doc_a", "doc_b", "jac")
+      .select($"doc_a", $"doc_b", round($"jac", 6).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 
