@@ -98,7 +98,13 @@ object EventOps {
   def decodeProps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     events(s, dir)
-      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      // vectorized one-pass parse against a schema (get_json_object
+      // re-tokenizes the document per extraction); string-typed field +
+      // cast keeps quoted/-malformed-number semantics identical to the
+      // oracle's json_extract_string + TRY_CAST
+      .withColumn("k",
+        from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k STRING"))
+          .getField("k").cast("long"))
       .withColumn("is_corrupt", $"k".isNull)
       .groupBy($"event_type")
       .agg(
