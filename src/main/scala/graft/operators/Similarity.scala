@@ -166,11 +166,15 @@ object Similarity {
         Window.partitionBy($"query_id").orderBy($"csim".desc, $"label".asc)))
       .where($"crk" <= nProbe)
       .select($"query_id", $"label", $"qv", $"qn")
-    // search: exact cosine inside the probed cells only
+    // search: exact cosine inside the probed cells only — scored by the
+    // primitive-array kernel (same index-order fold as the HOF form and
+    // the oracle's list_reduce, ~20x cheaper in the hot loop)
     probed.join(vecs, Seq("label"))
       .where($"vec_id" =!= $"query_id")
-      .withColumn("cosine",
-        aggregate(zip_with($"v", $"qv", _ * _), lit(0.0), _ + _) / ($"nrm" * $"qn"))
+      .select($"query_id", $"vec_id", $"qv", $"qn", $"v", $"nrm")
+      .as[(Long, Long, Array[Double], Double, Array[Double], Double)]
+      .mapPartitions(_.map { case (q, id, qv, qn, v, n) => (q, id, dot(v, qv) / (n * qn)) })
+      .toDF("query_id", "vec_id", "cosine")
       .withColumn("rank", row_number().over(
         Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)))
       .where($"rank" <= k)
@@ -206,18 +210,23 @@ object Similarity {
     val bands = sigs.select($"vec_id", explode(sequence(lit(0), lit(3))).as("band"), $"sig")
       .withColumn("bkey", expr("(sig >> (band * 4)) & 15"))
       .select($"vec_id", $"band", $"bkey")
+    // the query side is ~1% of the corpus — plain equi-joins, no broadcast
+    // hint: AQE broadcasts when it fits and falls back to shuffle when the
+    // query set itself outgrows an executor (it scales with the corpus)
     val qbands = bands.where($"vec_id" % 100 === 0)
       .select($"vec_id".as("query_id"), $"band", $"bkey")
-    val cand = bands.join(broadcast(qbands), Seq("band", "bkey"))
+    val cand = bands.join(qbands, Seq("band", "bkey"))
       .where($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id")
       .distinct()
     cand
       .join(sigs.select($"vec_id", $"v", $"nrm"), "vec_id")
-      .join(broadcast(sigs.select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))), "query_id")
-      .withColumn("cosine",
-        expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
-          / ($"nrm" * $"qn"))
+      .join(sigs.where($"vec_id" % 100 === 0)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn")), "query_id")
+      .select($"query_id", $"vec_id", $"qv", $"qn", $"v", $"nrm")
+      .as[(Long, Long, Array[Double], Double, Array[Double], Double)]
+      .mapPartitions(_.map { case (q, id, qv, qn, v, n) => (q, id, dot(v, qv) / (n * qn)) })
+      .toDF("query_id", "vec_id", "cosine")
       .withColumn("rank", row_number().over(
         Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)))
       .where($"rank" <= k)

@@ -34,8 +34,14 @@ class TriFileFormat extends FileFormat with DataSourceRegister with Serializable
 
   override def inferSchema(sparkSession: SparkSession, options: Map[String, String],
                            files: Seq[FileStatus]): Option[StructType] = {
-    files.headOption.map { f =>
-      val fs = f.getPath.getFileSystem(sparkSession.sessionState.newHadoopConf())
+    // sample several files, not just the first: archives written by
+    // evolving producers carry different field sets per file; the merged
+    // struct decodes all of them (missing fields null, unknown skipped)
+    val conf = sparkSession.sessionState.newHadoopConf()
+    val sampled = files.take(
+      options.get("inferSampleFiles").map(_.toInt).getOrElse(8))
+    val inferred = sampled.map { f =>
+      val fs = f.getPath.getFileSystem(conf)
       val in = new SnappyFramedInputStream(fs.open(f.getPath))
       try {
         val head = new Array[Byte](1 << 20)
@@ -47,6 +53,33 @@ class TriFileFormat extends FileFormat with DataSourceRegister with Serializable
         }
       } finally in.close()
     }
+    inferred.reduceOption(mergeStructs)
+  }
+
+  /** Field-wise union keeping first-seen order; null-typed fields widen to
+    * the other side's type, nested structs merge recursively, any other
+    * conflict keeps the first file's type (the codec's permissive decode
+    * nulls mismatches rather than failing).
+    */
+  private def mergeStructs(a: StructType, b: StructType): StructType = {
+    val aIdx = a.fieldNames.zipWithIndex.toMap
+    val merged = new scala.collection.mutable.ArrayBuffer[StructField]
+    merged ++= a.fields
+    b.fields.foreach { bf =>
+      aIdx.get(bf.name) match {
+        case None => merged += bf
+        case Some(i) =>
+          val af = merged(i)
+          (af.dataType, bf.dataType) match {
+            case (NullType, _) => merged(i) = af.copy(dataType = bf.dataType)
+            case (_, NullType) => ()
+            case (x: StructType, y: StructType) =>
+              merged(i) = af.copy(dataType = mergeStructs(x, y))
+            case _ => () // first file wins on scalar conflicts
+          }
+      }
+    }
+    StructType(merged.toSeq)
   }
 
   override def isSplitable(sparkSession: SparkSession, options: Map[String, String],

@@ -30,6 +30,23 @@ class TriArchiveSpec extends AnyFunSuite with SparkFixture {
       === df.orderBy("id").collect().map(_.toSeq).toSeq)
   }
 
+  test("schema inference merges heterogeneous files (evolving producers)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tri_mixed").resolve("out").toString
+    // two generations of the same stream: a field added later
+    Seq((1L, "a")).toDF("id", "kind")
+      .write.format("tri").save(dir)
+    Seq((2L, "b", 3.5)).toDF("id", "kind", "score")
+      .write.format("tri").mode("append").save(dir)
+    val back = spark.read.format("tri").load(dir)
+    assert(back.columns.toSet === Set("id", "kind", "score"))
+    val rows = back.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // old-generation rows read null for the new field
+    val scoreIdx = back.columns.indexOf("score")
+    assert(rows(0).isNullAt(scoreIdx) && rows(1).getDouble(scoreIdx) === 3.5)
+  }
+
   test("column pruning: reading two columns decodes only those") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tri_prune").resolve("out").toString
