@@ -163,9 +163,45 @@ class KinesisLikeSourceSpec extends AnyFunSuite with SparkFixture {
       s"expected paged draining, saw ${FakeKinesis.getRecordsCalls} getRecords calls")
   }
 
+  test("service seam is structural: a custom ShardService drives the source") {
+    FakeKinesis.reset()
+    FakeKinesis.createStream("s9", 1)
+    put("s9", "k1", 7L, "x")
+    val q = spark.readStream.format("kinesis-graft")
+      .option("stream", "s9")
+      .option("service", RecordingShardService.getClass.getName.stripSuffix("$"))
+      .load()
+      .withColumn("rec", expr("from_msgpack(data, 'id BIGINT, kind STRING')"))
+      .select("rec.id")
+      .writeStream.format("memory").queryName("t9").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("t9").collect().map(_.getLong(0)).toSeq === Seq(7L))
+    assert(RecordingShardService.calls.get() > 0,
+      "the named service implementation must be the one invoked")
+  }
+
   test("offsets serialize/deserialize stably (C1/C2 shape)") {
     val o = ShardOffsets(Map("shard-1" -> 5L, "shard-0" -> -1L))
     assert(o.json === """{"shard-0":-1,"shard-1":5}""")
     assert(ShardOffsets.fromJson(o.json) === o)
   }
+}
+
+/** A stand-in "real client": proves the `service` option swaps the
+  * implementation with no source changes (delegates to the in-memory
+  * state, counts invocations).
+  */
+object RecordingShardService extends graft.streaming.ShardService {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  override def listShards(stream: String): Seq[String] = {
+    calls.incrementAndGet(); FakeKinesisDelegate.listShards(stream)
+  }
+  override def latestSequence(stream: String, shard: String): Long = {
+    calls.incrementAndGet(); FakeKinesisDelegate.latestSequence(stream, shard)
+  }
+  override def getRecords(stream: String, shard: String, afterSeq: Long,
+                          limit: Int): Seq[graft.streaming.FakeKinesis.Rec] = {
+    calls.incrementAndGet(); FakeKinesisDelegate.getRecords(stream, shard, afterSeq, limit)
+  }
+  private val FakeKinesisDelegate = graft.streaming.FakeKinesis
 }
