@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{EventOps, Relational, TextAnalysis}
+import graft.operators.{EventOps, Relational, Similarity, TextAnalysis}
 
 /** Physical-plan assertions: the judge-facing scale properties — broadcast
   * joins where a side is small, pushed filters at the parquet scan, top-k
@@ -47,6 +47,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   test("semi/anti joins stay joins, not row-multiplying (q06/q07)") {
     assert(plan(Relational.activeCustomersBySegment(spark, sfDir)).contains("LeftSemi"))
     assert(plan(Relational.idleCustomersByNation(spark, sfDir)).contains("LeftAnti"))
+  }
+
+  test("exact pair search is block-grouped, never a corpus broadcast (q23)") {
+    val p = plan(Similarity.cosineNearDupPairs(spark, sfDir))
+    // the pair kernel runs inside shuffle groups keyed by block pair —
+    // no broadcast of vectors anywhere in the plan
+    assert(p.contains("MapGroups") || p.contains("FlatMapGroups"),
+      s"expected a grouped pair kernel:\n$p")
+    assert(!p.contains("BroadcastExchange"),
+      "the corpus must not be broadcast — that shape dies at 100 TB")
   }
 
   test("whole-stage codegen spans the hot path of the pricing summary") {
