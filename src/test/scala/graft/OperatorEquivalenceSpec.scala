@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Similarity, TextDedup}
+
+/** The bounded-state operators take tuning knobs (sketch size, block
+  * count, query chunk) whose non-default paths the oracle harness never
+  * exercises — the test corpus is small enough that one sketch/chunk/
+  * block covers it. These tests force the degraded/partitioned paths and
+  * assert bit-identical output, proving the bounds are lossless:
+  *
+  *  - a frequency sketch far smaller than the vocabulary must not change
+  *    q20 (any consistent total order keeps the prefix filter lossless);
+  *  - a block count that splits the corpus must not change q23 (each
+  *    pair is owned by exactly one block-pair group);
+  *  - a query chunk that splits the query set must not change q24 (each
+  *    query's top-k window is complete within its chunk).
+  */
+class OperatorEquivalenceSpec extends AnyFunSuite with SparkFixture {
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("q20 output is invariant to frequency-sketch size") {
+    val full = rowsOf(TextDedup.ngramJaccardPairs(spark, sfDir, freqSketchSize = 1 << 16))
+    val tiny = rowsOf(TextDedup.ngramJaccardPairs(spark, sfDir, freqSketchSize = 4))
+    assert(tiny === full)
+  }
+
+  test("q23 output is invariant to block count") {
+    val b16 = rowsOf(Similarity.cosineNearDupPairs(spark, sfDir, blocks = 16))
+    val b3 = rowsOf(Similarity.cosineNearDupPairs(spark, sfDir, blocks = 3))
+    val b1 = rowsOf(Similarity.cosineNearDupPairs(spark, sfDir, blocks = 1))
+    assert(b3 === b16)
+    assert(b1 === b16)
+  }
+
+  test("q24 output is invariant to query-chunk size") {
+    val whole = rowsOf(Similarity.annBruteForce(spark, sfDir, queryChunk = 512))
+    val split = rowsOf(Similarity.annBruteForce(spark, sfDir, queryChunk = 2))
+    assert(split === whole)
+  }
+}
