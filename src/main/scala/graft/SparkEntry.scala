@@ -205,7 +205,7 @@ object SparkEntry {
         |p AS (SELECT a.doc_id da, b.doc_id db, count(*) inter
         |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT p.da AS doc_a, p.db AS doc_b,
-        |  round(CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter), 6) AS jaccard
+        |  floor(CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         |FROM p JOIN n x ON p.da = x.doc_id JOIN n y ON p.db = y.doc_id
         |WHERE CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
@@ -224,7 +224,7 @@ object SparkEntry {
         |         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
         |j AS (SELECT da, db, len(list_intersect(x.hs, y.hs)) inter, len(x.hs) na, len(y.hs) nb
         |      FROM cand JOIN sh x ON cand.da = x.doc_id JOIN sh y ON cand.db = y.doc_id)
-        |SELECT da AS doc_a, db AS doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+        |SELECT da AS doc_a, db AS doc_b, floor(CAST(inter AS DOUBLE) / (na + nb - inter) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         |FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
 
     "q22_simhash_pairs" ->
@@ -245,7 +245,7 @@ object SparkEntry {
         |p AS (SELECT a.vec_id va, b.vec_id vb,
         |        list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]), (x, y) -> x + y) / (a.nrm * b.nrm) c
         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        |SELECT va AS vec_a, vb AS vec_b, round(c, 6) AS cosine FROM p WHERE c >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
+        |SELECT va AS vec_a, vb AS vec_b, floor(c * 1000000.0 + 0.5) / 1000000.0 AS cosine FROM p WHERE c >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
 
     "q24_ann_bruteforce" ->
       """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
@@ -255,7 +255,7 @@ object SparkEntry {
         |        list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y) / (n.nrm * q.qn) c
         |      FROM n, q WHERE n.vec_id <> q.query_id),
         |r AS (SELECT query_id, vec_id, c, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) rk FROM sc)
-        |SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id AS neighbor_id, round(c, 6) AS cosine
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id AS neighbor_id, floor(c * 1000000.0 + 0.5) / 1000000.0 AS cosine
         |FROM r WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin,
     // q25_ann_lsh: candidate recall is engine-specific by design → rows-only check.
 
@@ -280,8 +280,8 @@ object SparkEntry {
         |  CAST(list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)), (a, b) -> a + b) AS BIGINT) sumlen
         |  FROM t)
         |SELECT doc_id, ntok,
-        |  round(0.4 * (CAST(ndist AS DOUBLE) / ntok) + 0.3 * (1.0 - CAST(nstop AS DOUBLE) / ntok)
-        |    + 0.3 * least(CAST(sumlen AS DOUBLE) / ntok / 10.0, 1.0), 6) AS score
+        |  floor((0.4 * (CAST(ndist AS DOUBLE) / ntok) + 0.3 * (1.0 - CAST(nstop AS DOUBLE) / ntok)
+        |    + 0.3 * least(CAST(sumlen AS DOUBLE) / ntok / 10.0, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS score
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q28_token_stats" ->
@@ -357,7 +357,7 @@ object SparkEntry {
         |        list_reduce(list_transform(range(1, 65), i -> n.v[i] * p.qv[i]), (x, y) -> x + y) / (n.nrm * p.qn) AS c
         |       FROM probed p JOIN n ON p.label = n.label WHERE n.vec_id <> p.query_id),
         |r AS (SELECT query_id, vec_id, c, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) rk FROM sc)
-        |SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id AS neighbor_id, round(c, 6) AS cosine
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id AS neighbor_id, floor(c * 1000000.0 + 0.5) / 1000000.0 AS cosine
         |FROM r WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q36_event_cube" ->

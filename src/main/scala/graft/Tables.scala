@@ -16,6 +16,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** 6-decimal rounding as pure binary double ops — `round(x, 6)` is NOT
+    * portable across engines: Spark rounds the double's shortest decimal
+    * representation HALF_UP while DuckDB rounds the binary value, so a
+    * score landing on a .x5 boundary (seen at sf0.1: 0.5146875 ->
+    * 0.514688 vs 0.514687) hash-mismatches. floor(x*1e6 + 0.5)/1e6 is
+    * the same arithmetic in both engines, bit for bit; oracle SQL uses
+    * the literal formula.
+    */
+  def round6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{floor, lit}
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

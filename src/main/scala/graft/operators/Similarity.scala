@@ -76,7 +76,7 @@ object Similarity {
     }
     perChunk.reduce(_ unionAll _)
       .select($"query_id", $"rank".cast("long").as("rank"), $"neighbor_id",
-        round($"cosine", 6).as("cosine"))
+        graft.Tables.round6($"cosine").as("cosine"))
       .orderBy($"query_id", $"rank")
   }
 
@@ -127,7 +127,7 @@ object Similarity {
         out.flatten
       }.toDF("vec_a", "vec_b", "cosine")
     pairs
-      .select($"vec_a", $"vec_b", round($"cosine", 6).as("cosine"))
+      .select($"vec_a", $"vec_b", graft.Tables.round6($"cosine").as("cosine"))
       .orderBy($"vec_a", $"vec_b")
   }
 
@@ -179,7 +179,7 @@ object Similarity {
         Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)))
       .where($"rank" <= k)
       .select($"query_id", $"rank".cast("long").as("rank"), $"vec_id".as("neighbor_id"),
-        round($"cosine", 6).as("cosine"))
+        graft.Tables.round6($"cosine").as("cosine"))
       .orderBy($"query_id", $"rank")
   }
 
@@ -231,7 +231,7 @@ object Similarity {
         Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)))
       .where($"rank" <= k)
       .select($"query_id", $"rank".cast("long").as("rank"), $"vec_id".as("neighbor_id"),
-        round($"cosine", 6).as("cosine"))
+        graft.Tables.round6($"cosine").as("cosine"))
       .orderBy($"query_id", $"rank")
   }
 }

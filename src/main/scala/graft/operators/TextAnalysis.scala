@@ -96,8 +96,8 @@ object TextAnalysis {
       .withColumn("stop_ratio", $"nstop".cast("double") / $"ntok")
       .withColumn("avg_len", $"sumlen".cast("double") / $"ntok")
       .withColumn("score",
-        round(lit(0.4) * $"ttr" + lit(0.3) * (lit(1.0) - $"stop_ratio")
-          + lit(0.3) * least($"avg_len" / 10.0, lit(1.0)), 6))
+        graft.Tables.round6(lit(0.4) * $"ttr" + lit(0.3) * (lit(1.0) - $"stop_ratio")
+          + lit(0.3) * least($"avg_len" / 10.0, lit(1.0))))
       .select($"doc_id", $"ntok", $"score")
       .orderBy($"doc_id")
   }

@@ -198,7 +198,7 @@ object TextDedup {
           if (jac >= threshold) Iterator((a, b, jac)) else Iterator.empty
         }
       }.toDF("doc_a", "doc_b", "jac")
-      .select($"doc_a", $"doc_b", round($"jac", 6).as("jaccard"))
+      .select($"doc_a", $"doc_b", graft.Tables.round6($"jac").as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 
