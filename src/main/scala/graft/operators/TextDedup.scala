@@ -141,12 +141,37 @@ object TextDedup {
     * shingle-by-seed row explosion — and only (doc, band, key) rows ever
     * shuffle. Linear end to end, no all-pairs stage anywhere.
     */
+  /** The 32 md5-derived xor-permutation seeds shared by every minhash
+    * consumer (batch LSH detector, streaming ingest detector) — same
+    * seeds, same signatures, so estimates agree across surfaces.
+    */
+  private[graft] lazy val minhashSeeds: Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(32)(p => hash60Bytes(md, p.toString))
+  }
+
+  /** 32-hash minhash signature straight from text: hash each word-bigram
+    * shingle once and fold the xor-min per seed in place — no shingle-set
+    * materialization (duplicates cannot change a minimum). One pass, used
+    * by the streaming ingest detector.
+    */
+  private[graft] def minhashSignatureFromText(md: java.security.MessageDigest,
+                                              text: String): Array[Long] = {
+    val sig = Array.fill(32)(Long.MaxValue)
+    val toks = text.split(' ')
+    var i = 0
+    while (i + 1 < toks.length) {
+      val h = hash60Bytes(md, toks(i) + " " + toks(i + 1))
+      var p = 0
+      while (p < 32) { val v = h ^ minhashSeeds(p); if (v < sig(p)) sig(p) = v; p += 1 }
+      i += 1
+    }
+    sig
+  }
+
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     import s.implicits._
-    val seeds: Array[Long] = (0 until 32).map { p =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      hash60Bytes(md, p.toString)
-    }.toArray
+    val seeds = minhashSeeds
     val sh = hashedShingles(s, dir).cache()
     // signature + banding kernel: 32 xor-min folds over the shingle array
     // and 8 (doc, band, key) rows out per document — nothing else shuffles

@@ -66,6 +66,81 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming near-duplicate detection during ingest: each arriving
+    * document computes the same 32-hash minhash signature as the batch
+    * detector (`TextDedup.minhashLshPairs` — shared seeds, so estimates
+    * agree across surfaces), explodes to its 8 LSH band keys, and keyed
+    * state per (band, key) holds the signatures seen there. A new
+    * document is compared only against its band-mates — the banding bar
+    * is identical to the batch plan — and a pair is emitted when the
+    * signature-estimated Jaccard (fraction of agreeing minhashes, the
+    * unbiased estimator) clears the threshold.
+    *
+    * State is bounded: each band bucket expires once the event-time
+    * watermark passes its TTL, so the tables never grow with the stream —
+    * the live form of batch LSH dedup, for dropping near-dups at ingest
+    * instead of in a nightly pass. A pair agreeing on several bands emits
+    * once per band; run `dropDuplicates("doc_a","doc_b")` downstream
+    * (kept out of here so Append output stays stateless past this
+    * operator). `docs` needs (doc_id, ts, text) columns.
+    */
+  def nearDupStream(s: SparkSession, docs: DataFrame,
+                    threshold: Double = 0.8,
+                    watermarkDelay: String = "10 minutes",
+                    stateTtlMs: Long = 600000L): Dataset[(Long, Long, Double)] = {
+    import s.implicits._
+    import graft.operators.TextDedup
+    // band first, watermark after: the object-level kernel would strip
+    // the event-time attribute, so `ts` rides through the tuples and the
+    // watermark attaches directly under the stateful grouping
+    val banded = docs
+      .select(col("doc_id"), col("ts"), col("text"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, eventTs, text) =>
+          val sig = TextDedup.minhashSignatureFromText(md, text)
+          (0 until 8).iterator.map { b =>
+            (b, s"${sig(b * 4)},${sig(b * 4 + 1)},${sig(b * 4 + 2)},${sig(b * 4 + 3)}", id, sig, eventTs)
+          }
+        }
+      }
+      .toDF("band", "bkey", "doc_id", "sig", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Int, String, Long, Array[Long], java.sql.Timestamp)]
+    banded.groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState[List[(Long, Array[Long])], (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state: GroupState[List[(Long, Array[Long])]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+            var maxTs = Long.MinValue
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig, eventTs) =>
+              if (eventTs.getTime > maxTs) maxTs = eventTs.getTime
+              if (!seen.exists(_._1 == id)) { // re-delivery within the bucket: no self-pairs
+                seen.foreach { case (oid, osig) =>
+                  var eq = 0; var i = 0
+                  while (i < 32) { if (sig(i) == osig(i)) eq += 1; i += 1 }
+                  val est = eq / 32.0
+                  if (est >= threshold)
+                    out += ((math.min(id, oid), math.max(id, oid), est))
+                }
+                seen = (id, sig) :: seen
+              }
+            }
+            state.update(seen)
+            // the bucket dies TTL past its newest EVENT time (not the
+            // current watermark, which is still epoch-zero on batch 0);
+            // clamp above the watermark as the engine requires
+            state.setTimeoutTimestamp(
+              math.max(maxTs + stateTtlMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Custom keyed state: running per-user event counter + last-seen
     * timestamp via `flatMapGroupsWithState` — the engine's
     * arbitrary-stateful-processing extension point (the reference has no

@@ -113,6 +113,30 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     assert(ids === Seq(1L, 2L)) // each id exactly once
   }
 
+  test("streaming near-dup flags banded minhash matches across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")
+    val unrelated = (100 to 140).map(i => s"other$i").mkString(" ")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamOps.nearDupStream(spark,
+      in.toDF.toDF("doc_id", "ts", "text"), threshold = 0.8)
+    val q = out.toDF("doc_a", "doc_b", "est_jaccard").writeStream
+      .format("memory").queryName("neardup").outputMode("append").start()
+    in.addData((1L, ts("2024-01-05 10:00:00"), base),
+      (2L, ts("2024-01-05 10:00:30"), unrelated))
+    q.processAllAvailable()
+    in.addData((3L, ts("2024-01-05 10:01:00"), nearDup)) // later batch; matches doc 1 via state
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("neardup").as[(Long, Long, Double)].collect()
+      .toSet // a pair agreeing on several bands emits per band — dedupe
+    assert(pairs.map(p => (p._1, p._2)) === Set((1L, 3L)),
+      s"exactly the planted near-dup pair, got $pairs")
+    assert(pairs.forall(_._3 >= 0.8))
+  }
+
   test("flatMapGroupsWithState keeps running per-user counts") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
