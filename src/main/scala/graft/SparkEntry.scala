@@ -60,6 +60,8 @@ object SparkEntry {
     "q37_salted_agg" -> ((s, d) => EventOps.saltedAgg(s, d)),
     "q38_range_join" -> ((s, d) => EventOps.rangeJoinBuckets(s, d)),
     "q39_topk_agg" -> ((s, d) => EventOps.topkAgg(s, d)),
+    "q40_token_percentiles" -> ((s, d) => TextAnalysis.tokenPercentiles(s, d)),
+    "q41_event_pivot" -> ((s, d) => EventOps.eventTypePivot(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -387,5 +389,25 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) rk
         |  FROM events) t
         |WHERE rk <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    // dyadic quantile fractions over BIGINT counts: the linear
+    // interpolation is exact in binary, so quantile_cont reproduces
+    // Spark's percentile() bit-for-bit
+    "q40_token_percentiles" ->
+      """WITH t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) n_ws FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  quantile_cont(n_ws, 0.25) AS p25,
+        |  quantile_cont(n_ws, 0.5) AS p50,
+        |  quantile_cont(n_ws, 0.75) AS p75
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "q41_event_pivot" ->
+      """SELECT strftime(ts, '%Y%m%d') AS day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
   )
 }

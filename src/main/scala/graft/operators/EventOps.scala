@@ -252,6 +252,26 @@ object EventOps {
       .orderBy($"event_type".asc_nulls_first, $"user_bucket".asc_nulls_first)
   }
 
+  /** Pivot: day x event_type count matrix (the wide report shape).
+    * Values are pinned explicitly so the plan is one pass — Spark's
+    * value-discovering pivot would first run a distinct job, and an
+    * unpinned pivot on a high-cardinality column is a schema explosion at
+    * 100 TB. Missing cells coalesce to 0 to match the oracle's
+    * conditional-aggregation formulation.
+    */
+  def eventTypePivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = events(s, dir)
+      .withColumn("day", date_format($"ts", "yyyyMMdd"))
+      .groupBy($"day")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(pivoted)((df, t) =>
+        df.withColumn(s"n_$t", coalesce(col(t), lit(0L))).drop(t))
+      .orderBy($"day")
+  }
+
   /** Custom typed UDAF in action: exact top-k (value desc, id asc) per
     * event_type through `graft.functions.TopKAggregator` — a bounded
     * buffer that combines map-side, so only k rows per group per partition

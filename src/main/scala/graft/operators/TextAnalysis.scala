@@ -123,6 +123,27 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** Per-source token-count quantiles (p25/p50/p75): the corpus-profiling
+    * stage of a dataset card. Exact sort-based `percentile` — at 100 TB
+    * the one-pass `approx_percentile` sketch is the drop-in scale path
+    * (mergeable, bounded memory); exact is kept here because the oracle
+    * can reproduce it bit-for-bit: dyadic quantile fractions over integer
+    * counts make the interpolation arithmetic exact in binary, so both
+    * engines produce identical doubles.
+    */
+  def tokenPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .withColumn("n_ws", size(split($"text", " ")).cast("long"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        percentile($"n_ws", lit(0.25)).as("p25"),
+        percentile($"n_ws", lit(0.5)).as("p50"),
+        percentile($"n_ws", lit(0.75)).as("p75"))
+      .orderBy($"source")
+  }
+
   /** Document fingerprint: winnowing-style minimum 60-bit hash over word
     * 3-gram shingles (robust to reordering of distant content, stable under
     * identical prefixes). Emits (doc_id, fingerprint) plus the collision
