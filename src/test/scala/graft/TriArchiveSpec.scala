@@ -58,6 +58,25 @@ class TriArchiveSpec extends AnyFunSuite with SparkFixture {
       === Seq((1L, "a"), (2L, "b")))
   }
 
+  test("truncated tri file fails the read cleanly (no hang, no partial garbage)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tri_trunc").resolve("out").toString
+    Seq((1L, "a" * 200), (2L, "b" * 200), (3L, "c" * 200)).toDF("id", "s")
+      .coalesce(1).write.format("tri").save(dir)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tri")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    java.nio.file.Files.write(f.toPath, bytes.take(bytes.length / 2)) // cut mid-stream
+    val ex = intercept[Exception] {
+      spark.read.schema("id BIGINT, s STRING").format("tri").load(dir).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      c.isInstanceOf[graft.functions.MsgPackCodec.MsgPackException]
+        || c.isInstanceOf[java.io.IOException]),
+      s"expected a decode/IO failure, got ${causes(ex).map(_.getClass.getName)}")
+  }
+
   test("archive store + range read prunes partitions and orders") {
     import spark.implicits._
     val root = Files.createTempDirectory("tri_arch").toString
