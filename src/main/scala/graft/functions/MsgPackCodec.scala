@@ -32,44 +32,106 @@ object MsgPackCodec {
 
   // ---------------------------------------------------------------- encode
 
-  def encode(value: Any, dt: DataType): Array[Byte] = {
-    val out = new ByteArrayOutputStream(64)
-    write(out, value, dt)
-    out.toByteArray
+  /** Unsynchronized growable byte sink, reused per thread. Encoding runs
+    * once per row inside codegen'd projections; `ByteArrayOutputStream`
+    * (synchronized, byte-at-a-time) plus a fresh allocation per row was the
+    * dominant cost of the encode path at bench scale.
+    */
+  private final class ByteSink {
+    private var arr = new Array[Byte](1 << 10)
+    private var len = 0
+    def reset(): Unit = len = 0
+    private def ensure(n: Int): Unit =
+      if (len + n > arr.length) {
+        var cap = arr.length << 1
+        while (cap < len + n) cap <<= 1
+        arr = java.util.Arrays.copyOf(arr, cap)
+      }
+    def u8(b: Int): Unit = { ensure(1); arr(len) = b.toByte; len += 1 }
+    def u16(v: Int): Unit = {
+      ensure(2); arr(len) = (v >> 8).toByte; arr(len + 1) = v.toByte; len += 2
+    }
+    def u32(v: Int): Unit = {
+      ensure(4)
+      arr(len) = (v >> 24).toByte; arr(len + 1) = (v >> 16).toByte
+      arr(len + 2) = (v >> 8).toByte; arr(len + 3) = v.toByte
+      len += 4
+    }
+    def u64(v: Long): Unit = { u32((v >>> 32).toInt); u32(v.toInt) }
+    def bytes(b: Array[Byte]): Unit = {
+      ensure(b.length); System.arraycopy(b, 0, arr, len, b.length); len += b.length
+    }
+    def toByteArray: Array[Byte] = java.util.Arrays.copyOf(arr, len)
+    /** Don't pin a giant buffer to the thread after an outlier record. */
+    def trim(): Unit = if (arr.length > (1 << 20)) arr = new Array[Byte](1 << 10)
   }
 
-  private def write(out: ByteArrayOutputStream, value: Any, dt: DataType): Unit = {
-    if (value == null) { out.write(0xc0); return }
+  private val localSink: ThreadLocal[ByteSink] =
+    ThreadLocal.withInitial(() => new ByteSink)
+
+  /** Struct field names as UTF-8 bytes, cached per StructType *instance*
+    * (identity keys: expressions and readers pass the same DataType
+    * reference for every row, so the map stays a handful of entries).
+    * Shared by encode (key writing) and decode (key matching) — building
+    * `UTF8String.fromString(name).getBytes` or a field-index Map per row
+    * was a measurable hot-path allocation.
+    */
+  private val localFieldBytes
+      : ThreadLocal[java.util.IdentityHashMap[StructType, Array[Array[Byte]]]] =
+    ThreadLocal.withInitial(() => new java.util.IdentityHashMap[StructType, Array[Array[Byte]]])
+
+  private def fieldNameBytes(st: StructType): Array[Array[Byte]] = {
+    val cache = localFieldBytes.get()
+    var b = cache.get(st)
+    if (b == null) {
+      b = st.fields.map(f => f.name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      cache.put(st, b)
+    }
+    b
+  }
+
+  def encode(value: Any, dt: DataType): Array[Byte] = {
+    val out = localSink.get()
+    out.reset()
+    write(out, value, dt)
+    val r = out.toByteArray
+    out.trim()
+    r
+  }
+
+  private def write(out: ByteSink, value: Any, dt: DataType): Unit = {
+    if (value == null) { out.u8(0xc0); return }
     dt match {
-      case BooleanType => out.write(if (value.asInstanceOf[Boolean]) 0xc3 else 0xc2)
+      case BooleanType => out.u8(if (value.asInstanceOf[Boolean]) 0xc3 else 0xc2)
       case ByteType => writeLong(out, value.asInstanceOf[Byte].toLong)
       case ShortType => writeLong(out, value.asInstanceOf[Short].toLong)
       case IntegerType => writeLong(out, value.asInstanceOf[Int].toLong)
       case LongType => writeLong(out, value.asInstanceOf[Long])
       case FloatType =>
-        out.write(0xca); writeBytes(out, ByteBuffer.allocate(4).putFloat(value.asInstanceOf[Float]).array())
+        out.u8(0xca); out.u32(java.lang.Float.floatToIntBits(value.asInstanceOf[Float]))
       case DoubleType =>
-        out.write(0xcb); writeBytes(out, ByteBuffer.allocate(8).putDouble(value.asInstanceOf[Double]).array())
+        out.u8(0xcb); out.u64(java.lang.Double.doubleToLongBits(value.asInstanceOf[Double]))
       case StringType => writeStr(out, value.asInstanceOf[UTF8String].getBytes)
       case BinaryType =>
         val b = value.asInstanceOf[Array[Byte]]
-        if (b.length < 256) { out.write(0xc4); out.write(b.length) }
-        else if (b.length < 65536) { out.write(0xc5); writeShortLen(out, b.length) }
-        else { out.write(0xc6); writeIntLen(out, b.length) }
-        writeBytes(out, b)
+        if (b.length < 256) { out.u8(0xc4); out.u8(b.length) }
+        else if (b.length < 65536) { out.u8(0xc5); out.u16(b.length) }
+        else { out.u8(0xc6); out.u32(b.length) }
+        out.bytes(b)
       case TimestampType =>
         // ext type -1, timestamp96: uint32 nanoseconds + int64 seconds
         val us = value.asInstanceOf[Long]
         val sec = Math.floorDiv(us, 1000000L)
         val nsec = Math.floorMod(us, 1000000L) * 1000L
-        out.write(0xc7); out.write(12); out.write(0xff)
-        writeBytes(out, ByteBuffer.allocate(12).putInt(nsec.toInt).putLong(sec).array())
+        out.u8(0xc7); out.u8(12); out.u8(0xff)
+        out.u32(nsec.toInt); out.u64(sec)
       case st: StructType =>
         val row = value.asInstanceOf[InternalRow]
+        val names = fieldNameBytes(st)
         writeMapHeader(out, st.length)
         var i = 0
         while (i < st.length) {
-          writeStr(out, UTF8String.fromString(st(i).name).getBytes)
+          writeStr(out, names(i))
           write(out, if (row.isNullAt(i)) null else row.get(i, st(i).dataType), st(i).dataType)
           i += 1
         }
@@ -86,46 +148,38 @@ object MsgPackCodec {
       case ArrayType(et, _) =>
         val arr = value.asInstanceOf[ArrayData]
         val n = arr.numElements()
-        if (n < 16) out.write(0x90 | n)
-        else if (n < 65536) { out.write(0xdc); writeShortLen(out, n) }
-        else { out.write(0xdd); writeIntLen(out, n) }
+        if (n < 16) out.u8(0x90 | n)
+        else if (n < 65536) { out.u8(0xdc); out.u16(n) }
+        else { out.u8(0xdd); out.u32(n) }
         var i = 0
         while (i < n) { write(out, if (arr.isNullAt(i)) null else arr.get(i, et), et); i += 1 }
-      case NullType => out.write(0xc0)
+      case NullType => out.u8(0xc0)
       case other => throw new MsgPackException(s"unsupported encode type: $other")
     }
   }
 
-  private def writeLong(out: ByteArrayOutputStream, v: Long): Unit = {
-    if (v >= 0 && v < 128) out.write(v.toInt)
-    else if (v < 0 && v >= -32) out.write(0xe0 | (v.toInt & 0x1f))
-    else if (v >= Byte.MinValue && v <= Byte.MaxValue) { out.write(0xd0); out.write(v.toInt) }
-    else if (v >= Short.MinValue && v <= Short.MaxValue) { out.write(0xd1); writeShortLen(out, v.toInt) }
-    else if (v >= Int.MinValue && v <= Int.MaxValue) { out.write(0xd2); writeIntLen(out, v.toInt) }
-    else { out.write(0xd3); writeBytes(out, ByteBuffer.allocate(8).putLong(v).array()) }
+  private def writeLong(out: ByteSink, v: Long): Unit = {
+    if (v >= 0 && v < 128) out.u8(v.toInt)
+    else if (v < 0 && v >= -32) out.u8(0xe0 | (v.toInt & 0x1f))
+    else if (v >= Byte.MinValue && v <= Byte.MaxValue) { out.u8(0xd0); out.u8(v.toInt) }
+    else if (v >= Short.MinValue && v <= Short.MaxValue) { out.u8(0xd1); out.u16(v.toInt) }
+    else if (v >= Int.MinValue && v <= Int.MaxValue) { out.u8(0xd2); out.u32(v.toInt) }
+    else { out.u8(0xd3); out.u64(v) }
   }
 
-  private def writeStr(out: ByteArrayOutputStream, b: Array[Byte]): Unit = {
-    if (b.length < 32) out.write(0xa0 | b.length)
-    else if (b.length < 256) { out.write(0xd9); out.write(b.length) }
-    else if (b.length < 65536) { out.write(0xda); writeShortLen(out, b.length) }
-    else { out.write(0xdb); writeIntLen(out, b.length) }
-    writeBytes(out, b)
+  private def writeStr(out: ByteSink, b: Array[Byte]): Unit = {
+    if (b.length < 32) out.u8(0xa0 | b.length)
+    else if (b.length < 256) { out.u8(0xd9); out.u8(b.length) }
+    else if (b.length < 65536) { out.u8(0xda); out.u16(b.length) }
+    else { out.u8(0xdb); out.u32(b.length) }
+    out.bytes(b)
   }
 
-  private def writeMapHeader(out: ByteArrayOutputStream, n: Int): Unit = {
-    if (n < 16) out.write(0x80 | n)
-    else if (n < 65536) { out.write(0xde); writeShortLen(out, n) }
-    else { out.write(0xdf); writeIntLen(out, n) }
+  private def writeMapHeader(out: ByteSink, n: Int): Unit = {
+    if (n < 16) out.u8(0x80 | n)
+    else if (n < 65536) { out.u8(0xde); out.u16(n) }
+    else { out.u8(0xdf); out.u32(n) }
   }
-
-  private def writeShortLen(out: ByteArrayOutputStream, v: Int): Unit = {
-    out.write((v >> 8) & 0xff); out.write(v & 0xff)
-  }
-  private def writeIntLen(out: ByteArrayOutputStream, v: Int): Unit = {
-    out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff); out.write((v >> 8) & 0xff); out.write(v & 0xff)
-  }
-  private def writeBytes(out: ByteArrayOutputStream, b: Array[Byte]): Unit = out.write(b, 0, b.length)
 
   // ---------------------------------------------------------------- decode
 
@@ -353,33 +407,64 @@ object MsgPackCodec {
       case st: StructType =>
         val n = sane(buf, mapLen(buf, tag))
         val values = new Array[Any](st.length)
-        val idx = st.fieldNames.zipWithIndex.toMap
+        val names = fieldNameBytes(st)
         var i = 0
         while (i < n) {
-          val key = UTF8String.fromBytes(buf.raw(strLen(buf, buf.u8()))).toString
-          idx.get(key) match {
-            case Some(fi) => values(fi) = read(buf, st(fi).dataType)
-            case None => skip(buf) // unknown field: ignore (schemaless producers)
+          // match the key bytes against the cached field-name bytes with a
+          // rotated linear scan starting at position i: producers writing
+          // fields in schema order hit on the first probe, and no String or
+          // Map materializes per row
+          val key = buf.raw(strLen(buf, buf.u8()))
+          var fi = -1
+          var probe = 0
+          while (probe < names.length && fi < 0) {
+            val cand = (i + probe) % names.length
+            if (java.util.Arrays.equals(names(cand), key)) fi = cand
+            probe += 1
           }
+          if (fi >= 0) values(fi) = read(buf, st(fi).dataType)
+          else skip(buf) // unknown field: ignore (schemaless producers)
           i += 1
         }
         new GenericInternalRow(values)
       case MapType(StringType, vt, _) =>
         val n = sane(buf, mapLen(buf, tag))
-        val keys = new Array[Any](n); val vals = new Array[Any](n)
-        var i = 0
-        while (i < n) {
-          keys(i) = UTF8String.fromBytes(buf.raw(strLen(buf, buf.u8())))
-          vals(i) = read(buf, vt)
-          i += 1
+        if (n <= streamPrealloc(buf)) {
+          val keys = new Array[Any](n); val vals = new Array[Any](n)
+          var i = 0
+          while (i < n) {
+            keys(i) = UTF8String.fromBytes(buf.raw(strLen(buf, buf.u8())))
+            vals(i) = read(buf, vt)
+            i += 1
+          }
+          ArrayBasedMapData(keys, vals)
+        } else {
+          // unbounded stream + giant declared count: grow incrementally so a
+          // corrupt map32 header EOFs after a few elements instead of
+          // reserving count-many slots up front (see `sane`)
+          val keys = new scala.collection.mutable.ArrayBuffer[Any]
+          val vals = new scala.collection.mutable.ArrayBuffer[Any]
+          var i = 0
+          while (i < n) {
+            keys += UTF8String.fromBytes(buf.raw(strLen(buf, buf.u8())))
+            vals += read(buf, vt)
+            i += 1
+          }
+          ArrayBasedMapData(keys.toArray, vals.toArray)
         }
-        ArrayBasedMapData(keys, vals)
       case ArrayType(et, _) =>
         val n = sane(buf, arrLen(buf, tag))
-        val values = new Array[Any](n)
-        var i = 0
-        while (i < n) { values(i) = read(buf, et); i += 1 }
-        new GenericArrayData(values)
+        if (n <= streamPrealloc(buf)) {
+          val values = new Array[Any](n)
+          var i = 0
+          while (i < n) { values(i) = read(buf, et); i += 1 }
+          new GenericArrayData(values)
+        } else {
+          val values = new scala.collection.mutable.ArrayBuffer[Any]
+          var i = 0
+          while (i < n) { values += read(buf, et); i += 1 }
+          new GenericArrayData(values.toArray)
+        }
       case other => throw new MsgPackException(s"unsupported decode type: $other")
     }
   }
@@ -390,7 +475,16 @@ object MsgPackCodec {
     case 0xcc => buf.u8().toLong
     case 0xcd => (buf.i16() & 0xffff).toLong
     case 0xce => buf.i32().toLong & 0xffffffffL
-    case 0xcf => buf.i64() // uint64 > Long.MaxValue wraps; reference maps to uint64 anyway
+    case 0xcf =>
+      // uint64 policy: a value above Long.MaxValue has no faithful LongType
+      // representation — error (→ null on the PERMISSIVE expression path,
+      // i.e. dead-lettered) rather than silently wrapping negative. The
+      // reference inherits whatever its msgpack library does
+      // (`/root/reference/triton/stream_reader.go:173`); we make the
+      // out-of-range case an explicit decode failure.
+      val v = buf.i64()
+      if (v < 0) throw new MsgPackException("uint64 value exceeds Long.MaxValue")
+      v
     case 0xd0 => buf.u8().toByte.toLong
     case 0xd1 => buf.i16().toLong
     case 0xd2 => buf.i32().toLong
@@ -442,14 +536,24 @@ object MsgPackCodec {
   /** Guard container counts from corrupt input before allocating: every
     * element costs >= 1 byte, so a count beyond the remaining bytes is
     * garbage — fail fast instead of OOMing the executor on the dead-letter
-    * path. (Streams have no knowable bound; their raw reads grow in
-    * bounded chunks instead.)
+    * path. Streams have no knowable bound (`remainingBound` is
+    * Int.MaxValue), so there the count alone is never trusted: container
+    * reads above `streamPrealloc` grow incrementally and a corrupt count
+    * EOFs after the real elements run out, bounding memory by actual
+    * input, and raw byte reads grow in bounded chunks.
     */
   private def sane(buf: MsgIn, n: Int): Int = {
     if (n < 0 || n > buf.remainingBound)
       throw new MsgPackException(s"container count $n exceeds remaining ${buf.remainingBound} bytes")
     n
   }
+
+  /** Elements worth pre-allocating for a declared container count: buffers
+    * are already guarded by `sane` (count <= remaining bytes), streams cap
+    * preallocation at 64k elements and grow beyond that.
+    */
+  private def streamPrealloc(buf: MsgIn): Int =
+    if (buf.remainingBound == Int.MaxValue) 1 << 16 else Int.MaxValue
 
   /** Skip one value of any type (unknown struct fields). */
   private def skip(buf: MsgIn): Unit = {

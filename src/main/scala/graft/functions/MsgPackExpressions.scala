@@ -44,6 +44,9 @@ case class FromMsgPack(child: Expression, targetType: DataType)
     val dtRef = ctx.addReferenceObj("mpType", targetType, classOf[DataType].getName)
     val childGen = child.genCode(ctx)
     val decoded = ctx.freshName("mpDecoded")
+    // fresh catch parameter: a literal `e` could shadow an enclosing
+    // generated local, which Janino rejects (breaking whole-stage compile)
+    val err = ctx.freshName("mpErr")
     val javaType = CodeGenerator.javaType(dataType)
     val boxed = CodeGenerator.boxedType(dataType)
     ev.copy(code = code"""
@@ -54,7 +57,7 @@ case class FromMsgPack(child: Expression, targetType: DataType)
         Object $decoded = null;
         try {
           $decoded = graft.functions.MsgPackCodec.decode(${childGen.value}, $dtRef);
-        } catch (Exception e) {
+        } catch (Exception $err) {
           $decoded = null;
         }
         if ($decoded != null) {

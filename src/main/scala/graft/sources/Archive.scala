@@ -56,15 +56,45 @@ object Archive {
     * client predicates prune partitions (no data read outside the range),
     * single-client invariant enforced like the reference's mixed-client
     * error (`store_reader.go:90-99`).
+    *
+    * The invariant check is metadata-only: the reference enforces it while
+    * *listing* keys, so here it reads the `date=`/`client=` partition
+    * directory names — never a data-touching Spark job. At 100 TB that is
+    * one listing per in-range date directory instead of a full-range scan
+    * before every query.
     */
   def read(spark: SparkSession, root: String, client: String,
            startDate: String, endDate: String): DataFrame = {
+    val clients = listClients(spark, root, startDate, endDate)
+      .filter(c => client.isEmpty || c == client)
+    if (clients.size > 1)
+      throw new IllegalStateException(
+        s"mixed clients in archive range: ${clients.toSeq.sorted.mkString(",")}")
     val df = spark.read.format("tri").load(root)
       .where(col("date") >= startDate && col("date") <= endDate)
-    val filtered = if (client.nonEmpty) df.where(col("client") === client) else df
-    val clients = filtered.select("client").distinct().collect().map(_.getString(0))
-    if (clients.length > 1)
-      throw new IllegalStateException(s"mixed clients in archive range: ${clients.sorted.mkString(",")}")
-    filtered
+    if (client.nonEmpty) df.where(col("client") === client) else df
+  }
+
+  /** Distinct `client` partition values present in [startDate, endDate],
+    * from the directory layout alone (`date=YYYYMMDD/client=<c>/`).
+    */
+  private def listClients(spark: SparkSession, root: String,
+                          startDate: String, endDate: String): Set[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def partValue(name: String, col: String): Option[String] =
+      if (name.startsWith(col + "=")) Some(
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(name.substring(col.length + 1)))
+      else None
+    fs.listStatus(rootPath).iterator
+      .filter(_.isDirectory)
+      .flatMap(d => partValue(d.getPath.getName, "date").map(_ -> d.getPath))
+      .filter { case (date, _) => date >= startDate && date <= endDate }
+      .flatMap { case (_, dateDir) =>
+        fs.listStatus(dateDir).iterator.filter(_.isDirectory)
+          .flatMap(c => partValue(c.getPath.getName, "client"))
+      }
+      .toSet
   }
 }

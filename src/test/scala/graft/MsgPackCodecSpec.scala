@@ -191,6 +191,43 @@ class MsgPackCodecSpec extends AnyFunSuite {
     assertThrows[MsgPackCodec.MsgPackException](it.next())
   }
 
+  test("uint64 above Long.MaxValue is a decode error, not a negative wrap") {
+    val dt = StructType(Seq(StructField("v", LongType)))
+    def rec(hi: Long): Array[Byte] = {
+      // fixmap{1} "v" -> uint64 <hi>
+      val bb = java.nio.ByteBuffer.allocate(1 + 2 + 9)
+      bb.put(0x81.toByte).put(0xa1.toByte).put('v'.toByte).put(0xcf.toByte).putLong(hi)
+      bb.array()
+    }
+    // Long.MaxValue itself is representable and decodes
+    assert(MsgPackCodec.decode(rec(Long.MaxValue), dt)
+      .asInstanceOf[GenericInternalRow].getLong(0) === Long.MaxValue)
+    // Long.MaxValue + 1 (raw bits: sign bit set) errors...
+    assertThrows[MsgPackCodec.MsgPackException](MsgPackCodec.decode(rec(Long.MinValue), dt))
+    // ...which is the dead-letter (null) path through from_msgpack
+    val spark = SparkFixture.session
+    import spark.implicits._
+    val out = Seq(rec(Long.MinValue), rec(7L)).toDF("bin")
+      .selectExpr("from_msgpack(bin, 'v BIGINT') AS r")
+      .select("r.v").as[java.lang.Long].collect()
+    assert(out.toSet === Set(null, java.lang.Long.valueOf(7L)))
+  }
+
+  test("corrupt container count on a stream EOFs instead of allocating count slots") {
+    // array32 declaring ~2^31 elements followed by only 3 real ones: the
+    // stream path cannot bound-check the count up front, so it must grow
+    // incrementally and fail at EOF — not reserve 2^31 slots (OOM)
+    val bomb = Array[Byte](0xdd.toByte, 0x7f, -1, -1, -1, 1, 2, 3)
+    val it = MsgPackCodec.decodeStream(
+      new java.io.ByteArrayInputStream(bomb), ArrayType(LongType))
+    assertThrows[MsgPackCodec.MsgPackException](it.next())
+    // same for map32
+    val mapBomb = Array[Byte](0xdf.toByte, 0x7f, -1, -1, -1, 0xa1.toByte, 'k'.toByte, 1)
+    val mit = MsgPackCodec.decodeStream(
+      new java.io.ByteArrayInputStream(mapBomb), MapType(StringType, LongType))
+    assertThrows[MsgPackCodec.MsgPackException](mit.next())
+  }
+
   test("schema inference maps tags to Spark types") {
     val st = StructType(Seq(StructField("s", StringType), StructField("n", LongType),
       StructField("d", DoubleType), StructField("ts", TimestampType),

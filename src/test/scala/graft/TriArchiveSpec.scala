@@ -93,6 +93,29 @@ class TriArchiveSpec extends AnyFunSuite with SparkFixture {
     assert(in.rdd.getNumPartitions <= 2)
   }
 
+  test("Archive.read plans without running any Spark job (metadata-only invariant check)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("tri_meta").toString
+    val ev = Seq((1L, "2024-01-05 10:00:00", 1.0), (2L, "2024-01-06 10:00:00", 2.0))
+      .toDF("event_id", "ts", "value").withColumn("ts", to_timestamp($"ts"))
+    Archive.store(ev, root, "clientA")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Archive.read(spark, root, "clientA", "20240101", "20241231")
+      Thread.sleep(200) // let any async job-start events drain
+      // the single-client check must come from the partition directory
+      // listing, not a data-touching distinct() job (reference enforces it
+      // at listing time, store_reader.go:90-99)
+      assert(jobs.get() === 0, s"Archive.read ran ${jobs.get()} Spark job(s) before any action")
+      assert(df.count() === 2) // the data itself is intact
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("mixed clients in a range raise (reference single-client invariant)") {
     import spark.implicits._
     val root = Files.createTempDirectory("tri_mixed").toString
