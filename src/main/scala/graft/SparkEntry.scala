@@ -62,6 +62,8 @@ object SparkEntry {
     "q39_topk_agg" -> ((s, d) => EventOps.topkAgg(s, d)),
     "q40_token_percentiles" -> ((s, d) => TextAnalysis.tokenPercentiles(s, d)),
     "q41_event_pivot" -> ((s, d) => EventOps.eventTypePivot(s, d)),
+    "q42_cosine_neardup_lsh" -> ((s, d) => Similarity.cosineNearDupLsh(s, d)),
+    "q43_stream_hourly" -> ((s, d) => graft.streaming.StreamOps.hourlyCountsStreamed(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -400,6 +402,37 @@ object SparkEntry {
         |  quantile_cont(n_ws, 0.5) AS p50,
         |  quantile_cont(n_ws, 0.75) AS p75
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // q42: the LSH candidate generation is deterministic md5 arithmetic,
+    // so the oracle reproduces the exact same hyperplanes, signatures,
+    // bands, candidate pairs, and cosines — a full hash-match check of the
+    // banded near-dup path (not just rows).
+    "q42_cosine_neardup_lsh" ->
+      """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) nrm FROM vv),
+        |planes AS (SELECT r.p, list_transform(range(0, 64), i ->
+        |    CAST(CAST(concat('0x', substr(md5(CAST(r.p AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000 AS DOUBLE) / 1000.0) w
+        |  FROM range(16) r(p)),
+        |sigs AS (SELECT n.vec_id,
+        |    CAST(sum(CASE WHEN list_reduce(list_transform(range(1, 65), i -> n.v[i] * pl.w[i]), (a, b) -> a + b) >= 0
+        |             THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM n, planes pl GROUP BY n.vec_id),
+        |band AS (SELECT vec_id, r.b AS band, (sig >> (r.b * 4)) & 15 AS bkey FROM sigs, range(4) r(b)),
+        |cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb FROM band a JOIN band b
+        |         ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+        |p AS (SELECT va, vb,
+        |        list_reduce(list_transform(range(1, 65), i -> x.v[i] * y.v[i]), (a, b) -> a + b) / (x.nrm * y.nrm) c
+        |      FROM cand JOIN n x ON va = x.vec_id JOIN n y ON vb = y.vec_id)
+        |SELECT va AS vec_a, vb AS vec_b, floor(c * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        |FROM p WHERE c >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
+
+    // q43: the streaming query's result must equal the batch GROUP BY —
+    // stream/batch agreement is the correctness claim, so the oracle is
+    // the plain batch formulation.
+    "q43_stream_hourly" ->
+      """SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS window_epoch,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

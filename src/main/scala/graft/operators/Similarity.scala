@@ -53,13 +53,20 @@ object Similarity {
   def annBruteForce(s: SparkSession, dir: String, k: Int = 5,
                     queryChunk: Int = 512): DataFrame = {
     import s.implicits._
-    val vecs = vecDs(s, dir)
-    val nQueries = vecs.filter(_._1 % 100 == 0).count()
-    val nChunks = math.max(1L, (nQueries + queryChunk - 1) / queryChunk).toInt
-    val perChunk = (0 until nChunks).map { c =>
-      val queries = vecs
-        .filter(t => t._1 % 100 == 0 && math.floorMod(t._1 / 100, nChunks) == c)
-        .collect()
+    // cache the corpus: the chunk loop would otherwise rescan the parquet
+    // for every per-chunk collect AND every scoring pass (2·chunks scans);
+    // cached, the file is read once and spills to executor storage if the
+    // corpus outgrows memory
+    val vecs = vecDs(s, dir).cache()
+    // collect query IDS only (8 bytes each — the vectors stay distributed)
+    // and chunk by rank in the sorted id list: each broadcast is genuinely
+    // bounded by queryChunk whatever the id distribution (chunking by
+    // id arithmetic only bounded it for dense ids), and the count() job
+    // the old shape needed is gone
+    val queryIds = vecs.filter(_._1 % 100 == 0).map(_._1).collect().sorted
+    val perChunk = queryIds.grouped(queryChunk).toSeq.map { ids =>
+      val idSet = ids.toSet
+      val queries = vecs.filter(t => idSet.contains(t._1)).collect()
       val bq = s.sparkContext.broadcast(queries)
       val scored = vecs.mapPartitions { it =>
         val qs = bq.value
@@ -191,25 +198,43 @@ object Similarity {
     * equi-join is the plan that survives 100 TB: signatures are 2 bytes a
     * row and candidates per query stay near-constant.
     */
-  def annLsh(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  /** 16 deterministic md5-derived hyperplanes (weights in [-1, 1]) — shared
+    * by `annLsh` and `cosineNearDupLsh`, and reproduced verbatim by the
+    * q42 DuckDB oracle (same hash→weight arithmetic, same index-order dot
+    * fold, so the signatures agree bit-for-bit across engines).
+    */
+  private def lshPlanes(): Array[Array[Double]] = Array.tabulate(16, 64) { (p, i) =>
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p#$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.take(15), 16) % 2001 - 1000) / 1000.0
+  }
+
+  /** (vec_id, v, nrm, sig): each vector's 16-bit sign signature. */
+  private def lshSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val planes: Array[Array[Double]] = Array.tabulate(16, 64) { (p, i) =>
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$p#$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
-      (java.lang.Long.parseLong(hex.take(15), 16) % 2001 - 1000) / 1000.0
-    }
-    val bPlanes = s.sparkContext.broadcast(planes)
-    val sigs = vecDs(s, dir).mapPartitions { it =>
+    val bPlanes = s.sparkContext.broadcast(lshPlanes())
+    vecDs(s, dir).mapPartitions { it =>
       val ps = bPlanes.value
       it.map { case (id, v, n) =>
         var sig = 0; var p = 0
         while (p < ps.length) { if (dot(v, ps(p)) >= 0) sig |= 1 << p; p += 1 }
         (id, v, n, sig)
       }
-    }.toDF("vec_id", "v", "nrm", "sig").cache()
-    val bands = sigs.select($"vec_id", explode(sequence(lit(0), lit(3))).as("band"), $"sig")
+    }.toDF("vec_id", "v", "nrm", "sig")
+  }
+
+  /** vec_id → its 4 LSH band keys (4 bits each). */
+  private def lshBands(s: SparkSession, sigs: DataFrame): DataFrame = {
+    import s.implicits._
+    sigs.select($"vec_id", explode(sequence(lit(0), lit(3))).as("band"), $"sig")
       .withColumn("bkey", expr("(sig >> (band * 4)) & 15"))
       .select($"vec_id", $"band", $"bkey")
+  }
+
+  def annLsh(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val sigs = lshSigs(s, dir).cache()
+    val bands = lshBands(s, sigs)
     // the query side is ~1% of the corpus — plain equi-joins, no broadcast
     // hint: AQE broadcasts when it fits and falls back to shuffle when the
     // query set itself outgrows an executor (it scales with the corpus)
@@ -233,5 +258,46 @@ object Similarity {
       .select($"query_id", $"rank".cast("long").as("rank"), $"vec_id".as("neighbor_id"),
         graft.Tables.round6($"cosine").as("cosine"))
       .orderBy($"query_id", $"rank")
+  }
+
+  /** Candidate-fed exact near-dup — the default scale path for genuinely
+    * near-duplicate thresholds (the in-code prescription of
+    * `cosineNearDupPairs`, made executable): candidate pairs are vectors
+    * sharing >= 1 of the 4 LSH bands, and only candidates reach the exact
+    * cosine kernel. Compare work scales with candidate count (near-linear
+    * when near-dups are rare) instead of the all-pairs quadratic; the
+    * banded equi-join + kernel verify is the same plan family as the
+    * minhash/simhash detectors.
+    *
+    * Unlike `annLsh`'s top-k (whose recall is engine-specific), this IS
+    * oracle-checkable: the hyperplanes are deterministic md5 arithmetic,
+    * so the oracle reproduces the exact candidate set and the exact
+    * cosines. Candidates below the banding bar are missed on both sides
+    * identically — recall vs the exhaustive `cosineNearDupPairs` is the
+    * documented trade (high-cosine pairs agree on many sign bits, so
+    * recall climbs toward 1 as the threshold does).
+    */
+  def cosineNearDupLsh(s: SparkSession, dir: String,
+                       threshold: Double = 0.45): DataFrame = {
+    import s.implicits._
+    val sigs = lshSigs(s, dir).cache()
+    val bands = lshBands(s, sigs)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(sigs.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na")), "vec_a")
+      .join(sigs.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nb")), "vec_b")
+      .select($"vec_a", $"vec_b", $"va", $"na", $"vb", $"nb")
+      .as[(Long, Long, Array[Double], Double, Array[Double], Double)]
+      .mapPartitions(_.flatMap { case (a, b, va, na, vb, nb) =>
+        val c = dot(va, vb) / (na * nb)
+        if (c >= threshold) Iterator((a, b, c)) else Iterator.empty
+      })
+      .toDF("vec_a", "vec_b", "cosine")
+      .select($"vec_a", $"vec_b", graft.Tables.round6($"cosine").as("cosine"))
+      .orderBy($"vec_a", $"vec_b")
   }
 }

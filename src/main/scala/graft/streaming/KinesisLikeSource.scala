@@ -179,9 +179,12 @@ private class ShardReader(p: ShardPartition) extends PartitionReader[InternalRow
       if (recs.isEmpty) exhausted = true
       else {
         cursor = recs.last.sequenceNumber
-        // a short page means the backlog is drained; reaching toSeq means
-        // the rest of the stream belongs to a later micro-batch
-        if (recs.size < p.maxRecordsPerFetch || cursor >= p.toSeq) exhausted = true
+        // only an EMPTY page (or passing toSeq) means drained: a real
+        // GetRecords may return fewer records than the limit while more
+        // remain, so a short page just means "fetch again" — treating it
+        // as exhaustion would silently skip records in (cursor, toSeq]
+        // that the committed offset then claims were consumed
+        if (cursor >= p.toSeq) exhausted = true
         page = recs.iterator.filter(_.sequenceNumber <= p.toSeq)
       }
     }

@@ -18,6 +18,12 @@ trait ShardService extends Serializable {
   /** Up to `limit` records of `shard` strictly after `afterSeq`
     * (-1 = trim horizon), in sequence order. May throw a retryable
     * throttling error ([[FakeKinesis.ThrottledException]]).
+    *
+    * A SHORT page carries no meaning: implementations may legitimately
+    * return fewer than `limit` records while more remain (real Kinesis
+    * GetRecords does). Only an EMPTY result means the backlog after
+    * `afterSeq` is drained — the reader keeps fetching until it sees one
+    * or passes its batch-end sequence.
     */
   def getRecords(stream: String, shard: String, afterSeq: Long, limit: Int): Seq[FakeKinesis.Rec]
 }

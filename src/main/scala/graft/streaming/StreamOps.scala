@@ -87,7 +87,8 @@ object StreamOps {
   def nearDupStream(s: SparkSession, docs: DataFrame,
                     threshold: Double = 0.8,
                     watermarkDelay: String = "10 minutes",
-                    stateTtlMs: Long = 600000L): Dataset[(Long, Long, Double)] = {
+                    stateTtlMs: Long = 600000L,
+                    maxPerBucket: Int = 1 << 16): Dataset[(Long, Long, Double)] = {
     import s.implicits._
     import graft.operators.TextDedup
     // band first, watermark after: the object-level kernel would strip
@@ -109,17 +110,21 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .as[(Int, String, Long, Array[Long], java.sql.Timestamp)]
     banded.groupByKey(t => (t._1, t._2))
-      .flatMapGroupsWithState[List[(Long, Array[Long])], (Long, Long, Double)](
+      .flatMapGroupsWithState[Map[Long, Array[Long]], (Long, Long, Double)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_, rows, state: GroupState[List[(Long, Array[Long])]]) =>
+        (_, rows, state: GroupState[Map[Long, Array[Long]]]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var seen = state.getOption.getOrElse(Nil)
+            // doc_id-keyed map: O(1) membership per arrival — a hot band
+            // bucket (skewed near-dup cluster) made the old linear-list
+            // `exists` quadratic within a TTL window. The signature compare
+            // against all band-mates IS the operator's work and stays O(n).
+            var seen = state.getOption.getOrElse(Map.empty[Long, Array[Long]])
             val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
             var maxTs = Long.MinValue
             rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig, eventTs) =>
               if (eventTs.getTime > maxTs) maxTs = eventTs.getTime
-              if (!seen.exists(_._1 == id)) { // re-delivery within the bucket: no self-pairs
+              if (!seen.contains(id)) { // re-delivery within the bucket: no self-pairs
                 seen.foreach { case (oid, osig) =>
                   var eq = 0; var i = 0
                   while (i < 32) { if (sig(i) == osig(i)) eq += 1; i += 1 }
@@ -127,7 +132,12 @@ object StreamOps {
                   if (est >= threshold)
                     out += ((math.min(id, oid), math.max(id, oid), est))
                 }
-                seen = (id, sig) :: seen
+                // cap pathological buckets: an overflow doc still pairs
+                // against current members (emitted above) but does not
+                // join the bucket, so state per key is hard-bounded —
+                // pairs among two overflow docs in the same TTL window
+                // are the documented loss
+                if (seen.size < maxPerBucket) seen = seen.updated(id, sig)
               }
             }
             state.update(seen)
@@ -139,6 +149,47 @@ object StreamOps {
             out.iterator
           }
       }
+  }
+
+  /** Stream/batch agreement under the correctness gate: the hourly
+    * (window, event_type) counts computed by a REAL Structured Streaming
+    * query — `readStream` over the events parquet, watermark, tumbling
+    * event-time window, `Trigger.AvailableNow` — must equal the plain
+    * batch GROUP BY the DuckDB oracle runs. Complete output mode keeps
+    * every window in the result (Append would hold the final windows in
+    * state past the last batch, since no later batch advances the
+    * watermark over them).
+    *
+    * The collect is bounded: one row per (hour, event_type) — at 100 TB
+    * this is the shape of a streaming rollup's sink table, not the data.
+    */
+  def hourlyCountsStreamed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"$dir/events.parquet"
+    val raw = s.read.parquet(path)
+    // the file source derives its base directory from the non-glob prefix,
+    // so the single file is addressed via a glob (a literal file path makes
+    // the source treat the file itself as basePath and reject it)
+    val stream0 = s.readStream.schema(raw.schema).parquet(s"$dir/events*.parquet")
+    // same nanos normalization as graft.Tables.events
+    val stream = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => stream0
+    }
+    val name = s"q43_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = tumblingCounts(stream)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sink = s.table(name)
+      .select(unix_seconds(col("window_start")).as("window_epoch"), col("event_type"), col("n"))
+    val rows = sink.collect().toSeq
+    s.catalog.dropTempView(name)
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), sink.schema)
+      .orderBy($"window_epoch", $"event_type")
   }
 
   /** Custom keyed state: running per-user event counter + last-seen

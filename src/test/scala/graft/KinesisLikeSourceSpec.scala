@@ -163,6 +163,26 @@ class KinesisLikeSourceSpec extends AnyFunSuite with SparkFixture {
       s"expected paged draining, saw ${FakeKinesis.getRecordsCalls} getRecords calls")
   }
 
+  test("short pages are not exhaustion: a service returning fewer than limit loses nothing") {
+    FakeKinesis.reset()
+    FakeKinesis.createStream("s10", 1)
+    (1L to 30L).foreach(i => put("s10", "k", i, "x"))
+    // ShortPageShardService serves at most 7 records per call however large
+    // the limit — the real-Kinesis behavior the reader must tolerate: a
+    // short page means "call again", only an empty page means drained
+    val q = spark.readStream.format("kinesis-graft")
+      .option("stream", "s10")
+      .option("service", ShortPageShardService.getClass.getName.stripSuffix("$"))
+      .option("maxRecordsPerFetch", "1000")
+      .load()
+      .withColumn("rec", expr("from_msgpack(data, 'id BIGINT, kind STRING')"))
+      .select("rec.id")
+      .writeStream.format("memory").queryName("t10").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("t10").collect().map(_.getLong(0)).sorted.toSeq === (1L to 30L),
+      "records past the first short page must still arrive in the same batch")
+  }
+
   test("service seam is structural: a custom ShardService drives the source") {
     FakeKinesis.reset()
     FakeKinesis.createStream("s9", 1)
@@ -191,6 +211,20 @@ class KinesisLikeSourceSpec extends AnyFunSuite with SparkFixture {
   * implementation with no source changes (delegates to the in-memory
   * state, counts invocations).
   */
+/** Serves at most 7 records per getRecords call regardless of the caller's
+  * limit — models real Kinesis returning short non-empty pages while a
+  * backlog remains.
+  */
+object ShortPageShardService extends graft.streaming.ShardService {
+  override def listShards(stream: String): Seq[String] =
+    graft.streaming.FakeKinesis.listShards(stream)
+  override def latestSequence(stream: String, shard: String): Long =
+    graft.streaming.FakeKinesis.latestSequence(stream, shard)
+  override def getRecords(stream: String, shard: String, afterSeq: Long,
+                          limit: Int): Seq[graft.streaming.FakeKinesis.Rec] =
+    graft.streaming.FakeKinesis.getRecords(stream, shard, afterSeq, math.min(limit, 7))
+}
+
 object RecordingShardService extends graft.streaming.ShardService {
   val calls = new java.util.concurrent.atomic.AtomicInteger(0)
   override def listShards(stream: String): Seq[String] = {

@@ -41,4 +41,20 @@ class OperatorEquivalenceSpec extends AnyFunSuite with SparkFixture {
     val split = rowsOf(Similarity.annBruteForce(spark, sfDir, queryChunk = 2))
     assert(split === whole)
   }
+
+  test("q42 candidate-fed pairs ⊆ exhaustive q23 pairs, with identical cosines") {
+    // sf0.01: enough vectors that the banding actually forms candidates.
+    // The banded path may miss pairs below the banding bar (that's the
+    // trade), but every pair it emits must carry the exact all-pairs
+    // cosine — the kernel is shared, only candidate generation differs.
+    val dir = "/root/testdata/sf0.01"
+    val exact = rowsOf(Similarity.cosineNearDupPairs(spark, dir))
+      .map(r => (r(0), r(1)) -> r(2)).toMap
+    val banded = rowsOf(Similarity.cosineNearDupLsh(spark, dir))
+    assert(banded.nonEmpty, "banding must surface at least one true pair at sf0.01")
+    banded.foreach { r =>
+      assert(exact.get((r(0), r(1))).contains(r(2)),
+        s"pair (${r(0)},${r(1)}) missing or cosine differs vs exhaustive search")
+    }
+  }
 }

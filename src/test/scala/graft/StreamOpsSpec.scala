@@ -137,6 +137,30 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.forall(_._3 >= 0.8))
   }
 
+  test("near-dup hot bucket: Map-backed state, per-bucket cap bounds membership") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // 60 identical docs land in the same bucket of every band — the skew
+    // case: membership stays O(1) per arrival and the bucket caps at 10
+    // members (overflow docs still pair against members, never join)
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamOps.nearDupStream(spark,
+      in.toDF.toDF("doc_id", "ts", "text"), threshold = 0.8, maxPerBucket = 10)
+    val q = out.toDF("doc_a", "doc_b", "est_jaccard").writeStream
+      .format("memory").queryName("hotbucket").outputMode("append").start()
+    in.addData((1L to 60L).map(i => (i, ts("2024-01-05 10:00:00"), text)))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("hotbucket").as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2)).toSet
+    // members are the first 10 ids (rows process in doc_id order):
+    // all 45 member pairs + 50 overflow-docs × 10 members
+    assert(pairs.size === 45 + 500)
+    assert(pairs.forall { case (a, _) => a <= 10L },
+      "every pair involves a bucket member (overflow-overflow pairs are the documented loss)")
+  }
+
   test("flatMapGroupsWithState keeps running per-user counts") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
