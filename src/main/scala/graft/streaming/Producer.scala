@@ -54,6 +54,53 @@ object Producer {
     val (st, row) = mapToStruct(record)
     MsgPackCodec.encode(row, st)
   }
+
+  /** The daemon's two-frame wire format
+    * (`/root/reference/tritond/client.go:103-130`): frame 1 is a JSON
+    * header `{"stream_name":...,"partition_key":...}`, frame 2 the
+    * msgpack-encoded record. The ZeroMQ transport stays out of engine
+    * scope (SURVEY §2.2 K3); the framing itself is the portable contract,
+    * so a real daemon socket pool can send these bytes unchanged.
+    */
+  def frame(stream: String, partitionKey: String,
+            record: Map[String, Any]): (Array[Byte], Array[Byte]) = {
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val header =
+      s"""{"stream_name":${jstr(stream)},"partition_key":${jstr(partitionKey)}}"""
+    (header.getBytes(java.nio.charset.StandardCharsets.UTF_8), encode(record))
+  }
+
+  /** Parse a frame-1 header back to (stream_name, partition_key) — the
+    * daemon's receive side. Malformed headers → None (drop-and-count, the
+    * daemon's posture toward garbage frames).
+    */
+  def parseHeader(headerFrame: Array[Byte]): Option[(String, String)] = {
+    val s = new String(headerFrame, java.nio.charset.StandardCharsets.UTF_8)
+    val field = """"(stream_name|partition_key)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    def unescape(raw: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < raw.length) {
+        raw.charAt(i) match {
+          case '\\' if i + 1 < raw.length =>
+            raw.charAt(i + 1) match {
+              case 'u' if i + 5 < raw.length =>
+                sb.append(Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar); i += 6
+              case c => sb.append(c); i += 2
+            }
+          case c => sb.append(c); i += 1
+        }
+      }
+      sb.toString
+    }
+    val m = field.findAllMatchIn(s).map(x => x.group(1) -> unescape(x.group(2))).toMap
+    for (st <- m.get("stream_name"); pk <- m.get("partition_key")) yield (st, pk)
+  }
 }
 
 /** Publishes to the (fake) sharded stream service — swap for the real AWS

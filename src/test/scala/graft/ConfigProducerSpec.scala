@@ -50,6 +50,20 @@ class ConfigProducerSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](mock.put("s", "k", Map("a" -> 1L)))
   }
 
+  test("two-frame wire format: JSON header + msgpack body round-trip (tritond framing)") {
+    import graft.streaming.Producer
+    val rec = Map("object_type" -> "courier", "version" -> 3L)
+    val (header, body) = Producer.frame("courier_activity_v2", "drv\"42\\", rec)
+    // frame 1: the daemon's documented JSON header
+    // (/root/reference/tritond/client.go:103-115), quotes/backslashes escaped
+    assert(Producer.parseHeader(header) === Some(("courier_activity_v2", "drv\"42\\")))
+    // frame 2: the same msgpack payload the store pipeline decodes
+    val st = MsgPackCodec.inferType(body).asInstanceOf[StructType]
+    assert(st.fieldNames.toSet === Set("object_type", "version"))
+    // garbage header frames drop cleanly
+    assert(Producer.parseHeader("not json".getBytes) === None)
+  }
+
   test("stream producer routes by partition key into shards") {
     FakeKinesis.reset()
     FakeKinesis.createStream("prod", 4)

@@ -59,6 +59,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "the corpus must not be broadcast — that shape dies at 100 TB")
   }
 
+  test("candidate-fed near-dup rides equi-joins, never a nested loop (q42)") {
+    val p = plan(Similarity.cosineNearDupLsh(spark, sfDir))
+    // candidates come from the (band, bkey) equi-join; the vec_id < vec_id
+    // ordering predicate must NOT demote it to a cartesian/nested-loop —
+    // that shape is the quadratic this operator exists to avoid
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be an equi-join:\n$p")
+  }
+
   test("whole-stage codegen spans the hot path of the pricing summary") {
     val df = Relational.pricingSummary(spark, sfDir)
     df.collect() // AQE: the final plan exists only after execution
