@@ -52,4 +52,57 @@ class CheckpointsSpec extends AnyFunSuite with SparkFixture {
   test("missing offset dir yields an empty frame, not an error") {
     assert(Checkpoints.offsets(spark, "/tmp/ck_does_not_exist_xyz").count() === 0)
   }
+
+  test("JDBC checkpoint store: reference table semantics over embedded Derby (G3)") {
+    import graft.streaming.CheckpointDb
+    val db = CheckpointDb.open("jdbc:derby:memory:cpdb;create=true")
+    try {
+      // never-checkpointed shard reads as None (reference returns "" ->
+      // caller starts at trim_horizon, checkpoint.go:81-95)
+      assert(db.lastSequenceNumber("cA", "s1", "shard-0") === None)
+      // insert then update under the (client, stream, shard) PK
+      db.checkpoint("cA", "s1", "shard-0", "41", nowSec = 1000L)
+      db.checkpoint("cA", "s1", "shard-0", "42", nowSec = 1010L)
+      db.checkpoint("cA", "s1", "shard-1", "7", nowSec = 1010L)
+      db.checkpoint("cB", "s1", "shard-0", "9", nowSec = 1010L)
+      assert(db.lastSequenceNumber("cA", "s1", "shard-0") === Some("42"))
+      // stats keys + ages exactly as checkpoint.go:127-151 shapes them
+      assert(db.stats("cA", nowSec = 1060L) ===
+        Map("cA.s1.shard-0.age" -> 50L, "cA.s1.shard-1.age" -> 50L))
+      // queryable DataFrame surface
+      val rows = db.asDataFrame(spark).collect()
+        .map(r => (r.getString(0), r.getString(2), r.getString(3))).toSet
+      assert(rows === Set(("cA", "shard-0", "42"), ("cA", "shard-1", "7"), ("cB", "shard-0", "9")))
+      // non-JDBC strings belong to the FS offset-log reader
+      assertThrows[IllegalArgumentException](CheckpointDb.open("/tmp/some/checkpoint"))
+    } finally db.close()
+  }
+
+  test("JDBC mirror of a real offset log: one row per shard, reference keys (G3)") {
+    import graft.streaming.CheckpointDb
+    FakeKinesis.reset()
+    FakeKinesis.createStream("ckm", 2)
+    val rt = StructType(Seq(StructField("id", LongType)))
+    (1L to 4L).foreach(i => FakeKinesis.putRecord("ckm", s"k$i",
+      MsgPackCodec.encode(new GenericInternalRow(Array[Any](i)), rt)))
+    val ckpt = Files.createTempDirectory("ckm_ckpt").toString
+    val out = Files.createTempDirectory("ckm_out").toString
+    val q = spark.readStream.format("kinesis-graft").option("stream", "ckm").load()
+      .select(col("sequence_number"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+    val db = CheckpointDb.open("jdbc:derby:memory:cpmirror;create=true")
+    try {
+      assert(db.mirror(spark, ckpt, "cli", "ckm") === 2)
+      val seqs = db.asDataFrame(spark).collect()
+        .map(r => r.getString(2) -> r.getString(3).toLong).toMap
+      assert(seqs.keySet === Set("shard-0", "shard-1"))
+      assert(seqs.values.sum === FakeKinesis.latestSequence("ckm", "shard-0")
+        + FakeKinesis.latestSequence("ckm", "shard-1"))
+      // re-mirror is idempotent (upsert, not append)
+      db.mirror(spark, ckpt, "cli", "ckm")
+      assert(db.asDataFrame(spark).count() === 2)
+    } finally db.close()
+  }
 }
