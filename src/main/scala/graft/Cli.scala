@@ -41,9 +41,19 @@ object Cli {
       case "shards" =>
         streaming.FakeKinesis.listShards(o("stream")).foreach(println)
       case "stats" =>
-        streaming.Checkpoints.statsLines(spark, o("checkpoint"),
-          o.getOrElse("client", "graft"), o.getOrElse("stream", "events"))
-          .foreach(println)
+        // like the reference CLI (`triton.go:142-155`), stats read either
+        // store: a jdbc: URL hits the triton_checkpoint table, anything
+        // else is a Structured Streaming checkpointLocation
+        val loc = o("checkpoint")
+        if (loc.startsWith("jdbc:")) {
+          val db = streaming.CheckpointDb.open(loc)
+          try db.stats(o.getOrElse("client", "graft"), System.currentTimeMillis() / 1000L)
+            .toSeq.sorted.foreach { case (k, v) => println(s"$k $v") }
+          finally db.close()
+        } else
+          streaming.Checkpoints.statsLines(spark, loc,
+            o.getOrElse("client", "graft"), o.getOrElse("stream", "events"))
+            .foreach(println)
       case other =>
         System.err.println(s"unknown command: $other"); sys.exit(2)
     }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{EventOps, Multimodal, Relational, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{EventOps, Multimodal, Pipeline, Relational, Similarity, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -64,6 +64,8 @@ object SparkEntry {
     "q41_event_pivot" -> ((s, d) => EventOps.eventTypePivot(s, d)),
     "q42_cosine_neardup_lsh" -> ((s, d) => Similarity.cosineNearDupLsh(s, d)),
     "q43_stream_hourly" -> ((s, d) => graft.streaming.StreamOps.hourlyCountsStreamed(s, d)),
+    "q44_stratified_sample" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
+    "q45_filter_funnel" -> ((s, d) => Pipeline.filterFunnel(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -433,6 +435,30 @@ object SparkEntry {
       """SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS window_epoch,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q44: seedless determinism — the "random" order is the shared 60-bit
+    // content hash, so the oracle reproduces the exact sample.
+    "q44_stratified_sample" ->
+      """WITH h AS (SELECT source, doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) h
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) rk FROM h)
+        |SELECT source, CAST(rk AS BIGINT) AS rank, doc_id, h AS sample_key
+        |FROM r WHERE rk <= 5 ORDER BY source, rank""".stripMargin,
+
+    "q45_filter_funnel" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) ntok,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) ndist,
+        |    CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT) nstop
+        |  FROM t),
+        |r AS (SELECT CASE WHEN ntok < 5 THEN 'too_short'
+        |                  WHEN CAST(nstop AS DOUBLE) / ntok > 0.5 THEN 'stopword_flood'
+        |                  WHEN CAST(ndist AS DOUBLE) / ntok < 0.3 THEN 'repetitive'
+        |                  ELSE 'kept' END AS reason, ntok FROM m)
+        |SELECT reason, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |FROM r GROUP BY reason ORDER BY reason""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.TopKAggregator
+import graft.functions.{MinKAggregator, TopKAggregator}
 
 /** The two custom extension points beyond msgpack: the codegen'd `hash60`
   * expression and the bounded top-k `Aggregator`.
@@ -52,6 +52,18 @@ class CustomFunctionsSpec extends AnyFunSuite with SparkFixture {
     val all = rows.foldLeft(agg.zero)(agg.reduce)
     assert(all === Seq((2L, 9.0), (3L, 9.0), (5L, 7.0))) // ties: lower id first
     // merging arbitrary splits gives the same answer as one pass
+    for (cut <- 1 until rows.length) {
+      val (l, r) = rows.splitAt(cut)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) === all, s"split at $cut")
+    }
+  }
+
+  test("MinKAggregator laws: bounded, (key,id)-ordered, merge-associative") {
+    val agg = new MinKAggregator(3)
+    val rows = Seq((9L, 1L), (2L, 5L), (2L, 4L), (7L, 2L), (11L, 3L))
+    val all = rows.foldLeft(agg.zero)(agg.reduce)
+    assert(all === Seq((2L, 4L), (2L, 5L), (7L, 2L))) // key ties: lower id first
     for (cut <- 1 until rows.length) {
       val (l, r) = rows.splitAt(cut)
       val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
