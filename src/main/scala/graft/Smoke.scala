@@ -57,7 +57,15 @@ object Smoke {
     val corrupt = spark.sql("SELECT from_msgpack(X'deadbeef', 'a BIGINT') AS r").collect()(0).isNullAt(0)
     println(s"SMOKE corrupt_decodes_null=$corrupt")
 
-    // 4. flagship entry
+    // 4. JDBC checkpoint store: open, upsert, stats (reference table shape)
+    val db = streaming.CheckpointDb.open("jdbc:derby:memory:smoke;create=true")
+    try {
+      db.checkpoint("smoke", "demo", "shard-0", "9", System.currentTimeMillis() / 1000L)
+      println(s"SMOKE checkpoint_db_last=${db.lastSequenceNumber("smoke", "demo", "shard-0").orNull}" +
+        s" stats=${db.stats("smoke", System.currentTimeMillis() / 1000L).size}")
+    } finally db.close()
+
+    // 5. flagship entry
     println(s"SMOKE entry_rows=${SparkEntry.entry(spark).count()} (expect > 0)")
     spark.stop()
   }

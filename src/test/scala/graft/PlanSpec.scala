@@ -68,6 +68,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"candidate generation must be an equi-join:\n$p")
   }
 
+  test("stratified sample combines map-side: partial aggregate before the exchange (q44)") {
+    val p = plan(graft.operators.Pipeline.stratifiedSample(spark, sfDir))
+    // the bounded MinK buffer must run as partial aggregation so only k
+    // rows per source per partition reach the shuffle — the claim that
+    // distinguishes this from a rank-window sample. Plans print top-down,
+    // so the upstream partial agg appears BELOW its exchange in the text.
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    assert(exchange >= 0 && p.indexOf("partial_minkaggregator", exchange) > exchange,
+      s"expected partial_minkaggregator upstream of the exchange:\n$p")
+  }
+
   test("whole-stage codegen spans the hot path of the pricing summary") {
     val df = Relational.pricingSummary(spark, sfDir)
     df.collect() // AQE: the final plan exists only after execution

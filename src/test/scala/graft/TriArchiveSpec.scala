@@ -129,6 +129,19 @@ class TriArchiveSpec extends AnyFunSuite with SparkFixture {
     assert(Archive.read(spark, root, "clientA", "20240101", "20241231").count() === 1)
   }
 
+  test("client names needing partition-path escaping survive the metadata listing") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("tri_esc").toString
+    val ev = Seq((1L, "2024-01-05 10:00:00", 1.0))
+      .toDF("event_id", "ts", "value").withColumn("ts", to_timestamp($"ts"))
+    // ':' and ' ' are escaped in partition directory names — the
+    // directory-listing client check must unescape before comparing
+    Archive.store(ev, root, "client: a")
+    val got = Archive.read(spark, root, "client: a", "20240101", "20241231")
+    assert(got.count() === 1)
+    assert(got.select("client").distinct().as[String].collect().toSeq === Seq("client: a"))
+  }
+
   test("tri works as a file stream source (readStream over the archive)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tri_stream").resolve("in").toString
