@@ -77,6 +77,22 @@ class TriArchiveSpec extends AnyFunSuite with SparkFixture {
       s"expected a decode/IO failure, got ${causes(ex).map(_.getClass.getName)}")
   }
 
+  test("garbage bytes in place of a .tri file fail cleanly at the snappy layer") {
+    val dir = Files.createTempDirectory("tri_garbage").toString
+    val rnd = new scala.util.Random(7)
+    val junk = Array.fill(4096)(rnd.nextInt(256).toByte)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "junk.tri"), junk)
+    val ex = intercept[Exception] {
+      spark.read.schema("id BIGINT").format("tri").load(dir).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      c.isInstanceOf[java.io.IOException]
+        || c.isInstanceOf[graft.functions.MsgPackCodec.MsgPackException]),
+      s"expected a framing/decode failure, got ${causes(ex).map(_.getClass.getName)}")
+  }
+
   test("archive store + range read prunes partitions and orders") {
     import spark.implicits._
     val root = Files.createTempDirectory("tri_arch").toString
