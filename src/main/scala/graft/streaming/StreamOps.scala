@@ -210,4 +210,44 @@ object StreamOps {
           Iterator((user, n, last))
       }
   }
+
+  /** The same running counts on Spark 4's `transformWithState` — the
+    * successor stateful API (typed state handles, native TTL, RocksDB
+    * state store). Kept alongside the `flatMapGroupsWithState` form so
+    * both extension points stay exercised; requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider at query start.
+    */
+  def runningUserCountsTws(s: SparkSession,
+                           events: Dataset[(Long, Long)]): Dataset[(Long, Long, Long)] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_._1)
+      .transformWithState(new RunningCountsProcessor, TimeMode.None(), OutputMode.Append)
+  }
+}
+
+/** StatefulProcessor for [[StreamOps.runningUserCountsTws]]: one ValueState
+  * cell per user holding (count, last-seen ts).
+  */
+class RunningCountsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var state: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Long)]("counts",
+      Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    val (n0, last0) = Option(state.get()).getOrElse((0L, Long.MinValue))
+    var n = n0; var last = last0
+    rows.foreach { case (_, ts) => n += 1; if (ts > last) last = ts }
+    state.update((n, last))
+    Iterator((user, n, last))
+  }
 }

@@ -161,6 +161,35 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
       "every pair involves a bucket member (overflow-overflow pairs are the documented loss)")
   }
 
+  test("transformWithState (Spark 4 stateful API) matches the fMGWS counts on RocksDB") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Long)]
+      val out = StreamOps.runningUserCountsTws(spark, in.toDS)
+      val q = out.toDF("user", "n", "last").writeStream.format("memory")
+        .queryName("tws").outputMode("append").start()
+      in.addData((1L, 10L), (1L, 20L), (2L, 5L))
+      q.processAllAvailable()
+      in.addData((1L, 30L))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws").as[(Long, Long, Long)].collect().toSet
+      assert(rows.contains((1L, 2L, 20L)))
+      assert(rows.contains((1L, 3L, 30L))) // ValueState carried across batches
+      assert(rows.contains((2L, 1L, 5L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("flatMapGroupsWithState keeps running per-user counts") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
