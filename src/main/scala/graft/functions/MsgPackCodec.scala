@@ -84,6 +84,10 @@ object MsgPackCodec {
     val cache = localFieldBytes.get()
     var b = cache.get(st)
     if (b == null) {
+      // a long-lived executor thread serving many distinct schemas must
+      // not grow the cache unboundedly; per-query there are only a few
+      // live StructType instances, so clearing is a rare non-event
+      if (cache.size > 64) cache.clear()
       b = st.fields.map(f => f.name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       cache.put(st, b)
     }
