@@ -132,6 +132,20 @@ class TriArchiveSpec extends AnyFunSuite with SparkFixture {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("maxRecordsPerFile rotates archive files like the reference's hourly cap (K1)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("tri_rotate").toString
+    val ev = (1L to 10L).map(i => (i, "2024-01-05 10:00:00", i.toDouble))
+      .toDF("event_id", "ts", "value").withColumn("ts", to_timestamp($"ts"))
+      .coalesce(1) // one task, so the file count is the rotation policy's doing
+    Archive.store(ev, root, "c1", maxRecordsPerFile = 3L)
+    val dir = new java.io.File(root, "date=20240105/client=c1")
+    val files = dir.listFiles().filter(_.getName.endsWith(".tri"))
+    assert(files.length >= 4, s"10 records at <=3/file need >=4 files, got ${files.length}")
+    val back = Archive.read(spark, root, "c1", "20240101", "20241231")
+    assert(back.select("event_id").as[Long].collect().sorted.toSeq === (1L to 10L))
+  }
+
   test("mixed clients in a range raise (reference single-client invariant)") {
     import spark.implicits._
     val root = Files.createTempDirectory("tri_mixed").toString
