@@ -280,6 +280,15 @@ object Similarity {
   def cosineNearDupLsh(s: SparkSession, dir: String,
                        threshold: Double = 0.45): DataFrame = {
     import s.implicits._
+    // Shape choice: candidates-then-vector-join (below) vs running the
+    // pair kernel inside each (band, bkey) group. The grouped form ships
+    // far fewer bytes (4 copies of each vector vs 2 per candidate pair)
+    // but puts a whole bucket's C(n,2) compare in ONE task — a skewed
+    // bucket (mass-duplicated content, the exact thing near-dup hunts)
+    // becomes a straggler. The candidate join redistributes pair work
+    // across partitions whatever the bucket skew, so it is the shape that
+    // survives adversarial 100 TB inputs; its shuffle volume is bounded
+    // by candidate count, which real near-dup corpora keep near-linear.
     val sigs = lshSigs(s, dir).cache()
     val bands = lshBands(s, sigs)
     val cand = bands.as("a").join(bands.as("b"),
