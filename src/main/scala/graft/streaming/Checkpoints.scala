@@ -13,20 +13,34 @@ import org.apache.spark.sql.functions._
   */
 object Checkpoints {
 
-  /** Per-shard committed sequence numbers from the newest batch in a
-    * query's offset log, with the commit age in seconds. Reads through the
-    * Hadoop FileSystem API, so an HDFS/S3 `checkpointLocation` — the
-    * normal production case — works the same as a local path.
+  /** Per-shard committed sequence numbers from the newest COMMITTED batch
+    * in a query's checkpoint, with the commit age in seconds. `offsets/N`
+    * is written at batch START; only a matching `commits/N` proves the
+    * sink committed batch N — reading the bare newest offsets entry would
+    * report an in-flight (possibly crashed) batch as consumed, breaking
+    * the durable-before-checkpoint ordering this surface exists to
+    * expose. Reads through the Hadoop FileSystem API, so an HDFS/S3
+    * `checkpointLocation` — the normal production case — works the same
+    * as a local path.
     */
   def offsets(spark: SparkSession, checkpointLocation: String): DataFrame = {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
     val dir = new Path(checkpointLocation, "offsets")
+    val commitsDir = new Path(checkpointLocation, "commits")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    def batchIds(d: Path): Set[Long] =
+      if (!fs.exists(d)) Set.empty
+      else fs.listStatus(d).toSeq.map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSet
+    val committed = batchIds(commitsDir)
     val rows: Seq[(Long, String, Long, Long)] =
       if (!fs.exists(dir)) Seq.empty
       else fs.listStatus(dir).toSeq
-        .filter(st => st.getPath.getName.forall(_.isDigit))
+        .filter { st =>
+          val n = st.getPath.getName
+          n.nonEmpty && n.forall(_.isDigit) && committed.contains(n.toLong)
+        }
         .sortBy(_.getPath.getName.toLong).lastOption.toSeq.flatMap { st =>
           val batchId = st.getPath.getName.toLong
           val ageSec = (System.currentTimeMillis() - st.getModificationTime) / 1000L

@@ -82,6 +82,9 @@ object Producer {
   def parseHeader(headerFrame: Array[Byte]): Option[(String, String)] = {
     val s = new String(headerFrame, java.nio.charset.StandardCharsets.UTF_8)
     val field = """"(stream_name|partition_key)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    // full JSON escape set: real encoders (Go's encoding/json included)
+    // emit \n, \t, etc. — decoding them as literal letters would corrupt
+    // keys and route records to the wrong shard
     def unescape(raw: String): String = {
       val sb = new StringBuilder
       var i = 0
@@ -91,15 +94,25 @@ object Producer {
             raw.charAt(i + 1) match {
               case 'u' if i + 5 < raw.length =>
                 sb.append(Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar); i += 6
-              case c => sb.append(c); i += 2
+              case 'n' => sb.append('\n'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 'b' => sb.append('\b'); i += 2
+              case 'f' => sb.append('\f'); i += 2
+              case c @ ('"' | '\\' | '/') => sb.append(c); i += 2
+              case _ => throw new IllegalArgumentException("bad escape")
             }
           case c => sb.append(c); i += 1
         }
       }
       sb.toString
     }
-    val m = field.findAllMatchIn(s).map(x => x.group(1) -> unescape(x.group(2))).toMap
-    for (st <- m.get("stream_name"); pk <- m.get("partition_key")) yield (st, pk)
+    try {
+      val m = field.findAllMatchIn(s).map(x => x.group(1) -> unescape(x.group(2))).toMap
+      for (st <- m.get("stream_name"); pk <- m.get("partition_key")) yield (st, pk)
+    } catch {
+      case _: IllegalArgumentException | _: NumberFormatException => None // malformed → drop
+    }
   }
 }
 

@@ -109,6 +109,11 @@ object StreamOps {
       .toDF("band", "bkey", "doc_id", "sig", "ts")
       .withWatermark("ts", watermarkDelay)
       .as[(Int, String, Long, Array[Long], java.sql.Timestamp)]
+    // NOTE state-schema evolution: the state class changed List -> Map in
+    // round 3; a checkpoint written by the List-state build cannot restore
+    // into this one (Spark state encoders are schema-bound) — restarting
+    // an old query requires a fresh checkpoint, as with any
+    // flatMapGroupsWithState state-type change
     banded.groupByKey(t => (t._1, t._2))
       .flatMapGroupsWithState[Map[Long, Array[Long]], (Long, Long, Double)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -169,8 +174,10 @@ object StreamOps {
     val raw = s.read.parquet(path)
     // the file source derives its base directory from the non-glob prefix,
     // so the single file is addressed via a glob (a literal file path makes
-    // the source treat the file itself as basePath and reject it)
-    val stream0 = s.readStream.schema(raw.schema).parquet(s"$dir/events*.parquet")
+    // the source treat the file itself as basePath and reject it); the
+    // [e] character class matches ONLY events.parquet — the batch/oracle
+    // side's exact input — not e.g. an events_backup.parquet sibling
+    val stream0 = s.readStream.schema(raw.schema).parquet(s"$dir/[e]vents.parquet")
     // same nanos normalization as graft.Tables.events
     val stream = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

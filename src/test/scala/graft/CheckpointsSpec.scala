@@ -53,6 +53,32 @@ class CheckpointsSpec extends AnyFunSuite with SparkFixture {
     assert(Checkpoints.offsets(spark, "/tmp/ck_does_not_exist_xyz").count() === 0)
   }
 
+  test("an offsets entry without a matching commit is ignored (in-flight batch)") {
+    FakeKinesis.reset()
+    FakeKinesis.createStream("ckc", 1)
+    val rt = StructType(Seq(StructField("id", LongType)))
+    FakeKinesis.putRecord("ckc", "k",
+      MsgPackCodec.encode(new GenericInternalRow(Array[Any](1L)), rt))
+    val ckpt = Files.createTempDirectory("ckc_ckpt").toString
+    val out = Files.createTempDirectory("ckc_out").toString
+    val q = spark.readStream.format("kinesis-graft").option("stream", "ckc").load()
+      .select(col("sequence_number"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+    val committed = Checkpoints.offsets(spark, ckpt).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(committed.nonEmpty)
+    // simulate a crash mid-batch: offsets/99 written, commits/99 absent —
+    // offsets() must keep reporting the last COMMITTED batch, not batch 99
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(ckpt, "offsets", "99"),
+      "v1\n{}\n{\"shard-0\":12345}\n")
+    val after = Checkpoints.offsets(spark, ckpt).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(after === committed, "uncommitted offsets must not surface as consumed")
+  }
+
   test("JDBC checkpoint store: reference table semantics over embedded Derby (G3)") {
     import graft.streaming.CheckpointDb
     val db = CheckpointDb.open("jdbc:derby:memory:cpdb;create=true")

@@ -62,6 +62,14 @@ class ConfigProducerSpec extends AnyFunSuite {
     assert(st.fieldNames.toSet === Set("object_type", "version"))
     // garbage header frames drop cleanly
     assert(Producer.parseHeader("not json".getBytes) === None)
+    // standard JSON escapes from real encoders decode to their characters
+    assert(Producer.parseHeader(
+      """{"stream_name":"s\n1","partition_key":"k\tA"}""".getBytes)
+      === Some(("s\n1", "k\tA")))
+    // an invalid unicode escape is malformed → None, never an exception
+    // (the header string is assembled so scalac doesn't eat the escape)
+    val badEscape = """{"stream_name":"a","partition_key":"""" + "\\" + """uZZZZ"}"""
+    assert(Producer.parseHeader(badEscape.getBytes) === None)
   }
 
   test("stream producer routes by partition key into shards") {

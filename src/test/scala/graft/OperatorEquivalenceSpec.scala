@@ -42,6 +42,20 @@ class OperatorEquivalenceSpec extends AnyFunSuite with SparkFixture {
     assert(split === whole)
   }
 
+  test("annBruteForce with zero queries returns an empty frame, not a crash") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("empty_q").toString
+    // no vec_id is a multiple of 100 → the query set is empty
+    Seq(1L, 2L, 3L).toDF("vec_id")
+      .withColumn("embedding", expr("transform(sequence(1, 64), i -> cast(i as float))"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.annBruteForce(spark, dir)
+    assert(out.columns.toSeq === Seq("query_id", "rank", "neighbor_id", "cosine"))
+    assert(out.count() === 0)
+  }
+
   test("q42 candidate-fed pairs ⊆ exhaustive q23 pairs, with identical cosines") {
     // sf0.01: enough vectors that the banding actually forms candidates.
     // The banded path may miss pairs below the banding bar (that's the
