@@ -64,9 +64,11 @@ object Similarity {
     // id arithmetic only bounded it for dense ids), and the count() job
     // the old shape needed is gone
     val queryIds = vecs.filter(_._1 % 100 == 0).map(_._1).collect().sorted
-    if (queryIds.isEmpty)
+    if (queryIds.isEmpty) {
+      vecs.unpersist() // nothing will ever read the cache on this path
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("query_id", "rank", "neighbor_id", "cosine")
+    }
     val perChunk = queryIds.grouped(queryChunk).toSeq.map { ids =>
       val idSet = ids.toSet
       val queries = vecs.filter(t => idSet.contains(t._1)).collect()

@@ -3,11 +3,12 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Queryable checkpoint surface (C1-C4): Structured Streaming's offset log
-  * IS the checkpoint store (written after each sink commit — the
+/** Queryable checkpoint surface (C1-C4): Structured Streaming's
+  * checkpoint IS the store — `offsets/N` is written at batch START and
+  * `commits/N` only after the sink commits, so the PAIR encodes the
   * durable-then-checkpoint ordering of
-  * `/root/reference/triton/store.go:51-67`); this reads it back as a
-  * DataFrame so the reference's `stats` lag view
+  * `/root/reference/triton/store.go:51-67`; this reads the newest
+  * committed pair back as a DataFrame so the reference's `stats` lag view
   * (`/root/reference/triton/checkpoint.go:127-151`,
   * `/root/reference/triton.go:142-155`) is a plain query.
   */
@@ -25,33 +26,30 @@ object Checkpoints {
     */
   def offsets(spark: SparkSession, checkpointLocation: String): DataFrame = {
     import spark.implicits._
-    import org.apache.hadoop.fs.Path
-    val dir = new Path(checkpointLocation, "offsets")
-    val commitsDir = new Path(checkpointLocation, "commits")
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    def batchIds(d: Path): Set[Long] =
-      if (!fs.exists(d)) Set.empty
-      else fs.listStatus(d).toSeq.map(_.getPath.getName)
-        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSet
-    val committed = batchIds(commitsDir)
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val fs = new Path(checkpointLocation).getFileSystem(spark.sessionState.newHadoopConf())
+    // one shared numeric-name rule for both logs (skips .tmp/.compact etc.)
+    def batchFiles(d: Path): Map[Long, FileStatus] =
+      if (!fs.exists(d)) Map.empty
+      else fs.listStatus(d).iterator
+        .filter { st => val n = st.getPath.getName; n.nonEmpty && n.forall(_.isDigit) }
+        .map(st => st.getPath.getName.toLong -> st).toMap
+    val commitFiles = batchFiles(new Path(checkpointLocation, "commits"))
+    val offsetFiles = batchFiles(new Path(checkpointLocation, "offsets"))
     val rows: Seq[(Long, String, Long, Long)] =
-      if (!fs.exists(dir)) Seq.empty
-      else fs.listStatus(dir).toSeq
-        .filter { st =>
-          val n = st.getPath.getName
-          n.nonEmpty && n.forall(_.isDigit) && committed.contains(n.toLong)
-        }
-        .sortBy(_.getPath.getName.toLong).lastOption.toSeq.flatMap { st =>
-          val batchId = st.getPath.getName.toLong
-          val ageSec = (System.currentTimeMillis() - st.getModificationTime) / 1000L
-          val in = fs.open(st.getPath)
-          val lines =
-            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-            finally in.close()
-          lines.drop(2) // v1 line + metadata line
-            .flatMap(line => ShardOffsets.fromJson(line).seqs.toSeq)
-            .map { case (shard, seq) => (batchId, shard, seq, ageSec) }
-        }
+      (commitFiles.keySet intersect offsetFiles.keySet).maxOption.toSeq.flatMap { batchId =>
+        // age is measured from the COMMIT file: the offsets file predates
+        // it by the whole batch duration, which would overstate lag
+        val ageSec = (System.currentTimeMillis()
+          - commitFiles(batchId).getModificationTime) / 1000L
+        val in = fs.open(offsetFiles(batchId).getPath)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        lines.drop(2) // v1 line + metadata line
+          .flatMap(line => ShardOffsets.fromJson(line).seqs.toSeq)
+          .map { case (shard, seq) => (batchId, shard, seq, ageSec) }
+      }
     rows.toDF("batch_id", "shard", "sequence_number", "age_sec")
   }
 

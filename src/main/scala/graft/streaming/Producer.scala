@@ -77,43 +77,23 @@ object Producer {
 
   /** Parse a frame-1 header back to (stream_name, partition_key) — the
     * daemon's receive side. Malformed headers → None (drop-and-count, the
-    * daemon's posture toward garbage frames).
+    * daemon's posture toward garbage frames). Parsing is Jackson (already
+    * on Spark's classpath) rather than a hand-rolled unescape loop: the
+    * full JSON escape grammar — \n and friends from Go's encoding/json,
+    * \uXXXX validation, surrogate pairs — comes correct for free.
     */
-  def parseHeader(headerFrame: Array[Byte]): Option[(String, String)] = {
-    val s = new String(headerFrame, java.nio.charset.StandardCharsets.UTF_8)
-    val field = """"(stream_name|partition_key)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-    // full JSON escape set: real encoders (Go's encoding/json included)
-    // emit \n, \t, etc. — decoding them as literal letters would corrupt
-    // keys and route records to the wrong shard
-    def unescape(raw: String): String = {
-      val sb = new StringBuilder
-      var i = 0
-      while (i < raw.length) {
-        raw.charAt(i) match {
-          case '\\' if i + 1 < raw.length =>
-            raw.charAt(i + 1) match {
-              case 'u' if i + 5 < raw.length =>
-                sb.append(Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar); i += 6
-              case 'n' => sb.append('\n'); i += 2
-              case 't' => sb.append('\t'); i += 2
-              case 'r' => sb.append('\r'); i += 2
-              case 'b' => sb.append('\b'); i += 2
-              case 'f' => sb.append('\f'); i += 2
-              case c @ ('"' | '\\' | '/') => sb.append(c); i += 2
-              case _ => throw new IllegalArgumentException("bad escape")
-            }
-          case c => sb.append(c); i += 1
-        }
-      }
-      sb.toString
-    }
+  private lazy val headerMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def parseHeader(headerFrame: Array[Byte]): Option[(String, String)] =
     try {
-      val m = field.findAllMatchIn(s).map(x => x.group(1) -> unescape(x.group(2))).toMap
-      for (st <- m.get("stream_name"); pk <- m.get("partition_key")) yield (st, pk)
-    } catch {
-      case _: IllegalArgumentException | _: NumberFormatException => None // malformed → drop
-    }
-  }
+      val node = headerMapper.readTree(
+        new String(headerFrame, java.nio.charset.StandardCharsets.UTF_8))
+      val st = node.get("stream_name")
+      val pk = node.get("partition_key")
+      if (st != null && st.isTextual && pk != null && pk.isTextual)
+        Some((st.asText(), pk.asText()))
+      else None
+    } catch { case _: Exception => None } // malformed → drop
 }
 
 /** Publishes to the (fake) sharded stream service — swap for the real AWS

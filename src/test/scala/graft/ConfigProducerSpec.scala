@@ -66,10 +66,14 @@ class ConfigProducerSpec extends AnyFunSuite {
     assert(Producer.parseHeader(
       """{"stream_name":"s\n1","partition_key":"k\tA"}""".getBytes)
       === Some(("s\n1", "k\tA")))
-    // an invalid unicode escape is malformed → None, never an exception
-    // (the header string is assembled so scalac doesn't eat the escape)
+    // invalid unicode escapes are malformed → None, never an exception or
+    // a garbage char (strings assembled so scalac doesn't eat the escape)
     val badEscape = """{"stream_name":"a","partition_key":"""" + "\\" + """uZZZZ"}"""
     assert(Producer.parseHeader(badEscape.getBytes) === None)
+    val signEscape = """{"stream_name":"a""" + "\\" + """u-123","partition_key":"k"}"""
+    assert(Producer.parseHeader(signEscape.getBytes) === None)
+    // non-string field values are malformed too
+    assert(Producer.parseHeader("""{"stream_name":1,"partition_key":"k"}""".getBytes) === None)
   }
 
   test("stream producer routes by partition key into shards") {
