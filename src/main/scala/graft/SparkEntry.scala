@@ -66,6 +66,7 @@ object SparkEntry {
     "q43_stream_hourly" -> ((s, d) => graft.streaming.StreamOps.hourlyCountsStreamed(s, d)),
     "q44_stratified_sample" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
     "q45_filter_funnel" -> ((s, d) => Pipeline.filterFunnel(s, d)),
+    "q46_weighted_mix" -> ((s, d) => Pipeline.weightedMix(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -459,6 +460,25 @@ object SparkEntry {
         |                  ELSE 'kept' END AS reason, ntok FROM m)
         |SELECT reason, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
         |FROM r GROUP BY reason ORDER BY reason""".stripMargin,
+
+    // q46: the keep decision is a pure long compare against
+    // floor(rate * 2^60) — rates are exact binary fractions, so the floor
+    // and the comparison are bit-identical across engines.
+    "q46_weighted_mix" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) ntok,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) h,
+        |    CAST(concat('0x', substr(md5(source), 1, 15)) AS BIGINT) % 4 b
+        |  FROM documents),
+        |r AS (SELECT *, CASE b WHEN 0 THEN CAST(1.0 AS DOUBLE) WHEN 1 THEN CAST(0.5 AS DOUBLE)
+        |                       WHEN 2 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.125 AS DOUBLE) END rate
+        |  FROM d),
+        |k AS (SELECT source, ntok,
+        |    h < CAST(floor(rate * 1152921504606846976.0) AS BIGINT) kept FROM r)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN kept THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

@@ -35,6 +35,34 @@ object Pipeline {
       .orderBy($"source", $"rank")
   }
 
+  /** Weighted mixture sampling: each source keeps a target FRACTION of its
+    * documents (how pretraining mixes are specified — "web at 25%, curated
+    * at 100%"), decided per document by an integer hash threshold:
+    * keep iff hash60(doc_id) < floor(rate * 2^60). hash60 is uniform on
+    * [0, 2^60), so the kept fraction converges to the rate, the choice is
+    * seedless and stable across runs/engines (pure long compare, no RNG,
+    * no Bernoulli sampler), and — unlike `df.sample` — re-running on a
+    * grown corpus keeps every previously-kept document. Rates here are
+    * exact binary fractions keyed by a source-hash bucket so the operator
+    * exercises every rate whatever the corpus's source names.
+    */
+  def weightedMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = size(split($"text", " ")).cast("long")
+    table(s, dir, "documents")
+      .select($"source", $"doc_id", toks.as("ntok"),
+        expr("hash60(cast(doc_id as string))").as("h"),
+        expr("hash60(source) % 4").as("b"))
+      .withColumn("rate",
+        element_at(array(lit(1.0), lit(0.5), lit(0.25), lit(0.125)), ($"b" + 1).cast("int")))
+      .withColumn("kept", $"h" < floor($"rate" * lit(1152921504606846976.0)).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"kept", $"ntok").otherwise(0L)).as("kept_tokens"))
+      .orderBy($"source")
+  }
+
   /** Filter funnel: every document lands in exactly one bucket — the
     * first cleaning rule it trips (too short, too repetitive, stopword
     * flood) or `kept` — with per-bucket counts and token mass, so a
