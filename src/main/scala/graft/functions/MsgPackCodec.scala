@@ -38,6 +38,8 @@ object MsgPackCodec {
     * dominant cost of the encode path at bench scale.
     */
   private final class ByteSink {
+    /** Reentrancy guard for the thread-local sink — see [[encode]]. */
+    var inUse = false
     private var arr = new Array[Byte](1 << 10)
     private var len = 0
     def reset(): Unit = len = 0
@@ -69,38 +71,92 @@ object MsgPackCodec {
   private val localSink: ThreadLocal[ByteSink] =
     ThreadLocal.withInitial(() => new ByteSink)
 
-  /** Struct field names as UTF-8 bytes, cached per StructType *instance*
-    * (identity keys: expressions and readers pass the same DataType
-    * reference for every row, so the map stays a handful of entries).
-    * Shared by encode (key writing) and decode (key matching) — building
+  /** Byte-array map key with a precomputed hash; the probe instance is
+    * mutated per lookup (never inserted) so misordered-key decode costs
+    * one hash + one map probe instead of an O(fields) scan.
+    */
+  private final class ByteKey(private var arr: Array[Byte]) {
+    private var h = java.util.Arrays.hashCode(arr)
+    def set(a: Array[Byte]): ByteKey = { arr = a; h = java.util.Arrays.hashCode(a); this }
+    override def hashCode: Int = h
+    override def equals(o: Any): Boolean = o match {
+      case b: ByteKey => java.util.Arrays.equals(arr, b.arr)
+      case _ => false
+    }
+  }
+
+  /** Per-StructType field-name table: UTF-8 name bytes in schema order
+    * (encode writes them; decode's first probe compares against the
+    * schema-position name, a hit for schema-ordered producers) plus a
+    * bytes→index hash map (decode's fallback for out-of-order or unknown
+    * keys — O(1) instead of the O(fields) linear scan that made wide
+    * misordered structs O(F²) per row).
+    */
+  private final class FieldTable(st: StructType) {
+    val names: Array[Array[Byte]] =
+      st.fields.map(_.name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val index = new java.util.HashMap[ByteKey, Integer](names.length * 2)
+    locally {
+      var i = 0
+      while (i < names.length) { index.put(new ByteKey(names(i)), i); i += 1 }
+    }
+    // safe to reuse: the table lives in a ThreadLocal cache, so exactly one
+    // decode loop touches this probe instance at a time
+    private val probe = new ByteKey(Array.emptyByteArray)
+
+    /** -1 when the key names no schema field. */
+    def fieldIndex(key: Array[Byte], schemaPos: Int): Int = {
+      if (schemaPos < names.length && java.util.Arrays.equals(names(schemaPos), key))
+        schemaPos
+      else {
+        val fi = index.get(probe.set(key))
+        if (fi == null) -1 else fi.intValue()
+      }
+    }
+  }
+
+  /** Field tables cached per StructType *instance* (identity keys:
+    * expressions and readers pass the same DataType reference for every
+    * row, so the map stays a handful of entries). Shared by encode (key
+    * writing) and decode (key matching) — building
     * `UTF8String.fromString(name).getBytes` or a field-index Map per row
     * was a measurable hot-path allocation.
     */
-  private val localFieldBytes
-      : ThreadLocal[java.util.IdentityHashMap[StructType, Array[Array[Byte]]]] =
-    ThreadLocal.withInitial(() => new java.util.IdentityHashMap[StructType, Array[Array[Byte]]])
+  private val localFieldTables
+      : ThreadLocal[java.util.IdentityHashMap[StructType, FieldTable]] =
+    ThreadLocal.withInitial(() => new java.util.IdentityHashMap[StructType, FieldTable])
 
-  private def fieldNameBytes(st: StructType): Array[Array[Byte]] = {
-    val cache = localFieldBytes.get()
-    var b = cache.get(st)
-    if (b == null) {
+  private def fieldTable(st: StructType): FieldTable = {
+    val cache = localFieldTables.get()
+    var t = cache.get(st)
+    if (t == null) {
       // a long-lived executor thread serving many distinct schemas must
       // not grow the cache unboundedly; per-query there are only a few
       // live StructType instances, so clearing is a rare non-event
       if (cache.size > 64) cache.clear()
-      b = st.fields.map(f => f.name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      cache.put(st, b)
+      t = new FieldTable(st)
+      cache.put(st, t)
     }
-    b
+    t
   }
 
+  private def fieldNameBytes(st: StructType): Array[Array[Byte]] = fieldTable(st).names
+
   def encode(value: Any, dt: DataType): Array[Byte] = {
-    val out = localSink.get()
-    out.reset()
-    write(out, value, dt)
-    val r = out.toByteArray
-    out.trim()
-    r
+    val cached = localSink.get()
+    // reentrancy guard: if something on this thread is already mid-encode
+    // (a codec or UDF calling encode() from inside write()), a second
+    // reset() of the shared sink would silently corrupt the outer record —
+    // fall back to a fresh sink for the nested call instead
+    val out = if (cached.inUse) new ByteSink else cached
+    out.inUse = true
+    try {
+      out.reset()
+      write(out, value, dt)
+      val r = out.toByteArray
+      out.trim()
+      r
+    } finally out.inUse = false
   }
 
   private def write(out: ByteSink, value: Any, dt: DataType): Unit = {
@@ -411,21 +467,15 @@ object MsgPackCodec {
       case st: StructType =>
         val n = sane(buf, mapLen(buf, tag))
         val values = new Array[Any](st.length)
-        val names = fieldNameBytes(st)
+        val table = fieldTable(st)
         var i = 0
         while (i < n) {
-          // match the key bytes against the cached field-name bytes with a
-          // rotated linear scan starting at position i: producers writing
-          // fields in schema order hit on the first probe, and no String or
-          // Map materializes per row
+          // fast path: compare against the schema-position name (a hit for
+          // schema-ordered producers, no String or Map per row); fall back
+          // to the cached bytes→index hash map for misordered or unknown
+          // keys — O(1) per key either way
           val key = buf.raw(strLen(buf, buf.u8()))
-          var fi = -1
-          var probe = 0
-          while (probe < names.length && fi < 0) {
-            val cand = (i + probe) % names.length
-            if (java.util.Arrays.equals(names(cand), key)) fi = cand
-            probe += 1
-          }
+          val fi = table.fieldIndex(key, i)
           if (fi >= 0) values(fi) = read(buf, st(fi).dataType)
           else skip(buf) // unknown field: ignore (schemaless producers)
           i += 1

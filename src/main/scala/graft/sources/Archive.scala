@@ -37,17 +37,23 @@ object Archive {
     * `.tri` files. The buffered/rotated/uploaded lifecycle of the
     * reference's Store (`/root/reference/triton/store.go:106-171`) is
     * subsumed by the file sink: each task streams through a snappy-framed
-    * writer, files commit atomically, and `maxRecordsPerFile` bounds file
-    * size the way hourly rotation bounded it.
+    * writer, files commit atomically, and `maxRecordsPerFile` bounds rows
+    * per file the way hourly rotation bounded it. `maxBytesPerFile` (> 0
+    * to enable) additionally rotates on uncompressed encoded bytes — the
+    * reference's own rotation unit (`store.go:201`) — so skewed record
+    * sizes cannot produce a monster non-splittable file that serializes
+    * the readers.
     */
   def store(df: DataFrame, root: String, client: String,
-            maxRecordsPerFile: Long = 1000000L): Unit =
+            maxRecordsPerFile: Long = 1000000L,
+            maxBytesPerFile: Long = 0L): Unit =
     df
       .withColumn("date", date_format(col("ts"), "yyyyMMdd"))
       .withColumn("client", lit(client))
       .write.format("tri")
       .partitionBy("date", "client")
-      .option("maxRecordsPerFile", maxRecordsPerFile) // bounds file size like hourly rotation did
+      .option("maxRecordsPerFile", maxRecordsPerFile) // bounds rows like hourly rotation did
+      .option("maxBytesPerFile", maxBytesPerFile)
       .mode("append")
       .save(root)
 
@@ -81,34 +87,69 @@ object Archive {
     * ~tens of ms, so a multi-year range listed serially would cost more
     * than the query — 16-way fan-out keeps it bounded by the slowest call,
     * like the reference's per-day prefix listing loop but parallel.
+    *
+    * A client directory holding no data files (an aborted write's leftover,
+    * or a cleaned-up partition) does not count: the invariant is about data
+    * rows, and the reference derives it from keys that by construction have
+    * bytes behind them. The whole fan-out is bounded by `listTimeout`
+    * (`graft.archive.listTimeoutSec`, default 120 s) — a hung object-store
+    * LIST fails the query naming the stuck date directory instead of
+    * blocking it forever.
     */
   private def listClients(spark: SparkSession, root: String,
                           startDate: String, endDate: String): Set[String] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    def partValue(name: String, col: String): Option[String] =
-      if (name.startsWith(col + "=")) Some(
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(name.substring(col.length + 1)))
-      else None
+    val timeoutSec = spark.conf.getOption("graft.archive.listTimeoutSec")
+      .map(_.toLong).getOrElse(120L)
     val dateDirs = fs.listStatus(rootPath).toSeq
       .filter(_.isDirectory)
       .flatMap(d => partValue(d.getPath.getName, "date").map(_ -> d.getPath))
       .filter { case (date, _) => date >= startDate && date <= endDate }
       .map(_._2)
+    listClientDirs(fs, dateDirs, timeoutSec)
+  }
+
+  private def partValue(name: String, col: String): Option[String] =
+    if (name.startsWith(col + "=")) Some(
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(name.substring(col.length + 1)))
+    else None
+
+  /** The fan-out body of [[listClients]], seam-exposed for tests (a slow
+    * FileSystem fake can exercise the timeout without a real object store).
+    */
+  private[graft] def listClientDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                      dateDirs: Seq[org.apache.hadoop.fs.Path],
+                                      timeoutSec: Long): Set[String] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration._
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(16, math.max(1, dateDirs.size)))
     try {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val listed = Future.traverse(dateDirs) { dateDir =>
-        Future {
+      val listed = dateDirs.map { dateDir =>
+        dateDir -> Future {
           fs.listStatus(dateDir).toSeq.filter(_.isDirectory)
+            .filter { c => // only client dirs with at least one data file
+              fs.listStatus(c.getPath).exists { f =>
+                val n = f.getPath.getName
+                f.isFile && !n.startsWith("_") && !n.startsWith(".")
+              }
+            }
             .flatMap(c => partValue(c.getPath.getName, "client"))
         }
       }
-      Await.result(listed, Duration.Inf).flatten.toSet
-    } finally pool.shutdown()
+      val deadline = System.nanoTime() + timeoutSec * 1000000000L
+      listed.flatMap { case (dateDir, fut) =>
+        val left = math.max(1L, (deadline - System.nanoTime()) / 1000000L)
+        try Await.result(fut, left.millis)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            throw new java.io.IOException(
+              s"archive listing timed out after ${timeoutSec}s at $dateDir")
+        }
+      }.toSet
+    } finally pool.shutdownNow()
   }
 }

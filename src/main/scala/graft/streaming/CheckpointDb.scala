@@ -146,4 +146,36 @@ object CheckpointDb {
       s"not a JDBC URL: $url — file/HDFS/S3 checkpoint locations are read via Checkpoints.offsets")
     new CheckpointDb(DriverManager.getConnection(url))
   }
+
+  /** Keep `triton_checkpoint` current WHILE a store pipeline runs: a
+    * `StreamingQueryListener` that re-mirrors the newest committed batch
+    * after every progress event (and a final catch-up on termination), so
+    * reference tooling reading the table sees live positions without any
+    * manual `mirror` call after the run.
+    *
+    * Listener events are session-wide; another query's progress just
+    * triggers a redundant (idempotent, metadata-scale) refresh of this
+    * checkpoint location. Mirror failures are logged and swallowed — the
+    * offset log remains the source of truth, and a transiently unreachable
+    * mirror DB must not kill the listener bus. Returns the listener;
+    * detach with `spark.streams.removeListener`.
+    */
+  def autoMirror(spark: SparkSession, db: CheckpointDb, checkpointLocation: String,
+                 client: String, stream: String)
+      : org.apache.spark.sql.streaming.StreamingQueryListener = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val listener = new StreamingQueryListener {
+      private def refresh(): Unit =
+        try db.mirror(spark, checkpointLocation, client, stream)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft] checkpoint mirror failed: ${e.getMessage}")
+        }
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = refresh()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = refresh()
+    }
+    spark.streams.addListener(listener)
+    listener
+  }
 }

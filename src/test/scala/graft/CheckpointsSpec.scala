@@ -131,4 +131,38 @@ class CheckpointsSpec extends AnyFunSuite with SparkFixture {
       assert(db.asDataFrame(spark).count() === 2)
     } finally db.close()
   }
+
+  test("autoMirror listener keeps triton_checkpoint current with no manual mirror call") {
+    import graft.streaming.{CheckpointDb, StreamOps}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    FakeKinesis.reset()
+    FakeKinesis.createStream("ckauto", 2)
+    val rt = StructType(Seq(StructField("id", LongType)))
+    (1L to 6L).foreach(i => FakeKinesis.putRecord("ckauto", s"k$i",
+      MsgPackCodec.encode(new GenericInternalRow(Array[Any](i)), rt)))
+    val ckpt = Files.createTempDirectory("ckauto_ckpt").toString
+    val root = Files.createTempDirectory("ckauto_root").toString
+    val db = CheckpointDb.open("jdbc:derby:memory:ckauto;create=true")
+    val listener = CheckpointDb.autoMirror(spark, db, ckpt, "cli", "ckauto")
+    try {
+      val events = spark.readStream.format("kinesis-graft").option("stream", "ckauto").load()
+        .select(col("sequence_number").cast("long").cast("timestamp").as("ts"),
+          col("shard_id"), col("sequence_number"))
+      val q = StreamOps.startStore(events, root, "cli", ckpt)
+      q.awaitTermination()
+      // progress events ride the async listener bus — poll briefly
+      val deadline = System.currentTimeMillis() + 15000
+      var rows = 0L
+      while (rows < 2 && System.currentTimeMillis() < deadline) {
+        rows = db.asDataFrame(spark).count()
+        if (rows < 2) Thread.sleep(200)
+      }
+      assert(rows === 2, "listener must upsert one row per shard without a manual mirror call")
+      val shards = db.asDataFrame(spark).collect().map(_.getString(2)).toSet
+      assert(shards === Set("shard-0", "shard-1"))
+    } finally {
+      spark.streams.removeListener(listener)
+      db.close()
+    }
+  }
 }

@@ -237,4 +237,30 @@ class MsgPackCodecSpec extends AnyFunSuite {
       new GenericArrayData(Array(1L, 2L)))), st)
     assert(MsgPackCodec.inferType(bytes) === st)
   }
+
+  test("misordered producers: fields written out of schema order land in the right slots") {
+    // a producer that writes (d, s, n) against a reader schema (s, n, d):
+    // every key misses the schema-position fast path and goes through the
+    // hash-index fallback
+    val reader = StructType(Seq(StructField("s", StringType),
+      StructField("n", LongType), StructField("d", DoubleType)))
+    val writer = StructType(Seq(StructField("d", DoubleType),
+      StructField("s", StringType), StructField("n", LongType)))
+    val bytes = MsgPackCodec.encode(
+      new GenericInternalRow(Array[Any](2.5, UTF8String.fromString("hello"), 7L)), writer)
+    val row = MsgPackCodec.decode(bytes, reader).asInstanceOf[GenericInternalRow]
+    assert(row.getUTF8String(0).toString === "hello")
+    assert(row.getLong(1) === 7L)
+    assert(row.getDouble(2) === 2.5)
+    // unknown keys interleaved with known ones still resolve
+    val writerPlus = StructType(Seq(StructField("zz", LongType),
+      StructField("n", LongType), StructField("aa", StringType),
+      StructField("s", StringType)))
+    val bytes2 = MsgPackCodec.encode(new GenericInternalRow(
+      Array[Any](1L, 9L, UTF8String.fromString("x"), UTF8String.fromString("yo"))), writerPlus)
+    val row2 = MsgPackCodec.decode(bytes2, reader).asInstanceOf[GenericInternalRow]
+    assert(row2.getUTF8String(0).toString === "yo")
+    assert(row2.getLong(1) === 9L)
+    assert(row2.isNullAt(2))
+  }
 }

@@ -12,16 +12,19 @@ import graft.operators.Similarity
   *
   * Bound context: the synthetic embeddings are near-uniform (measured
   * pairwise cosine mass around 0.3-0.45 with no cluster structure), the
-  * adversarial case for any sublinear ANN — measured mean recall@5 is
-  * 0.44 with ~24% of the corpus as candidates at sf0.01. Configs reaching
-  * recall ~1.0 on this data must examine >85% of the corpus, which is no
-  * longer an index. On clustered real-world embeddings the same 4x4
-  * banding concentrates candidates and recall rises; the gate here checks
-  * the machinery, not a universal recall promise.
+  * adversarial case for any sublinear ANN. The multi-probe config
+  * (64 planes, 8×8-bit bands, 8 probes of each band's least-confident
+  * bits) measures mean recall@5 0.76 at sf0.01 / 0.70 at sf0.1 while
+  * examining ~24-26% of the corpus as candidates (full curve:
+  * `graft.operators.LshSweep`, table in BENCH_NOTES.md) — the old
+  * single-probe 16-plane config bought 0.44 for the same 24% cost. On
+  * clustered real-world embeddings the same banding concentrates
+  * candidates and recall rises; the gate checks the machinery, not a
+  * universal recall promise.
   */
 class SimilarityRecallSpec extends AnyFunSuite with SparkFixture {
 
-  test("LSH ANN recall@5 >= 0.4 vs exact brute force at sf0.01") {
+  test("multi-probe LSH ANN: recall@5 >= 0.6 at <= 30% candidate fraction (sf0.01)") {
     val dir = "/root/testdata/sf0.01"
     def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.select("query_id", "neighbor_id").collect()
@@ -31,7 +34,27 @@ class SimilarityRecallSpec extends AnyFunSuite with SparkFixture {
     assert(approx.keySet === exact.keySet, "every query must return candidates")
     val recalls = exact.map { case (q, t) => (t & approx(q)).size.toDouble / t.size }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.4, s"mean recall@5 $mean fell below the measured-floor gate " +
+    assert(mean >= 0.6, s"mean recall@5 $mean fell below the 0.6 gate " +
       s"(per-query: ${recalls.toSeq.sortBy(identity).mkString(", ")})")
+
+    // the cost side of the same claim: candidates examined stay <= 30% of
+    // the corpus per query — recall bought by probing everything is not
+    // an index
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val candPerQuery = Similarity.annLshCandidates(spark, dir)
+      .groupBy("query_id").count().collect().map(_.getLong(1))
+    val meanFrac = candPerQuery.map(_.toDouble / (corpus - 1)).sum / candPerQuery.length
+    assert(meanFrac <= 0.30, f"mean candidate fraction $meanFrac%.3f exceeds 0.30")
+  }
+
+  test("repeat ANN queries hold at most one live corpus cache per operator") {
+    val dir = "/root/testdata/sf0.001"
+    Similarity.annLsh(spark, dir).count()
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    Similarity.annLsh(spark, dir).count()
+    Similarity.annLsh(spark, dir).count()
+    val after3 = spark.sparkContext.getPersistentRDDs.size
+    assert(after3 <= after1,
+      s"corpus caches accumulated: $after1 persistent RDDs after 1 call, $after3 after 3")
   }
 }

@@ -146,6 +146,67 @@ class TriArchiveSpec extends AnyFunSuite with SparkFixture {
     assert(back.select("event_id").as[Long].collect().sorted.toSeq === (1L to 10L))
   }
 
+  test("maxBytesPerFile rotates on encoded bytes (skew-proof file sizing, K1)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("tri_bytes").toString
+    // ~115 encoded bytes/record; a 2 KiB budget forces rotation well below
+    // any record-count cap
+    val ev = (1L to 200L).map(i => (i, "2024-01-05 10:00:00", "x" * 100))
+      .toDF("event_id", "ts", "payload").withColumn("ts", to_timestamp($"ts"))
+      .coalesce(1) // one task: the file count is the byte policy's doing
+    Archive.store(ev, root, "c1", maxBytesPerFile = 2048L)
+    val dir = new java.io.File(root, "date=20240105/client=c1")
+    val files = dir.listFiles().filter(_.getName.endsWith(".tri"))
+    assert(files.length >= 8,
+      s"~23 KiB at <=2 KiB/file needs ~11 files, got ${files.length}")
+    // every rotated sibling is a standalone snappy-framed stream
+    val back = Archive.read(spark, root, "c1", "20240101", "20241231")
+    assert(back.select("event_id").as[Long].collect().sorted.toSeq === (1L to 200L))
+    // same data without a budget: a single file (policy off by default)
+    val root2 = Files.createTempDirectory("tri_bytes_off").toString
+    Archive.store(ev, root2, "c1")
+    assert(new java.io.File(root2, "date=20240105/client=c1")
+      .listFiles().count(_.getName.endsWith(".tri")) === 1)
+  }
+
+  test("leftover empty client dir does not trip the single-client invariant") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("tri_empty").toString
+    val ev = Seq((1L, "2024-01-05 10:00:00", 1.0))
+      .toDF("event_id", "ts", "value").withColumn("ts", to_timestamp($"ts"))
+    Archive.store(ev, root, "clientA")
+    // an aborted write's leftovers: one client dir with no files at all,
+    // one holding only a marker file — neither has data rows, so neither
+    // may raise the mixed-client error
+    assert(new java.io.File(root, "date=20240105/client=ghost").mkdirs())
+    val marker = new java.io.File(root, "date=20240105/client=ghost2")
+    assert(marker.mkdirs())
+    assert(new java.io.File(marker, "_SUCCESS").createNewFile())
+    val got = Archive.read(spark, root, "", "20240101", "20241231")
+    assert(got.count() === 1)
+  }
+
+  test("archive listing is bounded: a hung LIST times out naming the stuck dir") {
+    val root = Files.createTempDirectory("tri_slow").toString
+    val ok = new java.io.File(root, "date=20240105/client=cA")
+    assert(ok.mkdirs()); assert(new java.io.File(ok, "f.tri").createNewFile())
+    val stuck = new java.io.File(root, "date=20240106/client=cA")
+    assert(stuck.mkdirs()); assert(new java.io.File(stuck, "f.tri").createNewFile())
+    val fs = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def listStatus(p: org.apache.hadoop.fs.Path)
+          : Array[org.apache.hadoop.fs.FileStatus] = {
+        if (p.toString.contains("20240106")) Thread.sleep(600000)
+        super.listStatus(p)
+      }
+    }
+    fs.initialize(new java.net.URI("file:///"), new org.apache.hadoop.conf.Configuration())
+    val dirs = Seq(
+      new org.apache.hadoop.fs.Path(s"file:$root/date=20240105"),
+      new org.apache.hadoop.fs.Path(s"file:$root/date=20240106"))
+    val e = intercept[java.io.IOException](Archive.listClientDirs(fs, dirs, timeoutSec = 2))
+    assert(e.getMessage.contains("20240106"), s"error must name the stuck dir: ${e.getMessage}")
+  }
+
   test("mixed clients in a range raise (reference single-client invariant)") {
     import spark.implicits._
     val root = Files.createTempDirectory("tri_mixed").toString
