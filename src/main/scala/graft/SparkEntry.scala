@@ -67,6 +67,7 @@ object SparkEntry {
     "q44_stratified_sample" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
     "q45_filter_funnel" -> ((s, d) => Pipeline.filterFunnel(s, d)),
     "q46_weighted_mix" -> ((s, d) => Pipeline.weightedMix(s, d)),
+    "q47_stream_hourly_append" -> ((s, d) => graft.streaming.StreamOps.hourlyCountsStreamedAppend(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -433,6 +434,14 @@ object SparkEntry {
     // stream/batch agreement is the correctness claim, so the oracle is
     // the plain batch formulation.
     "q43_stream_hourly" ->
+      """SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS window_epoch,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q47: the PRODUCTION streaming shape — OutputMode.Append into a file
+    // sink, drained past the final windows by a sentinel event — must
+    // produce the same batch GROUP BY; same oracle as q43 by construction.
+    "q47_stream_hourly_append" ->
       """SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS window_epoch,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

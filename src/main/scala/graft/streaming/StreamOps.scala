@@ -160,10 +160,11 @@ object StreamOps {
     * (window, event_type) counts computed by a REAL Structured Streaming
     * query — `readStream` over the events parquet, watermark, tumbling
     * event-time window, `Trigger.AvailableNow` — must equal the plain
-    * batch GROUP BY the DuckDB oracle runs. Complete output mode keeps
-    * every window in the result (Append would hold the final windows in
-    * state past the last batch, since no later batch advances the
-    * watermark over them).
+    * batch GROUP BY the DuckDB oracle runs. Complete+memory here is the
+    * harness-convenience shape (every window stays in the result without
+    * a drain step); [[hourlyCountsStreamedAppend]] (q47) runs the SAME
+    * rollup in the production shape — Append mode, file sink, bounded
+    * state — under the same oracle.
     *
     * The collect is bounded: one row per (hour, event_type) — at 100 TB
     * this is the shape of a streaming rollup's sink table, not the data.
@@ -195,6 +196,71 @@ object StreamOps {
       .select(unix_seconds(col("window_start")).as("window_epoch"), col("event_type"), col("n"))
     val rows = sink.collect().toSeq
     s.catalog.dropTempView(name)
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), sink.schema)
+      .orderBy($"window_epoch", $"event_type")
+  }
+
+  /** The PRODUCTION shape of [[hourlyCountsStreamed]], under the same
+    * oracle (q47): `OutputMode.Append` into a parquet FILE SINK — each
+    * window row is emitted exactly once, when the watermark passes it, and
+    * leaves state; state size is bounded by the windows inside the
+    * watermark horizon however long the stream runs (Complete mode's
+    * keep-every-window-forever is a harness convenience, not deployable).
+    *
+    * Append's emission rule means the final windows — within the watermark
+    * delay of the newest event — would stay in state when the input is
+    * finite. A SENTINEL event (`__sentinel` type, 2 h past the max event
+    * time, written next to a copy of the input inside the work dir) pushes
+    * the watermark past every real window so the run drains completely;
+    * its own window is filtered out of the result. This is the standard
+    * drain pattern for proving a finite prefix of an infinite stream.
+    *
+    * The collect is bounded: one row per (hour, event_type).
+    */
+  def hourlyCountsStreamedAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val tsIsNanosLong =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val work = java.nio.file.Files.createTempDirectory("q47_append")
+    val srcDir = work.resolve("src"); java.nio.file.Files.createDirectories(srcDir)
+    val conf = s.sessionState.newHadoopConf()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$dir/events.parquet"),
+      fs, new org.apache.hadoop.fs.Path(s"${srcDir.toString}/events.parquet"),
+      false, conf)
+    // sentinel: same schema as the input file, event time 2 h past max —
+    // far beyond the last real window end + the 10 min watermark delay
+    val maxTs = raw.agg(max(col("ts"))).head.get(0)
+    val sentinel =
+      if (tsIsNanosLong)
+        raw.limit(1).withColumn("ts", lit(maxTs.asInstanceOf[Long] + 7200L * 1000000000L))
+      else
+        raw.limit(1).withColumn("ts",
+          lit(maxTs.asInstanceOf[java.sql.Timestamp].getTime / 1000 + 7200L).cast("timestamp"))
+    sentinel.withColumn("event_type", lit("__sentinel"))
+      .coalesce(1).write.parquet(work.resolve("sentinel_stage").toString)
+    val staged = new java.io.File(work.resolve("sentinel_stage").toString)
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(staged.toPath, srcDir.resolve("sentinel.parquet"))
+
+    val stream0 = s.readStream.schema(raw.schema).parquet(s"${srcDir.toString}/*.parquet")
+    val stream =
+      if (tsIsNanosLong) stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    val outDir = work.resolve("out").toString
+    val q = tumblingCounts(stream)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sink = s.read.parquet(outDir)
+      .where(col("event_type") =!= "__sentinel")
+      .select(unix_seconds(col("window_start")).as("window_epoch"), col("event_type"), col("n"))
+    val rows = sink.collect().toSeq
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), sink.schema)
       .orderBy($"window_epoch", $"event_type")
   }
