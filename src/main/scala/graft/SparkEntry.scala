@@ -205,9 +205,11 @@ object SparkEntry {
         |  count(*) - count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_dups
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
+    // word-TRIGRAM shingles (TextDedup.ShingleWidth) — see the width
+    // rationale there; the oracle reproduces the same n-gram set
     "q20_ngram_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
-        |sh AS (SELECT doc_id, list_distinct([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) shs FROM t),
+        |sh AS (SELECT doc_id, list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts) - 1)]) shs FROM t),
         |n AS (SELECT doc_id, len(shs) nsh FROM sh),
         |ex AS (SELECT doc_id, unnest(shs) sh FROM sh),
         |p AS (SELECT a.doc_id da, b.doc_id db, count(*) inter
@@ -220,8 +222,8 @@ object SparkEntry {
 
     "q21_minhash_lsh_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
-        |sh AS (SELECT doc_id, list_distinct([CAST(concat('0x', substr(md5(ts[i] || ' ' || ts[i+1]), 1, 15)) AS BIGINT)
-        |         for i in range(1, len(ts))]) hs FROM t),
+        |sh AS (SELECT doc_id, list_distinct([CAST(concat('0x', substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15)) AS BIGINT)
+        |         for i in range(1, len(ts) - 1)]) hs FROM t),
         |ex AS (SELECT doc_id, unnest(hs) h FROM sh),
         |seeds AS (SELECT r.s, CAST(concat('0x', substr(md5(CAST(r.s AS VARCHAR)), 1, 15)) AS BIGINT) c FROM range(32) r(s)),
         |mh AS (SELECT ex.doc_id, seeds.s, min(xor(ex.h, seeds.c)) mh FROM ex, seeds GROUP BY 1, 2),

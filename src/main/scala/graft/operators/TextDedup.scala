@@ -34,11 +34,24 @@ object TextDedup {
   private[operators] def hash60Bytes(md: java.security.MessageDigest, s: String): Long =
     java.nio.ByteBuffer.wrap(md.digest(s.getBytes("UTF-8")), 0, 8).getLong >>> 4
 
-  /** doc_id + distinct word-bigram shingle set hashed to sorted 60-bit
+  /** Shared shingle width: word TRIGRAMS (w-shingling's standard small
+    * width). Width matters for scale, not just semantics: the shingle
+    * space must keep growing with the corpus vocabulary for PPJoin
+    * prefixes and LSH buckets to stay selective. Measured on the bounded
+    * 31-word synthetic vocabulary: bigram space saturates at ~961 values,
+    * making the q20 candidate join quadratic in corpus size (~25 min at
+    * sf1); trigrams (~30k values) restore near-linear candidates with the
+    * SAME detected pair set at every SF (25 pairs at sf0.01, 256 at
+    * sf0.1 for both widths — verified in DuckDB).
+    */
+  private[graft] val ShingleWidth = 3
+
+  /** doc_id + distinct word n-gram shingle set hashed to sorted 60-bit
     * longs (+ set size), built in one partition-local pass — candidate
     * generation and verification never touch shingle strings.
     */
-  private[operators] def hashedShingles(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def hashedShingles(s: SparkSession, dir: String,
+                                        width: Int = ShingleWidth): DataFrame = {
     import s.implicits._
     table(s, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
@@ -48,8 +61,11 @@ object TextDedup {
           val toks = text.split(' ')
           val hs = scala.collection.mutable.HashSet[Long]()
           var i = 0
-          while (i + 1 < toks.length) {
-            hs += hash60Bytes(md, toks(i) + " " + toks(i + 1))
+          while (i + width - 1 < toks.length) {
+            val sb = new java.lang.StringBuilder(toks(i))
+            var j = 1
+            while (j < width) { sb.append(' ').append(toks(i + j)); j += 1 }
+            hs += hash60Bytes(md, sb.toString)
             i += 1
           }
           val arr = hs.toArray
@@ -150,18 +166,23 @@ object TextDedup {
     Array.tabulate(32)(p => hash60Bytes(md, p.toString))
   }
 
-  /** 32-hash minhash signature straight from text: hash each word-bigram
-    * shingle once and fold the xor-min per seed in place — no shingle-set
-    * materialization (duplicates cannot change a minimum). One pass, used
-    * by the streaming ingest detector.
+  /** 32-hash minhash signature straight from text: hash each word n-gram
+    * shingle (same [[ShingleWidth]] as the batch detectors, so estimates
+    * agree across surfaces) once and fold the xor-min per seed in place —
+    * no shingle-set materialization (duplicates cannot change a minimum).
+    * One pass, used by the streaming ingest detector.
     */
   private[graft] def minhashSignatureFromText(md: java.security.MessageDigest,
-                                              text: String): Array[Long] = {
+                                              text: String,
+                                              width: Int = ShingleWidth): Array[Long] = {
     val sig = Array.fill(32)(Long.MaxValue)
     val toks = text.split(' ')
     var i = 0
-    while (i + 1 < toks.length) {
-      val h = hash60Bytes(md, toks(i) + " " + toks(i + 1))
+    while (i + width - 1 < toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < width) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val h = hash60Bytes(md, sb.toString)
       var p = 0
       while (p < 32) { val v = h ^ minhashSeeds(p); if (v < sig(p)) sig(p) = v; p += 1 }
       i += 1
