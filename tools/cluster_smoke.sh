@@ -9,6 +9,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 sbt -batch compile > /dev/null
+# the standalone-worker executor launcher infers the Scala version from
+# SPARK_HOME build dirs, which a jars-only install lacks — pin it
+export SPARK_SCALA_VERSION="${SPARK_SCALA_VERSION:-2.13}"
 SPARK_GRAFT_MASTER="${SPARK_GRAFT_MASTER:-local-cluster[2,4,4096]}" \
   sbt -batch "runMain graft.ClusterSmoke" 2>&1 | tee /tmp/cluster_smoke.log \
   | grep "CLUSTER-SMOKE" || true
