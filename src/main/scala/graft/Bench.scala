@@ -47,7 +47,7 @@ object Bench {
     // MEDIANS over n steady passes — the harness box shows ±25% run-to-run
     // noise, which single-pass numbers repeatedly misread as regressions
     val cold = runSuite().map(_._2).sum
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
     val runs: Seq[Seq[(String, Double)]] = (1 to passes).map(_ => runSuite())
     val names = runs.head.map(_._1)
     def med(xs: Seq[Double]): Double = {

@@ -103,7 +103,12 @@ object ClusterSmoke {
     // 5. broadcast join + a kernel operator, sf0.001
     val dir = "/root/testdata/sf0.001"
     check("star_join", operators.Relational.customerByRegion(spark, dir).count() > 0)
-    check("minhash_kernel", operators.TextDedup.minhashLshPairs(spark, dir).count() >= 0)
+    // sf0.001 holds 28 true jaccard>=0.8 pairs (measured in DuckDB); the
+    // 8x4 banding catches a >=0.8 pair with prob ~0.985+, so a healthy
+    // multi-JVM run lands in [20, 28] — an always-true >=0 would only
+    // catch crashes
+    val mh = operators.TextDedup.minhashLshPairs(spark, dir).count()
+    check("minhash_kernel", mh >= 20 && mh <= 28, s"got $mh pairs")
 
     // 6. flagship
     check("entry", SparkEntry.entry(spark).count() > 0)

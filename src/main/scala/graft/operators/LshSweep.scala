@@ -45,11 +45,10 @@ object LshSweep {
       qi -> top.toSet
     }.toMap
 
-    println(f"${"planes"}%7s ${"bits"}%5s ${"probes"}%7s ${"recall@5"}%9s ${"cand%%"}%7s")
-    for {
-      (nPlanes, bandBits) <- Seq((16, 4), (32, 4), (32, 8), (64, 8), (64, 16))
-      probes <- Seq(1, 2, 4, 6, 8, 12, 16)
-    } {
+    println(f"${"planes"}%7s ${"bits"}%5s ${"probes"}%7s ${"recall@5"}%9s ${"cand%"}%7s")
+    for ((nPlanes, bandBits) <- Seq((16, 4), (32, 4), (32, 8), (64, 8), (64, 16))) {
+      // signatures/buckets depend only on (planes, bits): hoisted out of
+      // the probes loop
       val nBands = nPlanes / bandBits
       val mask = (1L << bandBits) - 1
       val planes = Similarity.lshPlanesN(nPlanes)
@@ -65,6 +64,7 @@ object LshSweep {
       for (i <- vecs.indices; b <- 0 until nBands)
         buckets.getOrElseUpdate((b, (sigs(i) >>> (b * bandBits)) & mask),
           scala.collection.mutable.ArrayBuffer.empty) += i
+      for (probes <- Seq(1, 2, 4, 6, 8, 12, 16)) {
       var recallSum = 0.0; var candSum = 0.0
       queries.foreach { qi =>
         val conf = dots(qi).map(math.abs)
@@ -85,6 +85,7 @@ object LshSweep {
         candSum += cand.size.toDouble / (n - 1)
       }
       println(f"$nPlanes%7d $bandBits%5d $probes%7d ${recallSum / queries.size}%9.3f ${100 * candSum / queries.size}%6.1f%%")
+      }
     }
     spark.stop()
   }

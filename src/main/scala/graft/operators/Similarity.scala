@@ -24,33 +24,49 @@ object Similarity {
   /** The corpus caches (`annBruteForce`'s vectors, the LSH signatures) must
     * outlive their builder call — the returned DataFrame's plan reads them
     * at action time — so they cannot be unpersisted on exit. Instead each
-    * operator registers its cache here and releases the PREVIOUS
-    * invocation's: a long-lived session holds at most one live cache per
-    * operator instead of accumulating one per query. (Unpersisting a cache
-    * a still-running older query references is safe — Spark recomputes
-    * evicted partitions from lineage; it costs that query a rescan, never
-    * correctness.) `releaseCaches()` drops everything, for session
-    * teardown or tests.
+    * operator family memoizes its cache here under an explicit
+    * (family, session, dir, params) key: a repeat call returns the SAME
+    * cached Dataset (plan-identity matching would fail — the builder
+    * closures capture fresh Broadcast handles per call), and a call with a
+    * NEW key releases the family's previous cache, so a long-lived session
+    * holds at most one live cache per operator family. (Unpersisting a
+    * cache a still-running older query references is safe — Spark
+    * recomputes evicted partitions from lineage; it costs that query a
+    * rescan, never correctness.) `releaseCaches()` drops everything, for
+    * session teardown or tests.
     */
   private val liveCaches =
     new java.util.concurrent.ConcurrentHashMap[String, Dataset[_]]()
 
-  private def swapCache[T](key: String, ds: Dataset[T]): Dataset[T] = {
-    val prev = liveCaches.put(key, ds)
-    // same-plan repeat (re-running the operator on the same dir): the
-    // CacheManager already deduped the two .cache() calls into ONE shared
-    // entry — unpersisting `prev` would evict the entry the new dataset
-    // relies on. Only a genuinely different plan (new corpus dir/params)
-    // releases the old cache.
-    if (prev != null && (prev ne ds)
-        && !prev.queryExecution.analyzed.sameResult(ds.queryExecution.analyzed))
-      prev.unpersist()
-    ds
-  }
+  private def memoCache[T](family: String, s: SparkSession, key: String,
+                           build: => Dataset[T]): Dataset[T] =
+    liveCaches.synchronized {
+      val full = s"$family|${s.sparkContext.applicationId}|$key"
+      val hit = liveCaches.get(full)
+      if (hit != null) hit.asInstanceOf[Dataset[T]]
+      else {
+        val it = liveCaches.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getKey.startsWith(family + "|")) {
+            try e.getValue.unpersist()
+            catch { case scala.util.control.NonFatal(_) => () } // stopped old session
+            it.remove()
+          }
+        }
+        val ds = build
+        liveCaches.put(full, ds)
+        ds
+      }
+    }
 
-  def releaseCaches(): Unit = {
+  def releaseCaches(): Unit = liveCaches.synchronized {
     val it = liveCaches.entrySet().iterator()
-    while (it.hasNext) { it.next().getValue.unpersist(); it.remove() }
+    while (it.hasNext) {
+      try it.next().getValue.unpersist()
+      catch { case scala.util.control.NonFatal(_) => () }
+      it.remove()
+    }
   }
 
   /** (vec_id, v as double[], norm) rows — the shared input shape. */
@@ -88,9 +104,9 @@ object Similarity {
     // cache the corpus: the chunk loop would otherwise rescan the parquet
     // for every per-chunk collect AND every scoring pass (2·chunks scans);
     // cached, the file is read once and spills to executor storage if the
-    // corpus outgrows memory. Registered in swapCache: the previous
-    // invocation's cache is released so repeat queries don't accumulate.
-    val vecs = swapCache("annBruteForce", vecDs(s, dir).cache())
+    // corpus outgrows memory. Memoized: a repeat query reuses the live
+    // cache, a new dir releases the previous one.
+    val vecs = memoCache("annBruteForce", s, dir, vecDs(s, dir).cache())
     // collect query IDS only (8 bytes each — the vectors stay distributed)
     // and chunk by rank in the sorted id list: each broadcast is genuinely
     // bounded by queryChunk whatever the id distribution (chunking by
@@ -301,18 +317,19 @@ object Similarity {
     * cached via [[swapCache]] — one live corpus cache per operator however
     * many queries run in the session.
     */
-  private def annLshSigs(s: SparkSession, dir: String, nPlanes: Int): DataFrame = {
-    import s.implicits._
-    val bPlanes = s.sparkContext.broadcast(lshPlanesN(nPlanes))
-    swapCache("annLsh", vecDs(s, dir).mapPartitions { it =>
-      val ps = bPlanes.value
-      it.map { case (id, v, n) =>
-        var sig = 0L; var p = 0
-        while (p < ps.length) { if (dot(v, ps(p)) >= 0) sig |= 1L << p; p += 1 }
-        (id, v, n, sig)
-      }
-    }.toDF("vec_id", "v", "nrm", "sig").cache())
-  }
+  private def annLshSigs(s: SparkSession, dir: String, nPlanes: Int): DataFrame =
+    memoCache("annLsh", s, s"$dir|$nPlanes", {
+      import s.implicits._
+      val bPlanes = s.sparkContext.broadcast(lshPlanesN(nPlanes))
+      vecDs(s, dir).mapPartitions { it =>
+        val ps = bPlanes.value
+        it.map { case (id, v, n) =>
+          var sig = 0L; var p = 0
+          while (p < ps.length) { if (dot(v, ps(p)) >= 0) sig |= 1L << p; p += 1 }
+          (id, v, n, sig)
+        }
+      }.toDF("vec_id", "v", "nrm", "sig").cache()
+    })
 
   private def candidatesFrom(s: SparkSession, sigs: DataFrame, nPlanes: Int,
                              bandBits: Int, probes: Int): DataFrame = {
@@ -425,7 +442,7 @@ object Similarity {
     // across partitions whatever the bucket skew, so it is the shape that
     // survives adversarial 100 TB inputs; its shuffle volume is bounded
     // by candidate count, which real near-dup corpora keep near-linear.
-    val sigs = swapCache("cosineNearDupLsh", lshSigs(s, dir).cache())
+    val sigs = memoCache("cosineNearDupLsh", s, dir, lshSigs(s, dir).cache())
     val bands = lshBands(s, sigs)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")

@@ -128,28 +128,40 @@ object Archive {
       math.min(16, math.max(1, dateDirs.size)))
     try {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val listed = dateDirs.map { dateDir =>
-        dateDir -> Future {
-          fs.listStatus(dateDir).toSeq.filter(_.isDirectory)
-            .filter { c => // only client dirs with at least one data file
-              fs.listStatus(c.getPath).exists { f =>
-                val n = f.getPath.getName
-                f.isFile && !n.startsWith("_") && !n.startsWith(".")
-              }
-            }
-            .flatMap(c => partValue(c.getPath.getName, "client"))
-        }
-      }
       val deadline = System.nanoTime() + timeoutSec * 1000000000L
-      listed.flatMap { case (dateDir, fut) =>
-        val left = math.max(1L, (deadline - System.nanoTime()) / 1000000L)
-        try Await.result(fut, left.millis)
-        catch {
-          case _: java.util.concurrent.TimeoutException =>
-            throw new java.io.IOException(
-              s"archive listing timed out after ${timeoutSec}s at $dateDir")
+      def awaitAll[T](futs: Seq[(org.apache.hadoop.fs.Path, Future[T])]): Seq[T] =
+        futs.map { case (dir, fut) =>
+          val left = math.max(1L, (deadline - System.nanoTime()) / 1000000L)
+          try Await.result(fut, left.millis)
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              throw new java.io.IOException(
+                s"archive listing timed out after ${timeoutSec}s at $dir")
+          }
         }
-      }.toSet
+      // phase 1: one LIST per date dir — client names from directory names
+      val clientDirs = awaitAll(dateDirs.map { d =>
+        d -> Future {
+          fs.listStatus(d).toSeq.filter(_.isDirectory)
+            .flatMap(c => partValue(c.getPath.getName, "client").map(_ -> c.getPath))
+        }
+      }).flatten
+      val byClient = clientDirs.groupBy(_._1)
+      if (byClient.size <= 1) byClient.keySet
+      else {
+        // phase 2 — only when the cheap listing LOOKS mixed: probe each
+        // client's dirs for an actual data file, so a leftover empty
+        // `client=` dir (aborted write) cannot raise a false mixed-client
+        // error. The single-client common case never pays these LISTs.
+        def hasData(p: org.apache.hadoop.fs.Path): Boolean =
+          fs.listStatus(p).exists { f =>
+            val n = f.getPath.getName
+            f.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+        awaitAll(byClient.toSeq.map { case (client, dirs) =>
+          dirs.head._2 -> Future { if (dirs.exists(d => hasData(d._2))) Some(client) else None }
+        }).flatten.toSet
+      }
     } finally pool.shutdownNow()
   }
 }

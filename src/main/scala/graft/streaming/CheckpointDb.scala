@@ -4,7 +4,10 @@ import java.sql.{Connection, DriverManager}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** JDBC-backed checkpoint store (G3) — the reference's `triton_checkpoint`
+/** JDBC-backed checkpoint store (G3) — thread-safe over its single shared
+  * `Connection` (all statement work is `synchronized`; metadata-scale, so
+  * contention is irrelevant — the `autoMirror` listener bus may drive it
+  * concurrently with application threads) — the reference's `triton_checkpoint`
   * table reproduced over `java.sql`
   * (`/root/reference/triton/checkpoint.go:95-151`): same table shape
   * (client, stream, shard, seq_num VARCHAR, updated epoch-seconds; PK on
@@ -45,7 +48,7 @@ final class CheckpointDb(conn: Connection) extends AutoCloseable {
     * (`checkpoint.go:27-78`): select-then-update/insert in a transaction.
     */
   def checkpoint(client: String, stream: String, shard: String,
-                 seqNum: String, nowSec: Long): Unit = {
+                 seqNum: String, nowSec: Long): Unit = synchronized {
     val auto = conn.getAutoCommit
     conn.setAutoCommit(false)
     try {
@@ -79,7 +82,7 @@ final class CheckpointDb(conn: Connection) extends AutoCloseable {
     * checkpointed (the reference returns "" — `checkpoint.go:81-95` — which
     * callers treat as trim_horizon).
     */
-  def lastSequenceNumber(client: String, stream: String, shard: String): Option[String] = {
+  def lastSequenceNumber(client: String, stream: String, shard: String): Option[String] = synchronized {
     val s = conn.prepareStatement(
       "SELECT seq_num FROM triton_checkpoint WHERE client=? AND stream=? AND shard=?")
     s.setString(1, client); s.setString(2, stream); s.setString(3, shard)
@@ -89,7 +92,7 @@ final class CheckpointDb(conn: Connection) extends AutoCloseable {
   }
 
   /** `client.stream.shard.age -> seconds` (`checkpoint.go:127-151`). */
-  def stats(client: String, nowSec: Long): Map[String, Long] = {
+  def stats(client: String, nowSec: Long): Map[String, Long] = synchronized {
     val s = conn.prepareStatement(
       "SELECT updated, stream, shard FROM triton_checkpoint WHERE client=?")
     s.setString(1, client)
@@ -106,7 +109,7 @@ final class CheckpointDb(conn: Connection) extends AutoCloseable {
     * its cardinality is (clients x streams x shards), metadata-scale by
     * construction, never data-scale.
     */
-  def asDataFrame(spark: SparkSession): DataFrame = {
+  def asDataFrame(spark: SparkSession): DataFrame = synchronized {
     import spark.implicits._
     val st = conn.createStatement()
     val rs = st.executeQuery(

@@ -39,11 +39,14 @@ object FileShardService extends ShardService {
   override def getRecords(stream: String, shard: String, afterSeq: Long,
                           limit: Int): Seq[FakeKinesis.Rec] =
     seqsOf(stream, shard).filter(_ > afterSeq).sorted.take(limit).toSeq.map { seq =>
-      val in = new DataInputStream(
-        new FileInputStream(new File(shardDir(stream, shard), s"$seq.rec")))
+      val f = new File(shardDir(stream, shard), s"$seq.rec")
+      val in = new DataInputStream(new FileInputStream(f))
       try {
         val key = new Array[Byte](in.readInt()); in.readFully(key)
-        val data = new Array[Byte](in.available()); in.readFully(data)
+        // size from the file length, not available() (an estimate by
+        // contract — exact only for a plain local FileInputStream)
+        val data = new Array[Byte]((f.length() - 4 - key.length).toInt)
+        in.readFully(data)
         FakeKinesis.Rec(seq, new String(key, "UTF-8"), data)
       } finally in.close()
     }

@@ -261,8 +261,17 @@ object StreamOps {
       .where(col("event_type") =!= "__sentinel")
       .select(unix_seconds(col("window_start")).as("window_epoch"), col("event_type"), col("n"))
     val rows = sink.collect().toSeq
+    // the work dir holds a dataset-sized input copy + checkpoint + sink;
+    // everything needed is in `rows` now — delete it, or repeated runs
+    // (Bench executes q47 five times) leak a copy of the corpus each
+    deleteRecursively(work.toFile)
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), sink.schema)
       .orderBy($"window_epoch", $"event_type")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Custom keyed state: running per-user event counter + last-seen

@@ -33,15 +33,10 @@ P_NOUN = ["ring", "bolt", "screw", "gear", "cog", "pin", "cap", "rod"]
 DAY = 86400
 
 
-def write(out, name, cols, ts_unit=None):
-    fields = []
+def write(out, name, cols):
     for k, v in cols.items():
-        if isinstance(v, pa.Array) or isinstance(v, pa.ChunkedArray):
-            fields.append(pa.field(k, v.type))
-        else:
-            arr = pa.array(v)
-            cols[k] = arr
-            fields.append(pa.field(k, arr.type))
+        if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+            cols[k] = pa.array(v)
     t = pa.table(cols)
     pq.write_table(t, f"{out}/{name}.parquet", compression="snappy")
     print(f"{name}: {t.num_rows} rows")
