@@ -19,7 +19,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_SKIP: comma-separated query names to exclude at
+    // stress SFs (documented data-dependent-quadratic queries whose
+    // candidate volume exhausts local spill disk — q20 at sf10). Skipped
+    // names are dropped from oracle_sql.json too, so the DuckDB compare
+    // sees a consistent set. The driver's own gate sets no skip.
+    val skip: Set[String] = sys.env.get("SPARK_GRAFT_VERIFY_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    SparkEntry.queries.filterNot(kv => skip(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -38,7 +45,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filterNot(kv => skip(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -105,6 +105,36 @@ object TextDedup {
     */
   def ngramJaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.8,
                         freqSketchSize: Int = 1 << 16): DataFrame = {
+    val (sh, ranked) = prefixRanked(s, dir, threshold, freqSketchSize)
+    import s.implicits._
+    // candidate join with the PPJoin length filter (t*|B| <= |A| <= |B|/t)
+    // and positional filter: a prefix match at ranks (ra, rb) bounds the
+    // intersection by 1 + min(na-ra, nb-rb), which must reach the overlap
+    // requirement t/(1+t)*(na+nb). Both are lossless for J >= t.
+    val tt = threshold / (1.0 + threshold)
+    val cand = ranked.as("a").join(ranked.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id"
+          && $"a.nsh" >= lit(threshold) * $"b.nsh"
+          && $"b.nsh" >= lit(threshold) * $"a.nsh"
+          && (lit(1) + least($"a.nsh" - $"a.rn", $"b.nsh" - $"b.rn"))
+             >= lit(tt) * ($"a.nsh" + $"b.nsh"))
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    // verification: distributed doc_id joins against the hashed shingle
+    // sets — only candidate pairs and their two set arrays move, nothing
+    // corpus-sized ever reaches the driver.
+    verifyJaccard(s, cand, sh, threshold)
+  }
+
+  /** The PPJoin prefix table behind [[ngramJaccardPairs]]: each document's
+    * `n - ceil(t*n) + 1` globally-rarest shingles with their prefix rank.
+    * Factored out so [[PpjoinDiag]] measures candidate volume from exactly
+    * the operator's prefix selection. Returns (cached shingle sets, prefix
+    * rows `(doc_id, nsh, h, rn)`).
+    */
+  private[operators] def prefixRanked(s: SparkSession, dir: String,
+                                      threshold: Double,
+                                      freqSketchSize: Int): (DataFrame, DataFrame) = {
     import s.implicits._
     val sh = hashedShingles(s, dir).cache()
     // global document frequency orders shingles rarest-first. Only the
@@ -129,23 +159,7 @@ object TextDedup {
           (0 until math.min(plen, nsh)).iterator.map(i => (id, nsh, sorted(i), i + 1))
         }
       }.toDF("doc_id", "nsh", "h", "rn")
-    // candidate join with the PPJoin length filter (t*|B| <= |A| <= |B|/t)
-    // and positional filter: a prefix match at ranks (ra, rb) bounds the
-    // intersection by 1 + min(na-ra, nb-rb), which must reach the overlap
-    // requirement t/(1+t)*(na+nb). Both are lossless for J >= t.
-    val tt = threshold / (1.0 + threshold)
-    val cand = ranked.as("a").join(ranked.as("b"),
-        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id"
-          && $"a.nsh" >= lit(threshold) * $"b.nsh"
-          && $"b.nsh" >= lit(threshold) * $"a.nsh"
-          && (lit(1) + least($"a.nsh" - $"a.rn", $"b.nsh" - $"b.rn"))
-             >= lit(tt) * ($"a.nsh" + $"b.nsh"))
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .distinct()
-    // verification: distributed doc_id joins against the hashed shingle
-    // sets — only candidate pairs and their two set arrays move, nothing
-    // corpus-sized ever reaches the driver.
-    verifyJaccard(s, cand, sh, threshold)
+    (sh, ranked)
   }
 
   /** MinHash + LSH near-dup pairs: 32-hash signature from one base hash per

@@ -3,7 +3,12 @@
 DuckDB over the testdata parquet and compare (schema-lenient, value-exact)
 against the parquet written by graft.Verify.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [skipCsv]
+
+skipCsv: comma-separated query names to leave out of the compare (stress
+SFs where the DuckDB formulation of a documented-quadratic oracle — e.g.
+q23's exact all-pairs join at sf10 — is impractical; the Spark side may
+still have run them).
 """
 import json, sys, glob
 import duckdb
@@ -21,13 +26,16 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
     for name in sorted(oracle):
+        if name in skip:
+            print(f"SKIP     {name}")
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"MISSING  {name}: no parquet written")
@@ -58,4 +66,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    skip = tuple(s for s in sys.argv[3].split(",") if s) if len(sys.argv) > 3 else ()
+    main(sys.argv[1], sys.argv[2], skip)
