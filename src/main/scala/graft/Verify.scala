@@ -7,8 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,4,4096] runs the whole dump in
+    // multi-JVM mode (separate executor processes — same harness as
+    // tools/cluster_smoke.sh), turning the oracle gate into a
+    // cluster-execution check; executors then need the compiled classes
+    // on their own classpath.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -16,7 +22,11 @@ object Verify {
       // default; read as raw nanos and normalize in graft.operators.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (master.startsWith("local-cluster"))
+        builder.config("spark.executor.extraClassPath",
+          sys.env.getOrElse("SPARK_GRAFT_CLASSDIR",
+            "/root/repo/target/scala-2.13/classes"))
+      else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_VERIFY_SKIP: comma-separated query names to exclude at

@@ -199,8 +199,12 @@ private class ShardReader(p: ShardPartition) extends PartitionReader[InternalRow
   override def close(): Unit = ()
 }
 
-private object ShardReader {
+private[graft] object ShardReader {
   private val lastFetch = scala.collection.mutable.Map[(String, String), Long]()
+  // sweep threshold, not a cap: pacing state is bounded by live shard
+  // assignment in steady state, but resharding / stream turnover retires
+  // keys that would otherwise sit in an executor JVM forever
+  private val SweepAbove = 4096
 
   /** Milliseconds the caller must still wait to honor the per-shard poll
     * interval; reserves the next slot. JVM-wide, matching local[n]; on a
@@ -212,6 +216,12 @@ private object ShardReader {
       val allowed = lastFetch.getOrElse((stream, shard), 0L) + intervalMs
       val wait = math.max(0L, allowed - now)
       lastFetch((stream, shard)) = now + wait
+      // an entry only influences pacing within intervalMs of its reserved
+      // slot — anything older is semantically absent, so evict it
+      if (lastFetch.size > SweepAbove)
+        lastFetch.filterInPlace { case (_, slot) => slot + intervalMs > now }
       wait
     }
+
+  private[graft] def pacingEntries: Int = synchronized(lastFetch.size)
 }

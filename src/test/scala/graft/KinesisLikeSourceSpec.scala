@@ -127,6 +127,19 @@ class KinesisLikeSourceSpec extends AnyFunSuite with SparkFixture {
     assert(elapsed >= 100, s"second fetch should be rate-limited, took ${elapsed}ms")
   }
 
+  test("pacing state sweeps retired (stream, shard) keys — bounded under shard churn") {
+    // hammer the pacing map with more one-shot shard keys than the sweep
+    // threshold, all with a tiny interval so they immediately go stale;
+    // the map must not retain them all (executor JVMs outlive streams)
+    (1 to 6000).foreach { i =>
+      streaming.ShardReader.nextAllowedFetch(s"churn-$i", "shardId-0", 1L)
+    }
+    Thread.sleep(5)
+    streaming.ShardReader.nextAllowedFetch("churn-final", "shardId-0", 1L)
+    assert(streaming.ShardReader.pacingEntries <= 4097,
+      s"stale pacing keys not swept: ${streaming.ShardReader.pacingEntries}")
+  }
+
   test("shards appearing mid-query are discovered and read (re-list per batch)") {
     FakeKinesis.reset()
     FakeKinesis.createStream("s7", 1)
