@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
@@ -75,7 +78,33 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = stats.map(_._2._1).sum
     val skipped = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_spread":$spread,"passes":$passes,"skipped":$skipped,"warmup_sec":$warmup%.3f,"cold_sec":$cold%.3f,"sf":"$sfDir"}""")
+    // one extra untimed pass measuring per-query shuffle/spill volume via
+    // task metrics — the scale evidence behind the plan audit ("is there a
+    // shuffle here that becomes the bottleneck at 100x?") measured, not
+    // guessed. Runs AFTER the timed passes so listener settling sleeps
+    // never pollute the reported latencies.
+    val shWrite = new AtomicLong; val shRead = new AtomicLong; val spill = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          spill.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+    def settle(): Unit = Thread.sleep(120) // task-end events are async; let the bus drain
+    val io = queries.map { case (name, fn) =>
+      settle()
+      val (w0, r0, s0) = (shWrite.get, shRead.get, spill.get)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      settle()
+      val mb = 1.0 / (1 << 20)
+      f""""$name":{"shuffle_write_mb":${(shWrite.get - w0) * mb}%.1f,"shuffle_read_mb":${(shRead.get - r0) * mb}%.1f,"spill_mb":${(spill.get - s0) * mb}%.1f}"""
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_spread":$spread,"queries_io":$io,"passes":$passes,"skipped":$skipped,"warmup_sec":$warmup%.3f,"cold_sec":$cold%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
