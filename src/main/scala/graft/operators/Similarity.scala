@@ -283,14 +283,6 @@ object Similarity {
     }.toDF("vec_id", "v", "nrm", "sig")
   }
 
-  /** vec_id → its 4 LSH band keys (4 bits each). */
-  private def lshBands(s: SparkSession, sigs: DataFrame): DataFrame = {
-    import s.implicits._
-    sigs.select($"vec_id", explode(sequence(lit(0), lit(3))).as("band"), $"sig")
-      .withColumn("bkey", expr("(sig >> (band * 4)) & 15"))
-      .select($"vec_id", $"band", $"bkey")
-  }
-
   /** Probe keys for one band in multi-probe order (Lv et al., VLDB'07):
     * the exact key first, then perturbation sets over the band's
     * least-confident bits (ranked weakest-first by the caller) in
@@ -431,34 +423,55 @@ object Similarity {
     * recall climbs toward 1 as the threshold does).
     */
   def cosineNearDupLsh(s: SparkSession, dir: String,
-                       threshold: Double = 0.45): DataFrame = {
+                       threshold: Double = 0.45, blocks: Int = 16): DataFrame = {
     import s.implicits._
-    // Shape choice: candidates-then-vector-join (below) vs running the
-    // pair kernel inside each (band, bkey) group. The grouped form ships
-    // far fewer bytes (4 copies of each vector vs 2 per candidate pair)
-    // but puts a whole bucket's C(n,2) compare in ONE task — a skewed
-    // bucket (mass-duplicated content, the exact thing near-dup hunts)
-    // becomes a straggler. The candidate join redistributes pair work
-    // across partitions whatever the bucket skew, so it is the shape that
-    // survives adversarial 100 TB inputs; its shuffle volume is bounded
-    // by candidate count, which real near-dup corpora keep near-linear.
+    // Shape choice, MEASURED at sf10 (80 k near-uniform vectors, the
+    // adversarial geometry where ~25% of all pairs share a 4-bit band
+    // key): the candidates-then-vector-join form shuffled both vectors
+    // per candidate pair — 92 GB of spill, 991 s, 78% of the whole
+    // suite's wall. This form verifies INSIDE each (band, bkey) bucket
+    // with q23's block decomposition: every vector ships blocks copies
+    // per band (bounded, corpus-linear — ~2.8 GB at sf10 vs the pair-
+    // proportional join), candidate pairs never cross an exchange, and a
+    // hot bucket's C(n,2) work spreads over blocks²/2 tasks, so bucket
+    // skew degrades parallelism gracefully instead of spilling. `blocks`
+    // is the same executor-fit knob as cosineNearDupPairs'.
     val sigs = memoCache("cosineNearDupLsh", s, dir, lshSigs(s, dir).cache())
-    val bands = lshBands(s, sigs)
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-          && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
-    cand
-      .join(sigs.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na")), "vec_a")
-      .join(sigs.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nb")), "vec_b")
-      .select($"vec_a", $"vec_b", $"va", $"na", $"vb", $"nb")
-      .as[(Long, Long, Array[Double], Double, Array[Double], Double)]
-      .mapPartitions(_.flatMap { case (a, b, va, na, vb, nb) =>
-        val c = dot(va, vb) / (na * nb)
-        if (c >= threshold) Iterator((a, b, c)) else Iterator.empty
-      })
-      .toDF("vec_a", "vec_b", "cosine")
+    val tagged = sigs.select($"vec_id", $"v", $"nrm", $"sig")
+      .as[(Long, Array[Double], Double, Int)]
+      .flatMap { case (id, v, n, sig) =>
+        val b = math.floorMod(id, blocks).toInt
+        Iterator.range(0, 4).flatMap { band =>
+          val bkey = (sig >> (band * 4)) & 15
+          Iterator.range(0, blocks).map { o =>
+            (band * 16 + bkey, math.min(b, o), math.max(b, o), id, v, n, b)
+          }
+        }
+      }
+    val pairs = tagged
+      .groupByKey(t => (t._1, t._2, t._3))
+      .flatMapGroups { (key: (Int, Int, Int), it: Iterator[(Int, Int, Int, Long, Array[Double], Double, Int)]) =>
+        val (_, bi, bj) = key
+        val rows = it.map(t => (t._4, t._5, t._6, t._7)).toArray.sortBy(_._1)
+        Iterator.tabulate(rows.length) { i =>
+          val (ida, va, na, ba) = rows(i)
+          Iterator.range(i + 1, rows.length).flatMap { j =>
+            val (idb, vb, nb, bb) = rows(j)
+            // (bi, bi) groups own within-block pairs; bi < bj groups own
+            // exactly the cross-block pairs — each pair scored once per
+            // colliding band, deduped below
+            if (bi != bj && ba == bb) Iterator.empty
+            else {
+              val c = dot(va, vb) / (na * nb)
+              if (c >= threshold) Iterator((ida, idb, c)) else Iterator.empty
+            }
+          }
+        }.flatten
+      }.toDF("vec_a", "vec_b", "cosine")
+    // a pair agreeing on k bands emits k identical rows (same doubles —
+    // same kernel) — distinct is over surviving pairs only, never the
+    // candidate volume
+    pairs.distinct()
       .select($"vec_a", $"vec_b", graft.Tables.round6($"cosine").as("cosine"))
       .orderBy($"vec_a", $"vec_b")
   }

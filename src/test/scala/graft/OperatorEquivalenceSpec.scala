@@ -71,4 +71,14 @@ class OperatorEquivalenceSpec extends AnyFunSuite with SparkFixture {
         s"pair (${r(0)},${r(1)}) missing or cosine differs vs exhaustive search")
     }
   }
+
+  test("q42 output is invariant to block count (bucket-local verify decomposition)") {
+    val dir = "/root/testdata/sf0.01"
+    val b16 = rowsOf(Similarity.cosineNearDupLsh(spark, dir, blocks = 16))
+    val b3 = rowsOf(Similarity.cosineNearDupLsh(spark, dir, blocks = 3))
+    val b1 = rowsOf(Similarity.cosineNearDupLsh(spark, dir, blocks = 1))
+    assert(b16.nonEmpty)
+    assert(b16 === b3)
+    assert(b16 === b1)
+  }
 }
