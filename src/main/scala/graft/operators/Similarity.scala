@@ -410,9 +410,10 @@ object Similarity {
     * `cosineNearDupPairs`, made executable): candidate pairs are vectors
     * sharing >= 1 of the 4 LSH bands, and only candidates reach the exact
     * cosine kernel. Compare work scales with candidate count (near-linear
-    * when near-dups are rare) instead of the all-pairs quadratic; the
-    * banded equi-join + kernel verify is the same plan family as the
-    * minhash/simhash detectors.
+    * when near-dups are rare) instead of the all-pairs quadratic;
+    * candidates are verified bucket-locally (block-decomposed, see the
+    * shape note in the body), so shuffle volume stays corpus-linear even
+    * when the banding is unselective.
     *
     * Unlike `annLsh`'s top-k (whose recall is engine-specific), this IS
     * oracle-checkable: the hyperplanes are deterministic md5 arithmetic,

@@ -59,13 +59,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "the corpus must not be broadcast — that shape dies at 100 TB")
   }
 
-  test("candidate-fed near-dup rides equi-joins, never a nested loop (q42)") {
+  test("candidate-fed near-dup groups by bucket — no join, no cartesian (q42)") {
     val p = plan(Similarity.cosineNearDupLsh(spark, sfDir))
-    // candidates come from the (band, bkey) equi-join; the vec_id < vec_id
-    // ordering predicate must NOT demote it to a cartesian/nested-loop —
-    // that shape is the quadratic this operator exists to avoid
+    // candidate pairs are verified inside (band, bkey, block-pair) groups:
+    // the plan must be a single hash-partitioned groupBy over the tagged
+    // vectors — no pair-proportional join (the 92 GB-spill sf10 shape),
+    // and certainly no cartesian/nested-loop
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"candidate generation must be an equi-join:\n$p")
+      s"pair work must never be a cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"vectors must reach the kernel via bucket grouping, not a per-pair join:\n$p")
   }
 
   test("stratified sample combines map-side: partial aggregate before the exchange (q44)") {
