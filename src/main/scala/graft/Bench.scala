@@ -36,6 +36,12 @@ object Bench {
     // Skipped names are reported in the output line so totals stay honest.
     val skip: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    // fail fast on names that match nothing: a typo'd skip would silently
+    // run the query it was meant to exclude (q20 at sf10 fills the spill
+    // disk) while the JSON reports it skipped
+    val unknown = skip -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_BENCH_SKIP names not registered: ${unknown.mkString(",")}")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1))
     val w0 = System.nanoTime()
     queries.foreach { case (_, fn) =>
@@ -94,7 +100,18 @@ object Bench {
         }
       }
     })
-    def settle(): Unit = Thread.sleep(120) // task-end events are async; let the bus drain
+    // task-end events are async: wait until the counters are unchanged
+    // across two consecutive 50 ms reads (bounded ~2 s) — a fixed sleep
+    // would let a heavy query's late events land in the next query's window
+    def settle(): Unit = {
+      var tries = 0
+      var prev = (-1L, -1L, -1L)
+      var cur = (shWrite.get, shRead.get, spill.get)
+      while (prev != cur && tries < 40) {
+        Thread.sleep(50); prev = cur
+        cur = (shWrite.get, shRead.get, spill.get); tries += 1
+      }
+    }
     val io = queries.map { case (name, fn) =>
       settle()
       val (w0, r0, s0) = (shWrite.get, shRead.get, spill.get)

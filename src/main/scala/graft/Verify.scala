@@ -36,6 +36,10 @@ object Verify {
     // sees a consistent set. The driver's own gate sets no skip.
     val skip: Set[String] = sys.env.get("SPARK_GRAFT_VERIFY_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    // a typo'd skip name would silently run the query it meant to exclude
+    val unknownSkip = skip -- SparkEntry.queries.keySet
+    require(unknownSkip.isEmpty,
+      s"SPARK_GRAFT_VERIFY_SKIP names not registered: ${unknownSkip.mkString(",")}")
     SparkEntry.queries.filterNot(kv => skip(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

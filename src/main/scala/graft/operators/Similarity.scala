@@ -170,27 +170,34 @@ object Similarity {
     val pairs = tagged
       .groupByKey(t => (t._1, t._2))
       .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Long, Array[Double], Double, Int)]) =>
-        val (bi, bj) = key
         val rows = it.map(t => (t._3, t._4, t._5, t._6)).toArray.sortBy(_._1)
-        val out = Iterator.tabulate(rows.length) { i =>
-          val (ida, va, na, ba) = rows(i)
-          Iterator.range(i + 1, rows.length).flatMap { j =>
-            val (idb, vb, nb, bb) = rows(j)
-            // (bi, bi) groups own within-block pairs; bi < bj groups own
-            // exactly the cross-block pairs — each pair scored once
-            if (bi != bj && ba == bb) Iterator.empty
-            else {
-              val c = dot(va, vb) / (na * nb)
-              if (c >= threshold) Iterator((ida, idb, c)) else Iterator.empty
-            }
-          }
-        }
-        out.flatten
+        blockPairKernel(rows, key._1, key._2, threshold)
       }.toDF("vec_a", "vec_b", "cosine")
     pairs
       .select($"vec_a", $"vec_b", graft.Tables.round6($"cosine").as("cosine"))
       .orderBy($"vec_a", $"vec_b")
   }
+
+  /** Exact-cosine pair scoring over one (block bi, block bj) group of
+    * `(id, v, nrm, block)` rows sorted by id. Ownership rule shared by
+    * the exhaustive q23 search and q42's bucket-local verify: the
+    * (bi, bi) group owns within-block pairs, bi < bj groups own exactly
+    * the cross-block pairs — each pair scored once per group.
+    */
+  private def blockPairKernel(rows: Array[(Long, Array[Double], Double, Int)],
+                              bi: Int, bj: Int,
+                              threshold: Double): Iterator[(Long, Long, Double)] =
+    Iterator.tabulate(rows.length) { i =>
+      val (ida, va, na, ba) = rows(i)
+      Iterator.range(i + 1, rows.length).flatMap { j =>
+        val (idb, vb, nb, bb) = rows(j)
+        if (bi != bj && ba == bb) Iterator.empty
+        else {
+          val c = dot(va, vb) / (na * nb)
+          if (c >= threshold) Iterator((ida, idb, c)) else Iterator.empty
+        }
+      }
+    }.flatten
 
   /** IVF-style ANN: a coarse quantizer (here: per-label centroids — the
     * stand-in for a k-means codebook, computed as elementwise means) maps
@@ -452,22 +459,8 @@ object Similarity {
     val pairs = tagged
       .groupByKey(t => (t._1, t._2, t._3))
       .flatMapGroups { (key: (Int, Int, Int), it: Iterator[(Int, Int, Int, Long, Array[Double], Double, Int)]) =>
-        val (_, bi, bj) = key
         val rows = it.map(t => (t._4, t._5, t._6, t._7)).toArray.sortBy(_._1)
-        Iterator.tabulate(rows.length) { i =>
-          val (ida, va, na, ba) = rows(i)
-          Iterator.range(i + 1, rows.length).flatMap { j =>
-            val (idb, vb, nb, bb) = rows(j)
-            // (bi, bi) groups own within-block pairs; bi < bj groups own
-            // exactly the cross-block pairs — each pair scored once per
-            // colliding band, deduped below
-            if (bi != bj && ba == bb) Iterator.empty
-            else {
-              val c = dot(va, vb) / (na * nb)
-              if (c >= threshold) Iterator((ida, idb, c)) else Iterator.empty
-            }
-          }
-        }.flatten
+        blockPairKernel(rows, key._2, key._3, threshold)
       }.toDF("vec_a", "vec_b", "cosine")
     // a pair agreeing on k bands emits k identical rows (same doubles —
     // same kernel) — distinct is over surviving pairs only, never the

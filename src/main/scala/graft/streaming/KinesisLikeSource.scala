@@ -200,11 +200,16 @@ private class ShardReader(p: ShardPartition) extends PartitionReader[InternalRow
 }
 
 private[graft] object ShardReader {
-  private val lastFetch = scala.collection.mutable.Map[(String, String), Long]()
+  // (stream, shard) -> (reserved slot, that stream's own intervalMs):
+  // the interval is stored per entry so eviction judges each entry by
+  // ITS OWN horizon, never the sweeping caller's (a 1 ms-interval churner
+  // must not evict a 10 s-interval stream that fetched 5 s ago)
+  private val lastFetch = scala.collection.mutable.Map[(String, String), (Long, Long)]()
   // sweep threshold, not a cap: pacing state is bounded by live shard
   // assignment in steady state, but resharding / stream turnover retires
   // keys that would otherwise sit in an executor JVM forever
   private val SweepAbove = 4096
+  private var nextSweepAt = 0L
 
   /** Milliseconds the caller must still wait to honor the per-shard poll
     * interval; reserves the next slot. JVM-wide, matching local[n]; on a
@@ -213,13 +218,17 @@ private[graft] object ShardReader {
   def nextAllowedFetch(stream: String, shard: String, intervalMs: Long): Long =
     synchronized {
       val now = System.currentTimeMillis()
-      val allowed = lastFetch.getOrElse((stream, shard), 0L) + intervalMs
+      val allowed = lastFetch.get((stream, shard)).map(_._1).getOrElse(0L) + intervalMs
       val wait = math.max(0L, allowed - now)
-      lastFetch((stream, shard)) = now + wait
-      // an entry only influences pacing within intervalMs of its reserved
-      // slot — anything older is semantically absent, so evict it
-      if (lastFetch.size > SweepAbove)
-        lastFetch.filterInPlace { case (_, slot) => slot + intervalMs > now }
+      lastFetch((stream, shard)) = (now + wait, intervalMs)
+      // an entry only influences pacing within its own interval of its
+      // reserved slot — anything older is semantically absent, so evict
+      // it. The O(map) scan is rate-limited so a map that is legitimately
+      // large-and-live doesn't pay it per fetch under the lock.
+      if (lastFetch.size > SweepAbove && now >= nextSweepAt) {
+        nextSweepAt = now + 1000L
+        lastFetch.filterInPlace { case (_, (slot, iv)) => slot + iv > now }
+      }
       wait
     }
 

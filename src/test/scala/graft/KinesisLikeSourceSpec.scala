@@ -128,16 +128,21 @@ class KinesisLikeSourceSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("pacing state sweeps retired (stream, shard) keys — bounded under shard churn") {
-    // hammer the pacing map with more one-shot shard keys than the sweep
-    // threshold, all with a tiny interval so they immediately go stale;
-    // the map must not retain them all (executor JVMs outlive streams)
+    // a long-interval stream reserves a slot, then a churner hammers the
+    // map with more one-shot short-interval keys than the sweep threshold;
+    // the sweep (rate-limited to 1/s, hence the sleep) must evict the
+    // stale churn keys but NOT the still-active long-interval entry
+    streaming.ShardReader.nextAllowedFetch("keep-stream", "shardId-0", 60000L)
     (1 to 6000).foreach { i =>
       streaming.ShardReader.nextAllowedFetch(s"churn-$i", "shardId-0", 1L)
     }
-    Thread.sleep(5)
+    Thread.sleep(1100)
     streaming.ShardReader.nextAllowedFetch("churn-final", "shardId-0", 1L)
     assert(streaming.ShardReader.pacingEntries <= 4097,
       s"stale pacing keys not swept: ${streaming.ShardReader.pacingEntries}")
+    val wait = streaming.ShardReader.nextAllowedFetch("keep-stream", "shardId-0", 60000L)
+    assert(wait > 0,
+      "active long-interval entry must survive a short-interval caller's sweep and still rate-limit")
   }
 
   test("shards appearing mid-query are discovered and read (re-list per batch)") {

@@ -28,6 +28,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
+    # stress SFs: let DuckDB spill instead of OOM on the big oracle
+    # intermediates (q21's 848M-row signature build at sf10)
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    con.sql("SET memory_limit='48GB'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -66,5 +70,5 @@ def main(sf_dir, out_dir, skip=()):
 
 
 if __name__ == "__main__":
-    skip = tuple(s for s in sys.argv[3].split(",") if s) if len(sys.argv) > 3 else ()
+    skip = tuple(s.strip() for s in sys.argv[3].split(",") if s.strip()) if len(sys.argv) > 3 else ()
     main(sys.argv[1], sys.argv[2], skip)
