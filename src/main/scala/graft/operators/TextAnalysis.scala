@@ -30,10 +30,10 @@ object TextAnalysis {
     val buckets = table(s, dir, "documents")
       .select($"lang", $"text").as[(String, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val memo = new TextDedup.Hash60Memo()
         it.flatMap { case (lang, text) =>
           text.split(' ').iterator.map(t =>
-            (lang, (TextDedup.hash60Bytes(md, t) % width).toInt))
+            (lang, (memo(t) % width).toInt))
         }
       }.toDF("lang", "b")
     val profRows = buckets.groupBy($"lang", $"b").agg(count(lit(1)).as("c"))
@@ -54,11 +54,11 @@ object TextAnalysis {
       .select($"doc_id", $"lang", $"text").as[(Long, String, String)]
       .mapPartitions { it =>
         val (ls, pf, tot) = bProf.value
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val memo = new TextDedup.Hash60Memo()
         it.map { case (_, lang, text) =>
           val hits = new Array[Long](ls.length)
           text.split(' ').foreach { t =>
-            val b = (TextDedup.hash60Bytes(md, t) % width).toInt
+            val b = (memo(t) % width).toInt
             var i = 0
             while (i < ls.length) { hits(i) += pf(i)(b); i += 1 }
           }
@@ -195,14 +195,14 @@ object TextAnalysis {
     val fp = table(s, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val memo = new TextDedup.Hash60Memo()
         it.map { case (id, text) =>
           val toks = text.split(' ')
           var minH = Long.MaxValue
           var i = 0
           while (i + 2 < toks.length) {
             val tri = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
-            val h = TextDedup.hash60Bytes(md, tri)
+            val h = memo(tri)
             if (h < minH) minH = h
             i += 1
           }

@@ -34,6 +34,28 @@ object TextDedup {
   private[operators] def hash60Bytes(md: java.security.MessageDigest, s: String): Long =
     java.nio.ByteBuffer.wrap(md.digest(s.getBytes("UTF-8")), 0, 8).getLong >>> 4
 
+  /** Per-partition memo around [[hash60Bytes]]: text corpora repeat
+    * tokens/shingles heavily (every measured SF here draws from a bounded
+    * vocabulary), so caching each distinct string's digest converts the
+    * dominant md5 cost of the hashing kernels into hash-map hits. Capped:
+    * an adversarial unbounded vocabulary degrades to direct hashing,
+    * never to unbounded executor state. Pure memoization — bit-identical
+    * output, so every oracle stays untouched.
+    */
+  private[operators] final class Hash60Memo(cap: Int = 1 << 16) {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    private val m = new java.util.HashMap[String, java.lang.Long]()
+    def apply(s: String): Long = {
+      val c = m.get(s)
+      if (c != null) c.longValue
+      else {
+        val h = hash60Bytes(md, s)
+        if (m.size < cap) m.put(s, java.lang.Long.valueOf(h))
+        h
+      }
+    }
+  }
+
   /** Shared shingle width: word TRIGRAMS (w-shingling's standard small
     * width). Width matters for scale, not just semantics: the shingle
     * space must keep growing with the corpus vocabulary for PPJoin
@@ -56,7 +78,7 @@ object TextDedup {
     table(s, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val memo = new Hash60Memo()
         it.map { case (id, text) =>
           val toks = text.split(' ')
           val hs = scala.collection.mutable.HashSet[Long]()
@@ -65,7 +87,7 @@ object TextDedup {
             val sb = new java.lang.StringBuilder(toks(i))
             var j = 1
             while (j < width) { sb.append(' ').append(toks(i + j)); j += 1 }
-            hs += hash60Bytes(md, sb.toString)
+            hs += memo(sb.toString)
             i += 1
           }
           val arr = hs.toArray
@@ -277,13 +299,13 @@ object TextDedup {
     val sig = table(s, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val memo = new Hash60Memo()
         it.map { case (id, text) =>
           val counts = scala.collection.mutable.HashMap[String, Int]()
           text.split(' ').foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
           val w = new Array[Long](60)
           counts.foreach { case (tok, c) =>
-            val h = hash60Bytes(md, tok)
+            val h = memo(tok)
             var j = 0
             while (j < 60) { if (((h >> j) & 1L) == 1L) w(j) += c else w(j) -= c; j += 1 }
           }
