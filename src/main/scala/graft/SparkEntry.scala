@@ -68,6 +68,11 @@ object SparkEntry {
     "q45_filter_funnel" -> ((s, d) => Pipeline.filterFunnel(s, d)),
     "q46_weighted_mix" -> ((s, d) => Pipeline.weightedMix(s, d)),
     "q47_stream_hourly_append" -> ((s, d) => graft.streaming.StreamOps.hourlyCountsStreamedAppend(s, d)),
+    "q48_dedup_clusters" -> ((s, d) => operators.Clustering.dedupClusters(s, d)),
+    "q49_contamination" -> ((s, d) => TextAnalysis.contamination(s, d)),
+    "q50_repetition" -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
+    "q51_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
+    "q52_sequence_packing" -> ((s, d) => Pipeline.sequencePacking(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -490,6 +495,92 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN kept THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    // q48: connected components over q21's verified pair set — the oracle
+    // recomputes the same pairs, then closes them transitively with a
+    // recursive CTE (min reachable id = the component label).
+    "q48_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([CAST(concat('0x', substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15)) AS BIGINT)
+        |         for i in range(1, len(ts) - 1)]) hs FROM t),
+        |ex AS (SELECT doc_id, unnest(hs) h FROM sh),
+        |seeds AS (SELECT r.s, CAST(concat('0x', substr(md5(CAST(r.s AS VARCHAR)), 1, 15)) AS BIGINT) c FROM range(32) r(s)),
+        |mh AS (SELECT ex.doc_id, seeds.s, min(xor(ex.h, seeds.c)) mh FROM ex, seeds GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(mh ORDER BY s) sig FROM mh GROUP BY 1),
+        |band AS (SELECT doc_id, r.b band, array_to_string(sig[r.b * 4 + 1 : r.b * 4 + 4], ',') bkey
+        |         FROM sig, range(8) r(b)),
+        |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM band a JOIN band b
+        |         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |j AS (SELECT da, db, len(list_intersect(x.hs, y.hs)) inter, len(x.hs) na, len(y.hs) nb
+        |      FROM cand JOIN sh x ON cand.da = x.doc_id JOIN sh y ON cand.db = y.doc_id),
+        |pairs AS (SELECT da, db FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+        |e AS (SELECT da u, db v FROM pairs UNION SELECT db, da FROM pairs),
+        |r AS (SELECT u AS n, u AS reach FROM (SELECT DISTINCT u FROM e) b0
+        |      UNION SELECT r.n, e.v FROM r JOIN e ON r.reach = e.u),
+        |c AS (SELECT n AS doc_id, min(reach) AS cluster_id FROM r GROUP BY 1),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM c GROUP BY 1)
+        |SELECT c.doc_id, c.cluster_id, sz.cluster_size
+        |FROM c JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+
+    // q49: benchmark n-gram hashes live in a broadcast sorted array on the
+    // Spark side; the oracle expresses the same membership test as a join
+    // on the raw trigram strings (60-bit collisions negligible, same
+    // argument as q20/q21).
+    "q49_contamination" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, source, list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts) - 1)]) shs FROM t),
+        |bm AS (SELECT DISTINCT unnest(shs) sh FROM sh WHERE doc_id % 97 = 0),
+        |ex AS (SELECT doc_id, source, len(shs) nsh, unnest(shs) sh FROM sh WHERE doc_id % 97 <> 0),
+        |ov AS (SELECT e.doc_id, e.source, any_value(e.nsh) nsh, count(b.sh) hits
+        |       FROM ex e LEFT JOIN bm b ON e.sh = b.sh GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN CAST(hits AS DOUBLE) / nsh >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  floor(max(CAST(hits AS DOUBLE) / nsh) * 1000000.0 + 0.5) / 1000000.0 AS max_overlap
+        |FROM ov GROUP BY source ORDER BY source""".stripMargin,
+
+    "q50_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |m AS (SELECT doc_id, CAST(len(ts) AS BIGINT) ntok,
+        |    [ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))] l2,
+        |    [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts) - 1)] l3
+        |  FROM t),
+        |bc AS (SELECT doc_id, max(c) maxc FROM (
+        |    SELECT doc_id, b2, count(*) c FROM (SELECT doc_id, unnest(l2) b2 FROM m) u GROUP BY 1, 2) g
+        |  GROUP BY 1)
+        |SELECT m.doc_id, ntok,
+        |  floor((1.0 - CAST(len(list_distinct(l3)) AS DOUBLE) / len(l3)) * 1000000.0 + 0.5) / 1000000.0 AS dup_tri_frac,
+        |  floor((CAST(maxc AS DOUBLE) / len(l2)) * 1000000.0 + 0.5) / 1000000.0 AS top_bi_frac
+        |FROM m JOIN bc USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q51_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts) - 1)]) shs FROM t),
+        |ex AS (SELECT doc_id, unnest(shs) sh FROM sh),
+        |f AS (SELECT sh, min(doc_id) fd FROM ex GROUP BY 1),
+        |n AS (SELECT e.doc_id, count(*) nsh, sum(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END) n_novel
+        |      FROM ex e JOIN f ON e.sh = f.sh GROUP BY 1)
+        |SELECT doc_id, CAST(nsh AS BIGINT) AS nsh, CAST(n_novel AS BIGINT) AS n_novel,
+        |  floor(CAST(n_novel AS DOUBLE) / nsh * 1000000.0 + 0.5) / 1000000.0 AS novelty
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // q52: greedy sequential packing is inherently iterative — the oracle
+    // steps one document per language per recursion level; the Spark side
+    // is the same fold as a sorted streaming scan per language.
+    "q52_sequence_packing" ->
+      """WITH RECURSIVE d AS (SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) ntok,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, doc_id, ntok, rn, CAST(0 AS BIGINT) AS bin, ntok AS bintot
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.lang, d.doc_id, d.ntok, d.rn,
+        |    CASE WHEN p.bintot + d.ntok > 256 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.bintot + d.ntok > 256 THEN d.ntok ELSE p.bintot + d.ntok END
+        |  FROM p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1)
+        |SELECT lang, bin, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

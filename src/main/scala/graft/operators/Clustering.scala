@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list — the step every near-dup
+  * pipeline needs AFTER pair detection: near-duplication is transitive in
+  * practice (A~B, B~C usually means keep one of {A,B,C}), so dedup acts on
+  * components, not pairs.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — each round is
+  * two shuffles (a per-node min aggregation + an equi-join back), the edge
+  * set only ever shrinks toward stars, and convergence is O(log n) rounds.
+  * No driver-side graph state: the driver sees only per-round edge counts.
+  * Label propagation (each node takes its neighborhood min) needs
+  * O(diameter) rounds — a 1000-link chain of near-identical docs (crawl
+  * mirrors) would take 1000 shuffles; star contraction takes ~10.
+  */
+object Clustering {
+
+  /** edges: two numeric columns (undirected, duplicates/self-loops fine).
+    * Returns (node, component) for EVERY node that appears in an edge,
+    * where component = the smallest node id in its connected component.
+    *
+    * Each round ends in `localCheckpoint` to truncate the growing lineage
+    * (on a real cluster with flaky executors, `sparkContext.setCheckpointDir`
+    * + reliable `checkpoint()` is the drop-in hardening; the shape is
+    * identical). The convergence test is exact set equality — count match
+    * plus one-sided `except` — never a hash signature that could
+    * false-converge.
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    // canonical orientation u > v; drop self-loops and duplicates
+    var cur = edges.toDF("a", "b")
+      .select(greatest($"a", $"b").cast("long").as("u"),
+        least($"a", $"b").cast("long").as("v"))
+      .where($"u" =!= $"v").distinct()
+      .localCheckpoint()
+    var curCount = cur.count()
+    var round = 0
+    var converged = curCount == 0L
+    while (!converged && round < maxRounds) {
+      // large-star: every neighbor v > u links to m = min(N(u) ∪ {u}).
+      // Shape: symmetric neighbor list -> per-node min agg -> join back;
+      // no per-node neighbor buffering anywhere, so a hub node with 10^7
+      // neighbors costs a skewed join key, never executor memory.
+      val nbrs = cur.select($"u", $"v")
+        .union(cur.select($"v".as("u"), $"u".as("v")))
+      val minsL = nbrs.groupBy($"u").agg(min($"v").as("mv"))
+        .select($"u", least($"mv", $"u").as("m"))
+      val large = nbrs.join(minsL, "u").where($"v" > $"u")
+        .select(greatest($"v", $"m").as("u"), least($"v", $"m").as("v"))
+        .where($"u" =!= $"v").distinct()
+        .localCheckpoint()
+      // small-star on the canonical (u > v) orientation: all smaller
+      // neighbors (and u itself) link to the smallest neighbor m
+      val minsS = large.groupBy($"u").agg(min($"v").as("m"))
+      val small = large.join(minsS, "u")
+        .where($"v" =!= $"m").select($"v".as("a"), $"m".as("b"))
+        .union(minsS.select($"u".as("a"), $"m".as("b")))
+        .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
+        .where($"u" =!= $"v").distinct()
+        .localCheckpoint()
+      val smallCount = small.count()
+      converged = smallCount == curCount && small.except(cur).isEmpty
+      cur = small
+      curCount = smallCount
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // at the star fixpoint every edge is (node, root); roots map to themselves
+    cur.select($"u".as("node"), $"v".as("component"))
+      .union(cur.select($"v".as("node"), $"v".as("component")).distinct())
+  }
+
+  /** q48: near-dup clusters over the minhash-LSH verified pairs (q21's
+    * exact-Jaccard >= 0.8 pair set) — each clustered document with its
+    * cluster id (smallest doc_id in the component) and the cluster size.
+    * The "keep one per cluster" form is `doc_id = cluster_id`; emitting the
+    * full membership keeps the oracle check over every assignment.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = TextDedup.minhashLshPairs(s, dir).select($"doc_a", $"doc_b")
+    val cc = connectedComponents(pairs)
+      .select($"node".as("doc_id"), $"component".as("cluster_id"))
+    val sizes = cc.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"cluster_size")
+      .orderBy($"doc_id")
+  }
+}

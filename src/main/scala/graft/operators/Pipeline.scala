@@ -63,6 +63,40 @@ object Pipeline {
       .orderBy($"source")
   }
 
+  /** Token-budget sequence packing: greedily pack documents (per language,
+    * in doc_id order) into training sequences of at most `budget` tokens —
+    * the batch-assembly step between a cleaned corpus and a trainer. A
+    * document that would overflow the open bin closes it; a document alone
+    * exceeding the budget gets its own (oversized) bin. Emits per-bin
+    * occupancy so fill efficiency is auditable.
+    *
+    * Shape: ONE shuffle (hash-partition by lang) + a secondary sort, then a
+    * streaming greedy fold over each partition's sorted iterator — O(1)
+    * state per partition, never a per-language buffer. Parallelism is
+    * bounded by distinct languages (inherent: greedy packing is a serial
+    * scan per group); a corpus with few huge languages would add a
+    * coarse doc_id range to the key and pack per (lang, range) instead.
+    */
+  def sequencePacking(s: SparkSession, dir: String, budget: Long = 256L): DataFrame = {
+    import s.implicits._
+    val docs = table(s, dir, "documents")
+      .select($"lang", $"doc_id", size(split($"text", " ")).cast("long").as("ntok"))
+    val packed = docs.repartition($"lang").sortWithinPartitions($"lang", $"doc_id")
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var lang: String = null; var bin = 0L; var tot = 0L
+        it.map { case (l, id, n) =>
+          if (l != lang) { lang = l; bin = 0L; tot = 0L }
+          if (tot > 0 && tot + n > budget) { bin += 1; tot = 0L }
+          tot += n
+          (l, id, n, bin)
+        }
+      }.toDF("lang", "doc_id", "ntok", "bin")
+    packed.groupBy($"lang", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"))
+      .orderBy($"lang", $"bin")
+  }
+
   /** Filter funnel: every document lands in exactly one bucket — the
     * first cleaning rule it trips (too short, too repetitive, stopword
     * flood) or `kept` — with per-bucket counts and token mass, so a

@@ -183,6 +183,108 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** Benchmark-contamination screen: the fraction of each document's
+    * distinct word trigrams that appear anywhere in a held-out benchmark
+    * set (here the deterministic holdout doc_id % benchMod = 0 — in
+    * production, the eval suites). Docs above `threshold` overlap are
+    * train/test leaks and must be dropped before training.
+    *
+    * Shape: benchmark n-gram hashes collect to a SORTED long array and
+    * broadcast — real benchmarks are 10^6..10^7 n-grams (tens of MB), far
+    * under broadcast limits, and binary search beats a boxed hash set on
+    * memory and cache behavior. The corpus side is then a pure projection
+    * kernel: no join, no shuffle of corpus n-grams, linear at any corpus
+    * size.
+    */
+  def contamination(s: SparkSession, dir: String, benchMod: Long = 97,
+                    threshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val sh = TextDedup.hashedShingles(s, dir)
+    val bench: Array[Long] = sh.where($"doc_id" % benchMod === 0)
+      .select(explode($"hshs").as("h")).distinct().as[Long].collect()
+    java.util.Arrays.sort(bench)
+    val bBench = s.sparkContext.broadcast(bench)
+    val scored = sh.where($"doc_id" % benchMod =!= 0)
+      .select($"doc_id", $"hshs").as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val bs = bBench.value
+        it.map { case (id, hs) =>
+          var hits = 0L; var i = 0
+          while (i < hs.length) {
+            if (java.util.Arrays.binarySearch(bs, hs(i)) >= 0) hits += 1
+            i += 1
+          }
+          (id, hits.toDouble / hs.length)
+        }
+      }.toDF("doc_id", "overlap")
+    scored.join(table(s, dir, "documents").select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"overlap" >= threshold, 1L).otherwise(0L)).as("n_contaminated"),
+        graft.Tables.round6(max($"overlap")).as("max_overlap"))
+      .orderBy($"source")
+  }
+
+  /** Gopher-style repetition metrics per document: the duplicate-trigram
+    * fraction (1 - distinct/total word trigrams) and the top-bigram
+    * fraction (occurrences of the most frequent word bigram over all
+    * bigram slots) — the two cheap signals that catch boilerplate and
+    * degenerate loops. Pure per-row kernel, no shuffle.
+    */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val biCounts = new java.util.HashMap[String, Int]()
+        val triSeen = new java.util.HashSet[String]()
+        it.map { case (id, text) =>
+          biCounts.clear(); triSeen.clear()
+          val toks = text.split(' ')
+          var maxBi = 0; var i = 0
+          while (i + 1 < toks.length) {
+            val bi = toks(i) + " " + toks(i + 1)
+            val c = biCounts.merge(bi, 1, (a, b) => a + b)
+            if (c > maxBi) maxBi = c
+            if (i + 2 < toks.length) triSeen.add(bi + " " + toks(i + 2))
+            i += 1
+          }
+          val nbi = toks.length - 1
+          val ntri = toks.length - 2
+          val dupTri = if (ntri > 0) 1.0 - triSeen.size.toDouble / ntri else 0.0
+          val topBi = if (nbi > 0) maxBi.toDouble / nbi else 0.0
+          (id, toks.length.toLong, dupTri, topBi)
+        }
+      }.toDF("doc_id", "ntok", "dt", "tb")
+      .select($"doc_id", $"ntok",
+        graft.Tables.round6($"dt").as("dup_tri_frac"),
+        graft.Tables.round6($"tb").as("top_bi_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** N-gram novelty: for each document, the fraction of its distinct word
+    * trigrams whose FIRST appearance in the corpus (smallest doc_id holding
+    * the trigram) is this document — the marginal-information signal a
+    * curriculum or dataset-pruning pass ranks by. Two shuffles, both keyed
+    * on the 60-bit n-gram hash / doc_id: explode -> min-per-ngram (combines
+    * map-side) -> join back -> per-doc count. Linear in total n-grams.
+    */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ex = TextDedup.hashedShingles(s, dir)
+      .select($"doc_id", explode($"hshs").as("h"))
+    val first = ex.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+    ex.join(first, "h")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("nsh"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"nsh", $"n_novel",
+        graft.Tables.round6($"n_novel" / $"nsh").as("novelty"))
+      .orderBy($"doc_id")
+  }
+
   /** Document fingerprint: winnowing-style minimum 60-bit hash over word
     * 3-gram shingles (robust to reordering of distant content, stable under
     * identical prefixes). Emits (doc_id, fingerprint) plus the collision

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Clustering
+
+/** Connected components (q48's engine): the star-contraction rounds must
+  * produce exactly the transitive closure's min-id labeling, whatever the
+  * graph shape — chains (worst case for label propagation), stars,
+  * multiple components, duplicate/reversed/self-loop edges.
+  */
+class ClusteringSpec extends AnyFunSuite with SparkFixture {
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val spark2 = spark
+    import spark2.implicits._
+    Clustering.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Reference closure: brute-force union-find on the driver. */
+  private def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("chain, star, islands, and noise edges all label to the component min") {
+    val edges = Seq[(Long, Long)](
+      // a 6-link chain — label propagation would need 6 rounds
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), (15L, 16L),
+      // a star centered high
+      (100L, 50L), (100L, 60L), (100L, 70L),
+      // a 2-cycle plus duplicate, reversed, and self-loop edges
+      (5L, 7L), (7L, 5L), (5L, 7L), (7L, 7L),
+      // an isolated pair
+      (200L, 201L))
+    val got = cc(edges)
+    assert(got === brute(edges))
+    assert((10L to 16L).forall(got(_) == 10L))
+    assert(Seq(50L, 60L, 70L, 100L).forall(got(_) == 50L))
+    assert(got(200L) == 200L && got(201L) == 200L)
+  }
+
+  test("randomized graphs match driver union-find") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      assert(cc(edges) === brute(edges))
+    }
+  }
+
+  test("empty edge set yields an empty labeling") {
+    assert(cc(Seq.empty).isEmpty)
+  }
+
+  test("q48 clusters are consistent with q21's pair set") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pairs = graft.operators.TextDedup.minhashLshPairs(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val clusters = Clustering.dedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val label = clusters.map(c => c._1 -> c._2).toMap
+    // every paired doc is labeled, endpoints of a pair share a label,
+    // the label is the smallest member, and sizes count members
+    assert(pairs.forall { case (a, b) => label(a) == label(b) })
+    val members = clusters.groupBy(_._2)
+    members.foreach { case (cid, ms) =>
+      assert(ms.map(_._1).min == cid)
+      assert(ms.forall(_._3 == ms.length))
+    }
+    assert(label.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+}

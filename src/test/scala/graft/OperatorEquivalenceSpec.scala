@@ -81,4 +81,47 @@ class OperatorEquivalenceSpec extends AnyFunSuite with SparkFixture {
     assert(b16 === b3)
     assert(b16 === b1)
   }
+
+  test("q52 packing conserves tokens at every budget; bins respect the budget") {
+    import graft.operators.Pipeline
+    val perLangTokens = rowsOf(Pipeline.sequencePacking(spark, sfDir, budget = 256L))
+      .groupBy(_.head).view.mapValues(_.map(_(3).asInstanceOf[Long]).sum).toMap
+    Seq(64L, 1L << 40).foreach { budget =>
+      val rows = rowsOf(Pipeline.sequencePacking(spark, sfDir, budget = budget))
+      // token mass per language is budget-invariant (no doc dropped/duped)
+      assert(rows.groupBy(_.head).view.mapValues(_.map(_(3).asInstanceOf[Long]).sum).toMap
+        === perLangTokens)
+      // a bin over budget can only be a single oversized document
+      rows.foreach { r =>
+        assert(r(3).asInstanceOf[Long] <= budget || r(2).asInstanceOf[Long] == 1L,
+          s"multi-doc bin over budget: $r")
+      }
+      // bin ids are dense from 0 per language
+      rows.groupBy(_.head).foreach { case (_, rs) =>
+        assert(rs.map(_(1).asInstanceOf[Long]).sorted === (0L until rs.length).toSeq)
+      }
+    }
+    // unbounded budget → exactly one bin per language
+    val one = rowsOf(Pipeline.sequencePacking(spark, sfDir, budget = 1L << 40))
+    assert(one.map(_.head).distinct.length === one.length)
+  }
+
+  test("q49 contamination: benchmark-held-out docs score overlap 1 when duplicated") {
+    import graft.operators.TextAnalysis
+    // benchMod=1 would make every doc benchmark → empty checked set; the
+    // operator must return an empty frame, not divide by zero or crash
+    val none = TextAnalysis.contamination(spark, sfDir, benchMod = 1L)
+    assert(none.count() === 0)
+    // two different holdouts: overlaps must stay valid fractions and the
+    // per-source doc accounting must cover exactly the non-benchmark docs
+    Seq(97L, 10L).foreach { mod =>
+      val rows = TextAnalysis.contamination(spark, sfDir, benchMod = mod).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val mx = r.getDouble(3)
+        assert(mx >= 0.0 && mx <= 1.0)
+        assert(r.getLong(2) <= r.getLong(1)) // n_contaminated <= n_docs
+      }
+    }
+  }
 }
