@@ -121,7 +121,16 @@ object Bench {
       val mb = 1.0 / (1 << 20)
       f""""$name":{"shuffle_write_mb":${(shWrite.get - w0) * mb}%.1f,"shuffle_read_mb":${(shRead.get - r0) * mb}%.1f,"spill_mb":${(spill.get - s0) * mb}%.1f}"""
     }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_spread":$spread,"queries_io":$io,"passes":$passes,"skipped":$skipped,"warmup_sec":$warmup%.3f,"cold_sec":$cold%.3f,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_spread":$spread,"queries_io":$io,"passes":$passes,"skipped":$skipped,"warmup_sec":$warmup%.3f,"cold_sec":$cold%.3f,"sf":"$sfDir"}"""
+    println(line)
+    // the line outgrew the driver's stdout tail capture (BENCH_r04.json
+    // arrived with parsed:null) — persist it to the repo too so the full
+    // totals survive whatever buffer sits between this process and the
+    // round artifacts
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
+        "/root/repo/BENCH_LAST.json")), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

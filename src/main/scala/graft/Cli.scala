@@ -39,7 +39,13 @@ object Cli {
           .drop("date", "client")
           .toJSON.toLocalIterator().forEachRemaining(println(_))
       case "shards" =>
-        streaming.FakeKinesis.listShards(o("stream")).foreach(println)
+        // --pick N prints just the Nth shard id (the reference's
+        // PickShardID, `/root/reference/triton/stream.go:226-245`)
+        val svc = streaming.ShardService.resolve(o.getOrElse("service", "fake"))
+        o.get("pick") match {
+          case Some(n) => println(svc.pickShardId(o("stream"), n.toInt))
+          case None    => svc.listShards(o("stream")).foreach(println)
+        }
       case "stats" =>
         // like the reference CLI (`triton.go:142-155`), stats read either
         // store: a jdbc: URL hits the triton_checkpoint table, anything

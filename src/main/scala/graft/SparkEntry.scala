@@ -538,6 +538,9 @@ object SparkEntry {
         |  floor(max(CAST(hits AS DOUBLE) / nsh) * 1000000.0 + 0.5) / 1000000.0 AS max_overlap
         |FROM ov GROUP BY source ORDER BY source""".stripMargin,
 
+    // short docs agree with the Spark kernel by construction: LEFT JOIN +
+    // CASE keeps 1-token docs (no bigrams) in the result and defines both
+    // degenerate fractions as 0.0, matching repetitionStats' semantics
     "q50_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
         |m AS (SELECT doc_id, CAST(len(ts) AS BIGINT) ntok,
@@ -548,9 +551,9 @@ object SparkEntry {
         |    SELECT doc_id, b2, count(*) c FROM (SELECT doc_id, unnest(l2) b2 FROM m) u GROUP BY 1, 2) g
         |  GROUP BY 1)
         |SELECT m.doc_id, ntok,
-        |  floor((1.0 - CAST(len(list_distinct(l3)) AS DOUBLE) / len(l3)) * 1000000.0 + 0.5) / 1000000.0 AS dup_tri_frac,
-        |  floor((CAST(maxc AS DOUBLE) / len(l2)) * 1000000.0 + 0.5) / 1000000.0 AS top_bi_frac
-        |FROM m JOIN bc USING (doc_id) ORDER BY doc_id""".stripMargin,
+        |  floor((CASE WHEN len(l3) > 0 THEN 1.0 - CAST(len(list_distinct(l3)) AS DOUBLE) / len(l3) ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dup_tri_frac,
+        |  floor((CASE WHEN len(l2) > 0 THEN CAST(COALESCE(maxc, 0) AS DOUBLE) / len(l2) ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS top_bi_frac
+        |FROM m LEFT JOIN bc USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q51_ngram_novelty" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),

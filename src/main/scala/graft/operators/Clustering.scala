@@ -20,25 +20,38 @@ import org.apache.spark.sql.functions._
 object Clustering {
 
   /** edges: two numeric columns (undirected, duplicates/self-loops fine).
-    * Returns (node, component) for EVERY node that appears in an edge,
-    * where component = the smallest node id in its connected component.
+    * Returns (node, component) for EVERY node that appears in an edge —
+    * including nodes appearing only in self-loops, which label as their
+    * own singleton component — where component = the smallest node id in
+    * its connected component.
     *
-    * Each round ends in `localCheckpoint` to truncate the growing lineage
+    * Each round checkpoints its frames to truncate the growing lineage
     * (on a real cluster with flaky executors, `sparkContext.setCheckpointDir`
     * + reliable `checkpoint()` is the drop-in hardening; the shape is
-    * identical). The convergence test is exact set equality — count match
-    * plus one-sided `except` — never a hash signature that could
-    * false-converge.
+    * identical), and releases the PREVIOUS round's checkpointed blocks once
+    * the new round is materialized — block storage holds at most two
+    * rounds of edges however many rounds run, instead of waiting on the
+    * ContextCleaner across up to `maxRounds` rounds. The convergence test
+    * is exact set equality — count match plus one-sided `except` — never a
+    * hash signature that could false-converge.
     */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
+    // checkpoint boundary: materialize as a localCheckpoint'd RDD of
+    // (u, v) pairs and keep the RDD handle so the round that stops needing
+    // it can unpersist it explicitly (Dataset.localCheckpoint offers no
+    // public handle to its blocks)
+    def ckpt(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      val rdd = df.as[(Long, Long)].rdd.localCheckpoint()
+      (s.createDataset(rdd).toDF("u", "v"), rdd)
+    }
+    val raw = edges.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     // canonical orientation u > v; drop self-loops and duplicates
-    var cur = edges.toDF("a", "b")
-      .select(greatest($"a", $"b").cast("long").as("u"),
-        least($"a", $"b").cast("long").as("v"))
-      .where($"u" =!= $"v").distinct()
-      .localCheckpoint()
+    var (cur, curRdd) = ckpt(raw
+      .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
+      .where($"u" =!= $"v").distinct())
     var curCount = cur.count()
     var round = 0
     var converged = curCount == 0L
@@ -51,29 +64,40 @@ object Clustering {
         .union(cur.select($"v".as("u"), $"u".as("v")))
       val minsL = nbrs.groupBy($"u").agg(min($"v").as("mv"))
         .select($"u", least($"mv", $"u").as("m"))
-      val large = nbrs.join(minsL, "u").where($"v" > $"u")
+      val (large, largeRdd) = ckpt(nbrs.join(minsL, "u").where($"v" > $"u")
         .select(greatest($"v", $"m").as("u"), least($"v", $"m").as("v"))
-        .where($"u" =!= $"v").distinct()
-        .localCheckpoint()
+        .where($"u" =!= $"v").distinct())
       // small-star on the canonical (u > v) orientation: all smaller
       // neighbors (and u itself) link to the smallest neighbor m
       val minsS = large.groupBy($"u").agg(min($"v").as("m"))
-      val small = large.join(minsS, "u")
+      val (small, smallRdd) = ckpt(large.join(minsS, "u")
         .where($"v" =!= $"m").select($"v".as("a"), $"m".as("b"))
         .union(minsS.select($"u".as("a"), $"m".as("b")))
         .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
-        .where($"u" =!= $"v").distinct()
-        .localCheckpoint()
+        .where($"u" =!= $"v").distinct())
       val smallCount = small.count()
       converged = smallCount == curCount && small.except(cur).isEmpty
+      // the count + except actions materialized `small`; the previous
+      // round's blocks (cur) and this round's intermediate (large) are
+      // dead — release them now
+      curRdd.unpersist(blocking = false)
+      largeRdd.unpersist(blocking = false)
       cur = small
+      curRdd = smallRdd
       curCount = smallCount
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
     // at the star fixpoint every edge is (node, root); roots map to themselves
-    cur.select($"u".as("node"), $"v".as("component"))
+    val labeled = cur.select($"u".as("node"), $"v".as("component"))
       .union(cur.select($"v".as("node"), $"v".as("component")).distinct())
+    // nodes appearing ONLY in self-loops never reach round 0 (the u =!= v
+    // filter drops them) but are still "nodes in an edge": label each as
+    // its own singleton component
+    val selfOnly = raw.where($"a" === $"b").select($"a".as("node")).distinct()
+      .join(labeled.select($"node"), Seq("node"), "left_anti")
+      .select($"node", $"node".as("component"))
+    labeled.union(selfOnly)
   }
 
   /** q48: near-dup clusters over the minhash-LSH verified pairs (q21's

@@ -204,7 +204,12 @@ object TextAnalysis {
       .select(explode($"hshs").as("h")).distinct().as[Long].collect()
     java.util.Arrays.sort(bench)
     val bBench = s.sparkContext.broadcast(bench)
-    val scored = sh.where($"doc_id" % benchMod =!= 0)
+    // docs with <3 tokens have NO shingles: overlap would be hits/0 = NaN
+    // and would silently poison max_overlap, while the oracle's unnest
+    // drops such docs entirely — filter them here so both engines score
+    // the same document set (latent on the test generator, whose docs are
+    // all >= 10 tokens)
+    val scored = sh.where($"doc_id" % benchMod =!= 0 && size($"hshs") > 0)
       .select($"doc_id", $"hshs").as[(Long, Array[Long])]
       .mapPartitions { it =>
         val bs = bBench.value
@@ -231,6 +236,11 @@ object TextAnalysis {
     * fraction (occurrences of the most frequent word bigram over all
     * bigram slots) — the two cheap signals that catch boilerplate and
     * degenerate loops. Pure per-row kernel, no shuffle.
+    *
+    * Short-doc semantics (shared with the q50 oracle): a doc with no
+    * trigrams (<3 tokens) scores dup_tri_frac 0.0, one with no bigrams
+    * (<2 tokens) scores top_bi_frac 0.0 — every document gets a row,
+    * degenerate fractions are defined as "no repetition evidence".
     */
   def repetitionStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

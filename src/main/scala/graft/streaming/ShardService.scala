@@ -26,6 +26,19 @@ trait ShardService extends Serializable {
     * or passes its batch-end sequence.
     */
   def getRecords(stream: String, shard: String, afterSeq: Long, limit: Int): Seq[FakeKinesis.Rec]
+
+  /** Shard id by position in the stream's shard listing — "give me the 2nd
+    * shard without knowing its id", the reference's `PickShardID`
+    * (`/root/reference/triton/stream.go:226-245`). 0-based; fails with the
+    * shard count when the stream has no shard `n` (the reference's
+    * bounds check, minus its off-by-one at exactly len).
+    */
+  def pickShardId(stream: String, n: Int): String = {
+    val shards = listShards(stream)
+    require(n >= 0 && n < shards.length,
+      s"stream $stream doesn't have a shard $n (${shards.length} shards)")
+    shards(n)
+  }
 }
 
 object ShardService {

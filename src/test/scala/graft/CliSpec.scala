@@ -41,6 +41,19 @@ class CliSpec extends AnyFunSuite with SparkFixture {
     assert(lines === Seq("shard-0", "shard-1", "shard-2"))
   }
 
+  test("shards --pick N returns the Nth shard id; out-of-range fails with the count (G2/PickShardID)") {
+    streaming.FakeKinesis.reset()
+    streaming.FakeKinesis.createStream("pickstream", 3)
+    assert(captureOut(Cli.main(Array("shards", "--stream", "pickstream", "--pick", "1")))
+      === Seq("shard-1"))
+    // trait-level utility, any ShardService implementation gets it
+    assert(streaming.ShardService.resolve("fake").pickShardId("pickstream", 2) === "shard-2")
+    val e = intercept[IllegalArgumentException] {
+      streaming.FakeKinesis.pickShardId("pickstream", 3)
+    }
+    assert(e.getMessage.contains("doesn't have a shard 3") && e.getMessage.contains("3 shards"))
+  }
+
   test("stats reads the JDBC checkpoint table for jdbc: locations (C4/G3)") {
     val db = streaming.CheckpointDb.open("jdbc:derby:memory:clidb;create=true")
     try db.checkpoint("graft", "events", "shard-0", "5", System.currentTimeMillis() / 1000L)

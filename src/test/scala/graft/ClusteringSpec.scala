@@ -62,6 +62,15 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
     assert(cc(Seq.empty).isEmpty)
   }
 
+  test("self-loop-only nodes label as their own singleton component") {
+    // 9 appears ONLY in a self-loop; 5/7 have both a self-loop and a real
+    // edge; the scaladoc contract is a label for EVERY node in an edge
+    val edges = Seq[(Long, Long)]((9L, 9L), (5L, 7L), (7L, 7L))
+    assert(cc(edges) === Map(9L -> 9L, 5L -> 5L, 7L -> 5L))
+    // degenerate: nothing but self-loops
+    assert(cc(Seq((3L, 3L), (8L, 8L))) === Map(3L -> 3L, 8L -> 8L))
+  }
+
   test("q48 clusters are consistent with q21's pair set") {
     val spark2 = spark
     import spark2.implicits._
