@@ -118,24 +118,34 @@ object Similarity {
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("query_id", "rank", "neighbor_id", "cosine")
     }
-    val perChunk = queryIds.grouped(queryChunk).toSeq.map { ids =>
+    // one scoring RDD per chunk, fused into ONE plan leaf via
+    // sparkContext.union: the old perChunk.reduce(unionAll) of
+    // per-chunk DataFrames grew the Catalyst plan linearly with query
+    // count (thousands of union branches + windows to analyze at 1%
+    // queries of a large corpus); a UnionRDD is O(1) plan nodes however
+    // many chunks, and the RDD DAG itself is cheap. Each chunk still
+    // collects/broadcasts only its own query vectors, and each query
+    // lives in exactly one chunk, so the single window below sees every
+    // (query, candidate) score — same results, flat plan.
+    val vecRdd = vecs.rdd // reads the Dataset cache (InMemoryRelation)
+    val chunkRdds = queryIds.grouped(queryChunk).toSeq.map { ids =>
       val idSet = ids.toSet
       val queries = vecs.filter(t => idSet.contains(t._1)).collect()
       val bq = s.sparkContext.broadcast(queries)
-      val scored = vecs.mapPartitions { it =>
+      vecRdd.mapPartitions { it =>
         val qs = bq.value
         it.flatMap { case (id, v, n) =>
           qs.iterator.collect { case (qid, qv, qn) if qid != id =>
             (qid, id, dot(v, qv) / (n * qn))
           }
         }
-      }.toDF("query_id", "neighbor_id", "cosine")
-      // each query lives in exactly one chunk, so its window is complete
-      scored.withColumn("rank", row_number().over(
-          Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)))
-        .where($"rank" <= k)
+      }
     }
-    perChunk.reduce(_ unionAll _)
+    s.createDataset(s.sparkContext.union(chunkRdds))
+      .toDF("query_id", "neighbor_id", "cosine")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)))
+      .where($"rank" <= k)
       .select($"query_id", $"rank".cast("long").as("rank"), $"neighbor_id",
         graft.Tables.round6($"cosine").as("cosine"))
       .orderBy($"query_id", $"rank")

@@ -71,6 +71,29 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"vectors must reach the kernel via bucket grouping, not a per-pair join:\n$p")
   }
 
+  test("brute-force ANN plan is O(1) in query-chunk count (q24)") {
+    // chunked scoring fuses into one UnionRDD leaf: the plan must not
+    // grow with the number of chunks (the old reduce(unionAll) shape
+    // added a union branch + window per chunk — thousands of nodes at
+    // 1% queries of a large corpus)
+    def nodes(chunk: Int): Int = {
+      Similarity.releaseCaches() // fresh build per chunk size
+      val df = Similarity.annBruteForce(spark, sfDir, queryChunk = chunk)
+      df.queryExecution.optimizedPlan.collect { case n => n }.size
+    }
+    val manyChunks = nodes(1) // one chunk per query — worst case
+    val oneChunk = nodes(10000)
+    assert(manyChunks === oneChunk,
+      s"plan grew with chunk count: $manyChunks nodes vs $oneChunk")
+    // and the chunking must not change results
+    Similarity.releaseCaches()
+    val a = Similarity.annBruteForce(spark, sfDir, queryChunk = 2).collect().toSeq
+    Similarity.releaseCaches()
+    val b = Similarity.annBruteForce(spark, sfDir, queryChunk = 10000).collect().toSeq
+    assert(a === b)
+    Similarity.releaseCaches()
+  }
+
   test("stratified sample combines map-side: partial aggregate before the exchange (q44)") {
     val p = plan(graft.operators.Pipeline.stratifiedSample(spark, sfDir))
     // the bounded MinK buffer must run as partial aggregation so only k
