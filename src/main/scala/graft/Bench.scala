@@ -30,15 +30,16 @@ object Bench {
     // codegen, JIT, and file-index init are paid before timing — per-query
     // numbers then measure steady-state latency at the target SF
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
-    // SPARK_GRAFT_BENCH_SKIP: comma-separated query names to exclude —
-    // for stress SFs where a documented data-dependent-quadratic query
-    // (q20 on the bounded synthetic vocabulary) would exhaust spill disk.
+    // SPARK_GRAFT_BENCH_SKIP: comma-separated query names to exclude at
+    // stress SFs. Since round 5, q20 self-guards (in-operator candidate
+    // bound check routes to minhash-LSH on saturated vocabularies) so the
+    // knob is no longer needed for it; kept as a general escape hatch.
     // Skipped names are reported in the output line so totals stay honest.
     val skip: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     // fail fast on names that match nothing: a typo'd skip would silently
-    // run the query it was meant to exclude (q20 at sf10 fills the spill
-    // disk) while the JSON reports it skipped
+    // run the query it was meant to exclude while the JSON reports it
+    // skipped
     val unknown = skip -- SparkEntry.queries.keySet
     require(unknown.isEmpty,
       s"SPARK_GRAFT_BENCH_SKIP names not registered: ${unknown.mkString(",")}")

@@ -30,10 +30,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_VERIFY_SKIP: comma-separated query names to exclude at
-    // stress SFs (documented data-dependent-quadratic queries whose
-    // candidate volume exhausts local spill disk — q20 at sf10). Skipped
-    // names are dropped from oracle_sql.json too, so the DuckDB compare
-    // sees a consistent set. The driver's own gate sets no skip.
+    // stress SFs. q20 self-guards since round 5 (in-operator candidate
+    // bound check), so this is a general escape hatch, not a q20
+    // requirement. Skipped names are dropped from oracle_sql.json too, so
+    // the DuckDB compare sees a consistent set. The driver's gate sets no
+    // skip.
     val skip: Set[String] = sys.env.get("SPARK_GRAFT_VERIFY_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     // a typo'd skip name would silently run the query it meant to exclude

@@ -125,10 +125,52 @@ object TextDedup {
     * on the raw strings (60-bit collisions over a bounded shingle vocabulary
     * are negligible).
     */
+  /** Default PPJoin candidate budget: the guard threshold between the
+    * measured-good and measured-fatal regimes — sf1's bound is tens of
+    * millions (runs in seconds), the sf10 bounded-vocabulary saturation
+    * measured 2.01e9 candidates and exhausted the box's spill disk
+    * (`BENCH_NOTES.md`, `PpjoinDiag`).
+    */
+  val DefaultCandidateBudget: Long = 500000000L
+
   def ngramJaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.8,
-                        freqSketchSize: Int = 1 << 16): DataFrame = {
-    val (sh, ranked) = prefixRanked(s, dir, threshold, freqSketchSize)
+                        freqSketchSize: Int = 1 << 16,
+                        candidateBudget: Long = DefaultCandidateBudget,
+                        routeOnSaturation: Boolean = true): DataFrame = {
+    val (sh, ranked0) = prefixRanked(s, dir, threshold, freqSketchSize)
     import s.implicits._
+    // cached: read once by the saturation guard and twice by the
+    // candidate self-join
+    val ranked = ranked0.cache()
+    // SATURATION GUARD — the one measured way this operator dies at scale
+    // (bounded shingle vocabulary => prefix groups grow with the corpus,
+    // candidates quadratically): sum g(g-1)/2 over per-shingle prefix
+    // groups is the candidate join's output upper bound, computable from
+    // one tiny aggregation over the prefix table BEFORE the join can
+    // materialize anything. Above budget, route to the minhash-LSH
+    // detector (same verified-exact-Jaccard output contract, banded
+    // candidates linear in the corpus, documented recall < 1) or fail
+    // fast with the measured bound.
+    val bound = ranked.groupBy($"h").count()
+      .agg(sum(expr("count * (count - 1) DIV 2")).cast("long"))
+      .as[Long].collect().headOption.flatMap(Option(_)).getOrElse(0L)
+    if (bound > candidateBudget) {
+      ranked.unpersist()
+      if (routeOnSaturation) {
+        System.err.println(
+          s"[graft] ngramJaccardPairs: prefix table implies up to $bound candidate " +
+          s"pairs (budget $candidateBudget) — shingle vocabulary is saturated; " +
+          s"routing to minhashLshPairs (banded candidates, exact verification, " +
+          s"recall < 1 is the documented trade)")
+        return minhashLshPairsFrom(s, sh, threshold)
+      }
+      throw new IllegalStateException(
+        s"ngramJaccardPairs: candidate upper bound $bound exceeds budget " +
+        s"$candidateBudget — the shingle vocabulary is saturated for this corpus " +
+        s"(bounded vocab => quadratic PPJoin candidates, measured fatal at 2.01e9). " +
+        s"Use minhashLshPairs (linear, exact-verified, recall < 1) or raise " +
+        s"candidateBudget if you have the shuffle capacity for $bound pairs.")
+    }
     // candidate join with the PPJoin length filter (t*|B| <= |A| <= |B|/t)
     // and positional filter: a prefix match at ranks (ra, rb) bounds the
     // intersection by 1 + min(na-ra, nb-rb), which must reach the overlap
@@ -226,10 +268,17 @@ object TextDedup {
     sig
   }
 
-  def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+  def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    minhashLshPairsFrom(s, hashedShingles(s, dir).cache(), threshold)
+
+  /** [[minhashLshPairs]] over an already-built (cached) hashed-shingle set —
+    * shared with `ngramJaccardPairs`' saturation route so the fallback
+    * reuses the shingles it already computed instead of re-caching them.
+    */
+  private[operators] def minhashLshPairsFrom(s: SparkSession, sh: DataFrame,
+                                             threshold: Double): DataFrame = {
     import s.implicits._
     val seeds = minhashSeeds
-    val sh = hashedShingles(s, dir).cache()
     // signature + banding kernel: 32 xor-min folds over the shingle array
     // and 8 (doc, band, key) rows out per document — nothing else shuffles
     val bands = sh.select($"doc_id", $"hshs").as[(Long, Array[Long])]

@@ -28,6 +28,36 @@ class OperatorEquivalenceSpec extends AnyFunSuite with SparkFixture {
     assert(tiny === full)
   }
 
+  test("q20 saturation guard: fails fast with the measured bound, or routes to minhash-LSH") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    // sf10-shaped corpus in miniature: a BOUNDED vocabulary (5 words →
+    // ≤125 distinct trigrams) over many docs, so prefix groups grow with
+    // the corpus and the candidate bound goes quadratic — exactly the
+    // measured scale failure, reproduced small
+    val words = Array("alpha", "beta", "gamma", "delta", "eps")
+    val dir = java.nio.file.Files.createTempDirectory("saturated").toString
+    (0 until 200).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Seq.fill(30)(words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    // fail-fast path: the error carries the measured bound and the fix
+    val e = intercept[IllegalStateException] {
+      TextDedup.ngramJaccardPairs(spark, dir, candidateBudget = 100L,
+        routeOnSaturation = false).collect()
+    }
+    assert(e.getMessage.contains("exceeds budget 100"))
+    assert(e.getMessage.contains("minhashLshPairs"))
+    // auto-route path (the default): same rows as the minhash-LSH detector
+    val routed = rowsOf(TextDedup.ngramJaccardPairs(spark, dir, candidateBudget = 100L))
+    assert(routed === rowsOf(TextDedup.minhashLshPairs(spark, dir)))
+    // under budget the exact PPJoin result is unchanged (superset of the
+    // LSH detector's by prefix-filter losslessness)
+    val exact = rowsOf(TextDedup.ngramJaccardPairs(spark, dir))
+    assert(routed.toSet.subsetOf(exact.toSet))
+  }
+
   test("q23 output is invariant to block count") {
     val b16 = rowsOf(Similarity.cosineNearDupPairs(spark, sfDir, blocks = 16))
     val b3 = rowsOf(Similarity.cosineNearDupPairs(spark, sfDir, blocks = 3))
