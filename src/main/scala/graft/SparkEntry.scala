@@ -567,23 +567,28 @@ object SparkEntry {
         |FROM n ORDER BY doc_id""".stripMargin,
 
     // q52: greedy sequential packing is inherently iterative — the oracle
-    // steps one document per language per recursion level; the Spark side
-    // is the same fold as a sorted streaming scan per language.
+    // steps one document per (language, doc_id-range) per recursion level
+    // (the operator's parallel packing unit), then renumbers bins per
+    // language with the same cumulative-ranges offset as the Spark side.
     "q52_sequence_packing" ->
-      """WITH RECURSIVE d AS (SELECT lang, doc_id,
+      """WITH RECURSIVE d AS (SELECT lang, doc_id // 256 AS grp, doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) ntok,
-        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) rn
+        |    row_number() OVER (PARTITION BY lang, doc_id // 256 ORDER BY doc_id) rn
         |  FROM documents),
         |p AS (
-        |  SELECT lang, doc_id, ntok, rn, CAST(0 AS BIGINT) AS bin, ntok AS bintot
+        |  SELECT lang, grp, doc_id, ntok, rn, CAST(0 AS BIGINT) AS bin, ntok AS bintot
         |  FROM d WHERE rn = 1
         |  UNION ALL
-        |  SELECT d.lang, d.doc_id, d.ntok, d.rn,
+        |  SELECT d.lang, d.grp, d.doc_id, d.ntok, d.rn,
         |    CASE WHEN p.bintot + d.ntok > 256 THEN p.bin + 1 ELSE p.bin END,
         |    CASE WHEN p.bintot + d.ntok > 256 THEN d.ntok ELSE p.bintot + d.ntok END
-        |  FROM p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1)
-        |SELECT lang, bin, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
-        |FROM p GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+        |  FROM p JOIN d ON d.lang = p.lang AND d.grp = p.grp AND d.rn = p.rn + 1),
+        |nb AS (SELECT lang, grp, max(bin) + 1 AS nbins FROM p GROUP BY 1, 2),
+        |off AS (SELECT lang, grp, COALESCE(sum(nbins) OVER (PARTITION BY lang ORDER BY grp
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o FROM nb)
+        |SELECT p.lang, CAST(p.bin + off.o AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(p.ntok) AS BIGINT) AS n_tokens
+        |FROM p JOIN off USING (lang, grp) GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

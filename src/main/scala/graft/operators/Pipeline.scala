@@ -70,29 +70,55 @@ object Pipeline {
     * exceeding the budget gets its own (oversized) bin. Emits per-bin
     * occupancy so fill efficiency is auditable.
     *
-    * Shape: ONE shuffle (hash-partition by lang) + a secondary sort, then a
-    * streaming greedy fold over each partition's sorted iterator — O(1)
-    * state per partition, never a per-language buffer. Parallelism is
-    * bounded by distinct languages (inherent: greedy packing is a serial
-    * scan per group); a corpus with few huge languages would add a
-    * coarse doc_id range to the key and pack per (lang, range) instead.
+    * Skew sub-key: greedy packing is a serial scan per group, so packing
+    * per language alone bounds parallelism by distinct languages — and a
+    * real corpus is ~50% one language, leaving one task half the data.
+    * The unit of packing is therefore (lang, doc_id DIV `rangeSize`): each
+    * coarse doc_id range packs independently in parallel, then bins
+    * renumber per language by adding the cumulative bin count of earlier
+    * ranges (a window over one metadata row per range). Deterministic:
+    * range binning is pure integer arithmetic on doc_id, so the oracle
+    * reproduces it exactly. The cross-range seam can leave one
+    * partially-filled bin per range (bounded waste: <= ranges bins), the
+    * standard trade for parallel packing.
+    *
+    * Shape: ONE data shuffle (hash-partition by (lang, range)) + a
+    * secondary sort, then a streaming greedy fold per range — O(1) state
+    * per partition; the offset pass touches one row per range, never the
+    * data.
     */
-  def sequencePacking(s: SparkSession, dir: String, budget: Long = 256L): DataFrame = {
+  def sequencePacking(s: SparkSession, dir: String, budget: Long = 256L,
+                      rangeSize: Long = 256L): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val docs = table(s, dir, "documents")
-      .select($"lang", $"doc_id", size(split($"text", " ")).cast("long").as("ntok"))
-    val packed = docs.repartition($"lang").sortWithinPartitions($"lang", $"doc_id")
-      .as[(String, Long, Long)]
+      .select($"lang", expr(s"cast(doc_id as bigint) DIV $rangeSize").as("grp"),
+        $"doc_id", size(split($"text", " ")).cast("long").as("ntok"))
+    val packed = docs.repartition($"lang", $"grp")
+      .sortWithinPartitions($"lang", $"grp", $"doc_id")
+      .as[(String, Long, Long, Long)]
       .mapPartitions { it =>
-        var lang: String = null; var bin = 0L; var tot = 0L
-        it.map { case (l, id, n) =>
-          if (l != lang) { lang = l; bin = 0L; tot = 0L }
+        var lang: String = null; var grp = Long.MinValue; var bin = 0L; var tot = 0L
+        it.map { case (l, g, id, n) =>
+          if (l != lang || g != grp) { lang = l; grp = g; bin = 0L; tot = 0L }
           if (tot > 0 && tot + n > budget) { bin += 1; tot = 0L }
           tot += n
-          (l, id, n, bin)
+          (l, g, id, n, bin)
         }
-      }.toDF("lang", "doc_id", "ntok", "bin")
-    packed.groupBy($"lang", $"bin")
+      }.toDF("lang", "grp", "doc_id", "ntok", "lbin")
+    // per-lang renumbering: offset each range's local bins by the bin
+    // count of all earlier ranges in the same language. One row per
+    // (lang, range) flows through the window — metadata-sized — and the
+    // join back to `packed` broadcasts it.
+    val offsets = packed.groupBy($"lang", $"grp")
+      .agg((max($"lbin") + 1).as("nbins"))
+      .withColumn("off", coalesce(sum($"nbins").over(
+        Window.partitionBy($"lang").orderBy($"grp")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"lang", $"grp", $"off")
+    packed.join(broadcast(offsets), Seq("lang", "grp"))
+      .withColumn("bin", $"off" + $"lbin")
+      .groupBy($"lang", $"bin")
       .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"))
       .orderBy($"lang", $"bin")
   }

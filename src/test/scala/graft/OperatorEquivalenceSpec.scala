@@ -131,9 +131,48 @@ class OperatorEquivalenceSpec extends AnyFunSuite with SparkFixture {
         assert(rs.map(_(1).asInstanceOf[Long]).sorted === (0L until rs.length).toSeq)
       }
     }
-    // unbounded budget → exactly one bin per language
-    val one = rowsOf(Pipeline.sequencePacking(spark, sfDir, budget = 1L << 40))
+    // unbounded budget + single range → exactly one bin per language
+    val one = rowsOf(Pipeline.sequencePacking(spark, sfDir, budget = 1L << 40,
+      rangeSize = 1L << 40))
     assert(one.map(_.head).distinct.length === one.length)
+    // unbounded budget at the default range size → one bin per (lang, range):
+    // the bounded cross-range seam cost, parallelism's documented trade
+    val perRange = rowsOf(Pipeline.sequencePacking(spark, sfDir, budget = 1L << 40))
+    assert(perRange.length >= one.length)
+  }
+
+  test("q52 range sub-key: parallel (lang, range) packing matches the serial reference") {
+    import graft.operators.Pipeline
+    // driver-side reference: greedy fold per (lang, doc_id DIV rangeSize)
+    // in doc_id order, bins renumbered per lang by cumulative range counts
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select("lang", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ", -1).length.toLong))
+    def ref(budget: Long, rangeSize: Long): Seq[(String, Long, Long, Long)] =
+      docs.groupBy(_._1).toSeq.flatMap { case (lang, ds) =>
+        var off = 0L
+        ds.groupBy(_._2 / rangeSize).toSeq.sortBy(_._1).flatMap { case (_, rs) =>
+          val bins = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (n_docs, n_tokens)
+          var tot = 0L
+          rs.sortBy(_._2).foreach { case (_, _, n) =>
+            if (bins.nonEmpty && tot > 0 && tot + n > budget) tot = 0L
+            if (bins.isEmpty || tot == 0L) { bins += ((0L, 0L)); }
+            val last = bins.length - 1
+            bins(last) = (bins(last)._1 + 1, bins(last)._2 + n)
+            tot += n
+          }
+          val out = bins.zipWithIndex.map { case ((nd, nt), i) => (lang, off + i, nd, nt) }
+          off += bins.length
+          out
+        }
+      }.sortBy(t => (t._1, t._2))
+    Seq(64L, 256L, 1L << 40).foreach { rangeSize =>
+      val got = rowsOf(Pipeline.sequencePacking(spark, sfDir, budget = 256L,
+          rangeSize = rangeSize))
+        .map(r => (r(0).asInstanceOf[String], r(1).asInstanceOf[Long],
+          r(2).asInstanceOf[Long], r(3).asInstanceOf[Long]))
+      assert(got === ref(256L, rangeSize), s"rangeSize=$rangeSize")
+    }
   }
 
   test("q49 contamination: benchmark-held-out docs score overlap 1 when duplicated") {
