@@ -73,6 +73,8 @@ object SparkEntry {
     "q50_repetition" -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
     "q51_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
     "q52_sequence_packing" -> ((s, d) => Pipeline.sequencePacking(s, d)),
+    "q53_ann_ivf_kmeans" -> ((s, d) => Similarity.annIvfKmeans(s, d)),
+    "q54_token_percentiles_approx" -> ((s, d) => TextAnalysis.tokenPercentilesApprox(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -273,6 +275,11 @@ object SparkEntry {
         |SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id AS neighbor_id, floor(c * 1000000.0 + 0.5) / 1000000.0 AS cosine
         |FROM r WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin,
     // q25_ann_lsh: candidate recall is engine-specific by design → rows-only check.
+    // q53_ann_ivf_kmeans: learned cell geometry is engine-specific → rows-only;
+    //   SimilarityRecallSpec gates recall vs brute force + scanned fraction.
+    // q54_token_percentiles_approx: sketch estimates are engine-specific →
+    //   rows-only; a spec pins each estimate inside the sketch's documented
+    //   rank-error bound around q40's exact percentiles.
 
     "q26_langid_confusion" ->
       """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) tok FROM documents),

@@ -234,20 +234,33 @@ object Similarity {
       .groupBy($"label")
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
       .withColumn("cn", sqrt(aggregate(transform($"cv", x => x * x), lit(0.0), _ + _)))
-    val queries = vecs.where($"vec_id" % 100 === 0)
+    ivfSearch(s,
+      vecs.select($"label".as("cell"), $"vec_id", $"v", $"nrm"),
+      cents.select($"label".as("cell"), $"cv", $"cn"), k, nProbe)
+  }
+
+  /** The IVF probe + search shared by the per-label (q35) and learned
+    * k-means (q53) quantizers: queries pick their nProbe nearest cells by
+    * centroid cosine (deterministic tie-break on cell), then exact cosine
+    * re-ranks inside the probed cells only — scored by the primitive-array
+    * kernel (same index-order fold as the HOF form and the oracle's
+    * list_reduce, ~20x cheaper in the hot loop). `assigned` is the
+    * inverted file (cell, vec_id, v, nrm); `cents` the codebook
+    * (cell, cv, cn).
+    */
+  private def ivfSearch(s: SparkSession, assigned: DataFrame, cents: DataFrame,
+                        k: Int, nProbe: Int): DataFrame = {
+    import s.implicits._
+    val queries = assigned.where($"vec_id" % 100 === 0)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
-    // probe: nProbe nearest cells per query (deterministic tie-break on label)
     val probed = queries.crossJoin(broadcast(cents))
       .withColumn("csim",
         aggregate(zip_with($"qv", $"cv", _ * _), lit(0.0), _ + _) / ($"qn" * $"cn"))
       .withColumn("crk", row_number().over(
-        Window.partitionBy($"query_id").orderBy($"csim".desc, $"label".asc)))
+        Window.partitionBy($"query_id").orderBy($"csim".desc, $"cell".asc)))
       .where($"crk" <= nProbe)
-      .select($"query_id", $"label", $"qv", $"qn")
-    // search: exact cosine inside the probed cells only — scored by the
-    // primitive-array kernel (same index-order fold as the HOF form and
-    // the oracle's list_reduce, ~20x cheaper in the hot loop)
-    probed.join(vecs, Seq("label"))
+      .select($"query_id", $"cell", $"qv", $"qn")
+    probed.join(assigned, Seq("cell"))
       .where($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", $"qv", $"qn", $"v", $"nrm")
       .as[(Long, Long, Array[Double], Double, Array[Double], Double)]
@@ -259,6 +272,131 @@ object Similarity {
       .select($"query_id", $"rank".cast("long").as("rank"), $"vec_id".as("neighbor_id"),
         graft.Tables.round6($"cosine").as("cosine"))
       .orderBy($"query_id", $"rank")
+  }
+
+  /** Deterministic k-means codebook over the embeddings — the LEARNED
+    * quantizer behind [[annIvfKmeans]] (q35's per-label centroids are the
+    * metadata stand-in; this is the real index-build path when no label
+    * exists). No RNG anywhere, so the codebook is identical on any
+    * partitioning/cluster:
+    *
+    *  - init: farthest-point greedy (Gonzalez) seeded at the vector with
+    *    the smallest `hash60(vec_id)` — the hash supplies the arbitrary
+    *    but reproducible starting choice, each next center is the vector
+    *    least similar to its nearest chosen center (ties: smaller vec_id);
+    *  - `iters` fixed Lloyd rounds: assign by max centroid cosine (ties:
+    *    smaller cell), recompute means elementwise through DECIMAL sums
+    *    so aggregation order cannot perturb the doubles; an emptied cell
+    *    keeps its previous centroid.
+    *
+    * Scale shape: centroids are k x dim doubles on the driver (O(1) in
+    * corpus size); init is k-1 corpus passes and each round is one
+    * assignment kernel pass + one map-side-combined mean aggregation —
+    * the standard index-build cost, paid once per codebook, and every
+    * pass reads the cached corpus. Returns (cell -> (centroid, norm)).
+    */
+  private[graft] def kmeansCodebook(s: SparkSession, dir: String,
+                                        nCells: Int, iters: Int): Array[(Int, Array[Double], Double)] = {
+    import s.implicits._
+    val vecs = memoCache("annIvfKmeans", s, dir, vecDs(s, dir).cache())
+      .toDF("vec_id", "v", "nrm")
+    val dim = vecs.select($"v").as[Array[Double]].head().length
+    // seed: smallest hash60(vec_id) — reproducible, data-independent
+    val seed = vecs
+      .withColumn("h", expr("hash60(cast(vec_id as string))"))
+      .orderBy($"h".asc, $"vec_id".asc).limit(1)
+      .select($"v", $"nrm").as[(Array[Double], Double)].head()
+    val centers = scala.collection.mutable.ArrayBuffer[(Array[Double], Double)](seed)
+    while (centers.length < nCells) {
+      val bc = s.sparkContext.broadcast(centers.toArray)
+      // farthest point: smallest max-cosine to any chosen center
+      val next = vecs.select($"vec_id", $"v", $"nrm")
+        .as[(Long, Array[Double], Double)]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (id, v, n) =>
+            var best = -1.0; var i = 0
+            while (i < cs.length) {
+              val c = dot(v, cs(i)._1) / (n * cs(i)._2)
+              if (c > best) best = c
+              i += 1
+            }
+            (id, v, n, best)
+          }
+        }.toDF("vec_id", "v", "nrm", "maxsim")
+        .orderBy($"maxsim".asc, $"vec_id".asc).limit(1)
+        .select($"v", $"nrm").as[(Array[Double], Double)].head()
+      centers += next
+    }
+    var cents: Array[(Int, Array[Double], Double)] =
+      centers.toArray.zipWithIndex.map { case ((v, n), i) => (i, v, n) }
+    var round = 0
+    while (round < iters) {
+      val assigned = assignCells(s, vecs, cents)
+      // DECIMAL-exact elementwise means (same discipline as q35's
+      // per-label centroids): decimal addition is order-free, so the new
+      // codebook is identical however the sum parallelizes
+      import org.apache.spark.sql.types.DecimalType
+      val means = assigned
+        .select($"cell", posexplode($"v"))
+        .groupBy($"cell", $"pos")
+        .agg((sum(col("col").cast(DecimalType(25, 12))).cast(DecimalType(30, 12)).cast("double")
+          / count(lit(1))).as("c"))
+        .as[(Int, Int, Double)].collect()
+      val byCell = means.groupBy(_._1)
+      cents = cents.map { case (cell, oldV, oldN) =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            val v = new Array[Double](dim)
+            rows.foreach { case (_, p, c) => v(p) = c }
+            var ss = 0.0; var i = 0
+            while (i < dim) { ss += v(i) * v(i); i += 1 }
+            (cell, v, math.sqrt(ss))
+          case None => (cell, oldV, oldN) // emptied cell keeps its centroid
+        }
+      }
+      round += 1
+    }
+    cents
+  }
+
+  /** Hard assignment of each corpus vector to its max-cosine cell
+    * (ties: smaller cell id) — one broadcast + one kernel pass.
+    */
+  private[graft] def assignCells(s: SparkSession, vecs: DataFrame,
+                          cents: Array[(Int, Array[Double], Double)]): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    vecs.select($"vec_id", $"v", $"nrm").as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v, n) =>
+          var bestCell = cs(0)._1; var best = -2.0; var i = 0
+          while (i < cs.length) {
+            val c = dot(v, cs(i)._2) / (n * cs(i)._3)
+            if (c > best || (c == best && cs(i)._1 < bestCell)) { best = c; bestCell = cs(i)._1 }
+            i += 1
+          }
+          (bestCell, id, v, n)
+        }
+      }.toDF("cell", "vec_id", "v", "nrm")
+  }
+
+  /** ANN over a LEARNED IVF index (q53): deterministic k-means cells as
+    * the inverted file, same probe/search as [[annIvf]]. Cell geometry is
+    * engine-specific by design -> rows-only check; `SimilarityRecallSpec`
+    * gates recall against exact brute force and bounds the scanned
+    * fraction (the cost side), like q25.
+    */
+  def annIvfKmeans(s: SparkSession, dir: String, k: Int = 5, nCells: Int = 8,
+                   nProbe: Int = 2, iters: Int = 5): DataFrame = {
+    import s.implicits._
+    val vecs = memoCache("annIvfKmeans", s, dir, vecDs(s, dir).cache())
+      .toDF("vec_id", "v", "nrm")
+    val cents = kmeansCodebook(s, dir, nCells, iters)
+    val assigned = assignCells(s, vecs, cents)
+    val centsDf = cents.toSeq.toDF("cell", "cv", "cn")
+    ivfSearch(s, assigned, centsDf, k, nProbe)
   }
 
   /** Random-hyperplane LSH ANN: 16 deterministic hyperplanes (md5-derived

@@ -164,11 +164,11 @@ object TextAnalysis {
 
   /** Per-source token-count quantiles (p25/p50/p75): the corpus-profiling
     * stage of a dataset card. Exact sort-based `percentile` — at 100 TB
-    * the one-pass `approx_percentile` sketch is the drop-in scale path
-    * (mergeable, bounded memory); exact is kept here because the oracle
-    * can reproduce it bit-for-bit: dyadic quantile fractions over integer
-    * counts make the interpolation arithmetic exact in binary, so both
-    * engines produce identical doubles.
+    * [[tokenPercentilesApprox]] (q54) is the registered drop-in scale
+    * path; exact is kept here because the oracle can reproduce it
+    * bit-for-bit: dyadic quantile fractions over integer counts make the
+    * interpolation arithmetic exact in binary, so both engines produce
+    * identical doubles.
     */
   def tokenPercentiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -180,6 +180,29 @@ object TextAnalysis {
         percentile($"n_ws", lit(0.25)).as("p25"),
         percentile($"n_ws", lit(0.5)).as("p50"),
         percentile($"n_ws", lit(0.75)).as("p75"))
+      .orderBy($"source")
+  }
+
+  /** The 100 TB form of [[tokenPercentiles]] (q54): one-pass
+    * `approx_percentile` — a mergeable KLL-style sketch with bounded
+    * memory per group, no sort, map-side combinable — instead of the
+    * exact percentile's per-group sort. Guarantee: each estimate is a
+    * REAL data value whose rank is within `1/accuracy` of the requested
+    * quantile (Spark's documented bound), which the spec pins against
+    * q40's exact values. Estimates are engine-specific (sketch internals)
+    * -> rows-only check, like q18/q25.
+    */
+  def tokenPercentilesApprox(s: SparkSession, dir: String,
+                             accuracy: Int = 10000): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .withColumn("n_ws", size(split($"text", " ")).cast("long"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_percentile($"n_ws", lit(0.25), lit(accuracy)).cast("double").as("p25"),
+        approx_percentile($"n_ws", lit(0.5), lit(accuracy)).cast("double").as("p50"),
+        approx_percentile($"n_ws", lit(0.75), lit(accuracy)).cast("double").as("p75"))
       .orderBy($"source")
   }
 

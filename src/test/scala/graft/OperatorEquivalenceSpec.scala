@@ -175,6 +175,43 @@ class OperatorEquivalenceSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q54 approx percentiles sit within the sketch's rank-error bound of the exact data") {
+    import graft.operators.TextAnalysis
+    // approx_percentile(accuracy=10000) guarantees a REAL data value whose
+    // rank is within n/accuracy of the target rank — check each estimate
+    // against the exact sorted values at the bounding ranks, per source
+    val eps = 1.0 / 10000
+    val bySource = Tables.table(spark, sfDir, "documents")
+      .selectExpr("source", "cast(size(split(text, ' ')) as long) as n_ws")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val approx = TextAnalysis.tokenPercentilesApprox(spark, sfDir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val vals = bySource(r.getString(0))
+      val n = vals.length
+      assert(r.getLong(1) === n.toLong) // n_docs agrees
+      Seq(0.25 -> r.getDouble(2), 0.5 -> r.getDouble(3), 0.75 -> r.getDouble(4))
+        .foreach { case (p, est) =>
+          val lo = vals(math.max(0, math.floor((p - eps) * (n - 1)).toInt)).toDouble
+          val hi = vals(math.min(n - 1, math.ceil((p + eps) * (n - 1)).toInt)).toDouble
+          assert(est >= lo && est <= hi,
+            s"source ${r.getString(0)} p$p estimate $est outside [$lo, $hi]")
+        }
+    }
+    // and the estimate tracks q40's exact interpolated percentile closely
+    // on this data (integer token counts: the exact value is between the
+    // same bounding ranks)
+    val exact = TextAnalysis.tokenPercentiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    approx.foreach { r =>
+      val (p25, p50, p75) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(2) - p25) <= 1.0)
+      assert(math.abs(r.getDouble(3) - p50) <= 1.0)
+      assert(math.abs(r.getDouble(4) - p75) <= 1.0)
+    }
+  }
+
   test("q49 contamination: benchmark-held-out docs score overlap 1 when duplicated") {
     import graft.operators.TextAnalysis
     // benchMod=1 would make every doc benchmark → empty checked set; the

@@ -137,6 +137,53 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.forall(_._3 >= 0.8))
   }
 
+  test("stream near-dup detector agrees with the batch minhash estimate on the same corpus") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.operators.TextDedup
+    // same corpus through both surfaces: any banding/seed/width drift
+    // between the ingest-time detector and the batch minhash family
+    // becomes a set difference here. sf0.01 — the corpus the batch
+    // detectors are oracle-checked on, with real near-dups.
+    val docs = Tables.table(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // batch reference (driver-side, 500 docs): shared signature kernel ->
+    // 8x4 band candidates -> signature-agreement estimate >= threshold,
+    // exactly the batch detector's banding bar and the stream's estimator
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sigs = docs.map { case (id, t) =>
+      id -> TextDedup.minhashSignatureFromText(md, t) }.toMap
+    val byBand = scala.collection.mutable.Map[(Int, String), List[Long]]()
+    docs.foreach { case (id, _) =>
+      val sig = sigs(id)
+      (0 until 8).foreach { b =>
+        val key = (b, s"${sig(b * 4)},${sig(b * 4 + 1)},${sig(b * 4 + 2)},${sig(b * 4 + 3)}")
+        byBand(key) = id :: byBand.getOrElse(key, Nil)
+      }
+    }
+    val expected: Set[(Long, Long, Double)] = byBand.values.flatMap { ids =>
+      val sorted = ids.sorted
+      for { i <- sorted.indices; j <- (i + 1) until sorted.length }
+        yield (sorted(i), sorted(j))
+    }.toSet[(Long, Long)].flatMap { case (a, b) =>
+      val (sa, sb) = (sigs(a), sigs(b))
+      val eq = (0 until 32).count(p => sa(p) == sb(p))
+      if (eq / 32.0 >= 0.8) Some((a, b, eq / 32.0)) else None
+    }
+    assert(expected.nonEmpty, "corpus must contain near-dups for agreement to bite")
+
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamOps.nearDupStream(spark, in.toDF.toDF("doc_id", "ts", "text"))
+    val q = out.toDF("doc_a", "doc_b", "est").writeStream
+      .format("memory").queryName("agree").outputMode("append").start()
+    in.addData(docs.map { case (id, t) => (id, ts("2024-01-05 10:00:00"), t) }.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("agree").as[(Long, Long, Double)].collect().toSet
+    assert(got === expected)
+  }
+
   test("near-dup hot bucket: Map-backed state, per-bucket cap bounds membership") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
