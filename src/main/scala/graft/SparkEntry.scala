@@ -75,6 +75,7 @@ object SparkEntry {
     "q52_sequence_packing" -> ((s, d) => Pipeline.sequencePacking(s, d)),
     "q53_ann_ivf_kmeans" -> ((s, d) => Similarity.annIvfKmeans(s, d)),
     "q54_token_percentiles_approx" -> ((s, d) => TextAnalysis.tokenPercentilesApprox(s, d)),
+    "q55_dedup_keep_list" -> ((s, d) => operators.Clustering.dedupKeepList(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -596,6 +597,33 @@ object SparkEntry {
         |SELECT p.lang, CAST(p.bin + off.o AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(p.ntok) AS BIGINT) AS n_tokens
         |FROM p JOIN off USING (lang, grp) GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+
+    // q55: q48's component closure LEFT-JOINed to every document — the
+    // keep decision is "doc is its cluster's min id" (unclustered docs
+    // are their own cluster and kept).
+    "q55_dedup_keep_list" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([CAST(concat('0x', substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15)) AS BIGINT)
+        |         for i in range(1, len(ts) - 1)]) hs FROM t),
+        |ex AS (SELECT doc_id, unnest(hs) h FROM sh),
+        |seeds AS (SELECT r.s, CAST(concat('0x', substr(md5(CAST(r.s AS VARCHAR)), 1, 15)) AS BIGINT) c FROM range(32) r(s)),
+        |mh AS (SELECT ex.doc_id, seeds.s, min(xor(ex.h, seeds.c)) mh FROM ex, seeds GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(mh ORDER BY s) sig FROM mh GROUP BY 1),
+        |band AS (SELECT doc_id, r.b band, array_to_string(sig[r.b * 4 + 1 : r.b * 4 + 4], ',') bkey
+        |         FROM sig, range(8) r(b)),
+        |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM band a JOIN band b
+        |         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |j AS (SELECT da, db, len(list_intersect(x.hs, y.hs)) inter, len(x.hs) na, len(y.hs) nb
+        |      FROM cand JOIN sh x ON cand.da = x.doc_id JOIN sh y ON cand.db = y.doc_id),
+        |pairs AS (SELECT da, db FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+        |e AS (SELECT da u, db v FROM pairs UNION SELECT db, da FROM pairs),
+        |r AS (SELECT u AS n, u AS reach FROM (SELECT DISTINCT u FROM e) b0
+        |      UNION SELECT r.n, e.v FROM r JOIN e ON r.reach = e.u),
+        |c AS (SELECT n AS doc_id, min(reach) AS cluster_id FROM r GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+        |  d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS keep
+        |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

@@ -116,4 +116,28 @@ object Clustering {
       .select($"doc_id", $"cluster_id", $"cluster_size")
       .orderBy($"doc_id")
   }
+
+  /** q55: the dedup DECISION a pipeline actually executes after
+    * clustering — every document labeled with its cluster id (its own id
+    * when unclustered) and `keep` = "is the cluster representative"
+    * (smallest doc_id in the component, the deterministic choice). The
+    * kept corpus is `where(keep)`; emitting every row keeps the oracle
+    * over each decision, not just the survivors.
+    *
+    * Shape: the near-dup pair set (corpus-sparse) drives the component
+    * rounds; the full corpus only flows through one LEFT join against the
+    * component labels — no per-doc state beyond that join.
+    */
+  def dedupKeepList(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = TextDedup.minhashLshPairs(s, dir).select($"doc_a", $"doc_b")
+    val cc = connectedComponents(pairs)
+      .select($"node".as("doc_id"), $"component")
+    graft.Tables.table(s, dir, "documents").select($"doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"component", $"doc_id").as("cluster_id"))
+      .withColumn("keep", ($"doc_id" === $"cluster_id").as("keep"))
+      .orderBy($"doc_id")
+  }
 }

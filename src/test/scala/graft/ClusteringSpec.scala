@@ -71,6 +71,25 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
     assert(cc(Seq((3L, 3L), (8L, 8L))) === Map(3L -> 3L, 8L -> 8L))
   }
 
+  test("q55 keep list: one representative per cluster, unclustered docs all kept") {
+    val keep = Clustering.dedupKeepList(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val nDocs = Tables.table(spark, sfDir, "documents").count()
+    assert(keep.length.toLong === nDocs) // every document gets a decision
+    val clusterOf = Clustering.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    keep.foreach { case (id, cid, k) =>
+      clusterOf.get(id) match {
+        case Some(c) => assert(cid === c && k === (id == c))
+        case None    => assert(cid === id && k) // unclustered: own cluster, kept
+      }
+    }
+    // exactly one survivor per cluster id
+    keep.groupBy(_._2).foreach { case (cid, ms) =>
+      assert(ms.count(_._3) === 1, s"cluster $cid kept ${ms.count(_._3)}")
+    }
+  }
+
   test("q48 clusters are consistent with q21's pair set") {
     val spark2 = spark
     import spark2.implicits._
