@@ -46,8 +46,13 @@ object Clustering {
       val rdd = df.as[(Long, Long)].rdd.localCheckpoint()
       (s.createDataset(rdd).toDF("u", "v"), rdd)
     }
-    val raw = edges.toDF("a", "b")
-      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    // checkpoint the INPUT edge list once: both the canonical orientation
+    // and the final self-loop sweep read it, and without the checkpoint
+    // each would re-evaluate the caller's whole edge-producing plan (for
+    // q48/q55 that is a full near-dup pair detection)
+    val raw = ckpt(edges.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b")))
+      ._1.toDF("a", "b")
     // canonical orientation u > v; drop self-loops and duplicates
     var (cur, curRdd) = ckpt(raw
       .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))

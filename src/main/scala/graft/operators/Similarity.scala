@@ -21,53 +21,16 @@ import graft.Tables.table
   */
 object Similarity {
 
-  /** The corpus caches (`annBruteForce`'s vectors, the LSH signatures) must
-    * outlive their builder call — the returned DataFrame's plan reads them
-    * at action time — so they cannot be unpersisted on exit. Instead each
-    * operator family memoizes its cache here under an explicit
-    * (family, session, dir, params) key: a repeat call returns the SAME
-    * cached Dataset (plan-identity matching would fail — the builder
-    * closures capture fresh Broadcast handles per call), and a call with a
-    * NEW key releases the family's previous cache, so a long-lived session
-    * holds at most one live cache per operator family. (Unpersisting a
-    * cache a still-running older query references is safe — Spark
-    * recomputes evicted partitions from lineage; it costs that query a
-    * rescan, never correctness.) `releaseCaches()` drops everything, for
-    * session teardown or tests.
+  /** Corpus caches (`annBruteForce`'s vectors, the LSH signatures, the
+    * k-means inverted file) live in the shared [[OpCache]] registry — see
+    * its doc for the lifetime/leak rationale. `releaseCaches()` drops
+    * everything, for session teardown or tests.
     */
-  private val liveCaches =
-    new java.util.concurrent.ConcurrentHashMap[String, Dataset[_]]()
-
   private def memoCache[T](family: String, s: SparkSession, key: String,
                            build: => Dataset[T]): Dataset[T] =
-    liveCaches.synchronized {
-      val full = s"$family|${s.sparkContext.applicationId}|$key"
-      val hit = liveCaches.get(full)
-      if (hit != null) hit.asInstanceOf[Dataset[T]]
-      else {
-        val it = liveCaches.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getKey.startsWith(family + "|")) {
-            try e.getValue.unpersist()
-            catch { case scala.util.control.NonFatal(_) => () } // stopped old session
-            it.remove()
-          }
-        }
-        val ds = build
-        liveCaches.put(full, ds)
-        ds
-      }
-    }
+    OpCache.memo(family, s.sparkContext.applicationId, key, build)
 
-  def releaseCaches(): Unit = liveCaches.synchronized {
-    val it = liveCaches.entrySet().iterator()
-    while (it.hasNext) {
-      try it.next().getValue.unpersist()
-      catch { case scala.util.control.NonFatal(_) => () }
-      it.remove()
-    }
-  }
+  def releaseCaches(): Unit = OpCache.releaseAll()
 
   /** (vec_id, v as double[], norm) rows — the shared input shape. */
   private def vecDs(s: SparkSession, dir: String) = {

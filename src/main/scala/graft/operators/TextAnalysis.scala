@@ -222,7 +222,7 @@ object TextAnalysis {
   def contamination(s: SparkSession, dir: String, benchMod: Long = 97,
                     threshold: Double = 0.5): DataFrame = {
     import s.implicits._
-    val sh = TextDedup.hashedShingles(s, dir)
+    val sh = TextDedup.hashedShinglesCached(s, dir)
     val bench: Array[Long] = sh.where($"doc_id" % benchMod === 0)
       .select(explode($"hshs").as("h")).distinct().as[Long].collect()
     java.util.Arrays.sort(bench)
@@ -305,7 +305,7 @@ object TextAnalysis {
     */
   def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ex = TextDedup.hashedShingles(s, dir)
+    val ex = TextDedup.hashedShinglesCached(s, dir)
       .select($"doc_id", explode($"hshs").as("h"))
     val first = ex.groupBy($"h").agg(min($"doc_id").as("first_doc"))
     ex.join(first, "h")

@@ -68,6 +68,18 @@ object TextDedup {
     */
   private[graft] val ShingleWidth = 3
 
+  /** [[hashedShingles]] cached through the [[OpCache]] registry: the
+    * kernel's closure defeats plan-identity cache dedup (a fresh lambda
+    * per call), so a bare `.cache()` leaked one entry per invocation —
+    * and every shingle consumer (q20/q21/q48/q49/q51/q55) can now share
+    * ONE materialized shingle set per corpus instead of each rebuilding
+    * it.
+    */
+  private[operators] def hashedShinglesCached(s: SparkSession, dir: String,
+                                              width: Int = ShingleWidth): DataFrame =
+    OpCache.memo("hashedShingles", s.sparkContext.applicationId, s"$dir|$width",
+      hashedShingles(s, dir, width).cache())
+
   /** doc_id + distinct word n-gram shingle set hashed to sorted 60-bit
     * longs (+ set size), built in one partition-local pass — candidate
     * generation and verification never touch shingle strings.
@@ -137,11 +149,16 @@ object TextDedup {
                         freqSketchSize: Int = 1 << 16,
                         candidateBudget: Long = DefaultCandidateBudget,
                         routeOnSaturation: Boolean = true): DataFrame = {
-    val (sh, ranked0) = prefixRanked(s, dir, threshold, freqSketchSize)
     import s.implicits._
-    // cached: read once by the saturation guard and twice by the
-    // candidate self-join
-    val ranked = ranked0.cache()
+    val sh = hashedShinglesCached(s, dir)
+    // cached via the OpCache registry — read once by the saturation guard
+    // and twice by the candidate self-join, and the build closure captures
+    // a fresh frequency-sketch broadcast per call, so a bare per-call
+    // .cache() would leak one entry per invocation (plan-identity dedup
+    // can't see closure equality)
+    val ranked = OpCache.memo("ppjoinRanked", s.sparkContext.applicationId,
+      s"$dir|$threshold|$freqSketchSize",
+      prefixRankedFrom(s, sh, threshold, freqSketchSize).cache())
     // SATURATION GUARD — the one measured way this operator dies at scale
     // (bounded shingle vocabulary => prefix groups grow with the corpus,
     // candidates quadratically): sum g(g-1)/2 over per-shingle prefix
@@ -155,7 +172,6 @@ object TextDedup {
       .agg(sum(expr("count * (count - 1) DIV 2")).cast("long"))
       .as[Long].collect().headOption.flatMap(Option(_)).getOrElse(0L)
     if (bound > candidateBudget) {
-      ranked.unpersist()
       if (routeOnSaturation) {
         System.err.println(
           s"[graft] ngramJaccardPairs: prefix table implies up to $bound candidate " +
@@ -199,8 +215,15 @@ object TextDedup {
   private[operators] def prefixRanked(s: SparkSession, dir: String,
                                       threshold: Double,
                                       freqSketchSize: Int): (DataFrame, DataFrame) = {
+    val sh = hashedShinglesCached(s, dir)
+    (sh, prefixRankedFrom(s, sh, threshold, freqSketchSize))
+  }
+
+  /** [[prefixRanked]] over an already-built (cached) shingle set. */
+  private def prefixRankedFrom(s: SparkSession, sh: DataFrame,
+                               threshold: Double,
+                               freqSketchSize: Int): DataFrame = {
     import s.implicits._
-    val sh = hashedShingles(s, dir).cache()
     // global document frequency orders shingles rarest-first. Only the
     // top-K most frequent shingles need exact counts: everything outside
     // the sketch defaults to frequency 1 ("rare"), and (freq, hash) stays
@@ -223,7 +246,7 @@ object TextDedup {
           (0 until math.min(plen, nsh)).iterator.map(i => (id, nsh, sorted(i), i + 1))
         }
       }.toDF("doc_id", "nsh", "h", "rn")
-    (sh, ranked)
+    ranked
   }
 
   /** MinHash + LSH near-dup pairs: 32-hash signature from one base hash per
@@ -269,7 +292,7 @@ object TextDedup {
   }
 
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
-    minhashLshPairsFrom(s, hashedShingles(s, dir).cache(), threshold)
+    minhashLshPairsFrom(s, hashedShinglesCached(s, dir), threshold)
 
   /** [[minhashLshPairs]] over an already-built (cached) hashed-shingle set —
     * shared with `ngramJaccardPairs`' saturation route so the fallback

@@ -58,6 +58,16 @@ class OperatorEquivalenceSpec extends AnyFunSuite with SparkFixture {
     assert(routed.toSet.subsetOf(exact.toSet))
   }
 
+  test("repeat q20 calls hold one live prefix-table cache (no per-call leak)") {
+    TextDedup.ngramJaccardPairs(spark, sfDir).count()
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    TextDedup.ngramJaccardPairs(spark, sfDir).count()
+    TextDedup.ngramJaccardPairs(spark, sfDir).count()
+    val after3 = spark.sparkContext.getPersistentRDDs.size
+    assert(after3 <= after1,
+      s"prefix caches accumulated: $after1 persistent RDDs after 1 call, $after3 after 3")
+  }
+
   test("q23 output is invariant to block count") {
     val b16 = rowsOf(Similarity.cosineNearDupPairs(spark, sfDir, blocks = 16))
     val b3 = rowsOf(Similarity.cosineNearDupPairs(spark, sfDir, blocks = 3))
