@@ -76,6 +76,7 @@ object SparkEntry {
     "q53_ann_ivf_kmeans" -> ((s, d) => Similarity.annIvfKmeans(s, d)),
     "q54_token_percentiles_approx" -> ((s, d) => TextAnalysis.tokenPercentilesApprox(s, d)),
     "q55_dedup_keep_list" -> ((s, d) => operators.Clustering.dedupKeepList(s, d)),
+    "q56_incremental_dedup" -> ((s, d) => TextDedup.incrementalDedup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -597,6 +598,33 @@ object SparkEntry {
         |SELECT p.lang, CAST(p.bin + off.o AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(p.ntok) AS BIGINT) AS n_tokens
         |FROM p JOIN off USING (lang, grp) GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+
+    // q56: the incremental screen — q21's banding across the
+    // incoming/corpus split, exact-Jaccard verify, LEFT JOIN back so
+    // every incoming doc gets a (n_matches, best_jaccard, kept) decision.
+    "q56_incremental_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([CAST(concat('0x', substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15)) AS BIGINT)
+        |         for i in range(1, len(ts) - 1)]) hs FROM t),
+        |ex AS (SELECT doc_id, unnest(hs) h FROM sh),
+        |seeds AS (SELECT r.s, CAST(concat('0x', substr(md5(CAST(r.s AS VARCHAR)), 1, 15)) AS BIGINT) c FROM range(32) r(s)),
+        |mh AS (SELECT ex.doc_id, seeds.s, min(xor(ex.h, seeds.c)) mh FROM ex, seeds GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(mh ORDER BY s) sig FROM mh GROUP BY 1),
+        |band AS (SELECT doc_id, r.b band, array_to_string(sig[r.b * 4 + 1 : r.b * 4 + 4], ',') bkey
+        |         FROM sig, range(8) r(b)),
+        |cand AS (SELECT DISTINCT a.doc_id di, b.doc_id dc FROM band a JOIN band b
+        |         ON a.band = b.band AND a.bkey = b.bkey
+        |         AND a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+        |j AS (SELECT di, dc, len(list_intersect(x.hs, y.hs)) inter, len(x.hs) na, len(y.hs) nb
+        |      FROM cand JOIN sh x ON cand.di = x.doc_id JOIN sh y ON cand.dc = y.doc_id),
+        |m AS (SELECT di, count(*) n, max(CAST(inter AS DOUBLE) / (na + nb - inter)) bj FROM j
+        |      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8 GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_matches,
+        |  floor(COALESCE(m.bj, 0.0) * 1000000.0 + 0.5) / 1000000.0 AS best_jaccard,
+        |  m.di IS NULL AS kept
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+        |LEFT JOIN m ON d.doc_id = m.di
+        |ORDER BY d.doc_id""".stripMargin,
 
     // q55: q48's component closure LEFT-JOINed to every document — the
     // keep decision is "doc is its cluster's min id" (unclustered docs

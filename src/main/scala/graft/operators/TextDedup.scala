@@ -294,17 +294,15 @@ object TextDedup {
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
     minhashLshPairsFrom(s, hashedShinglesCached(s, dir), threshold)
 
-  /** [[minhashLshPairs]] over an already-built (cached) hashed-shingle set —
-    * shared with `ngramJaccardPairs`' saturation route so the fallback
-    * reuses the shingles it already computed instead of re-caching them.
+  /** (doc_id, band, bkey) LSH band rows from a hashed-shingle set — the
+    * signature + banding kernel shared by the within-corpus detector
+    * (q21) and the incremental screen (q56): 32 xor-min folds over the
+    * shingle array and 8 rows out per document, nothing else shuffles.
     */
-  private[operators] def minhashLshPairsFrom(s: SparkSession, sh: DataFrame,
-                                             threshold: Double): DataFrame = {
+  private def minhashBands(s: SparkSession, sh: DataFrame): DataFrame = {
     import s.implicits._
     val seeds = minhashSeeds
-    // signature + banding kernel: 32 xor-min folds over the shingle array
-    // and 8 (doc, band, key) rows out per document — nothing else shuffles
-    val bands = sh.select($"doc_id", $"hshs").as[(Long, Array[Long])]
+    sh.select($"doc_id", $"hshs").as[(Long, Array[Long])]
       .mapPartitions { it =>
         it.flatMap { case (id, hs) =>
           val sig = new Array[Long](32)
@@ -319,6 +317,52 @@ object TextDedup {
           }
         }
       }.toDF("doc_id", "band", "bkey")
+  }
+
+  /** Incremental near-dup screen (q56): dedup an INCOMING batch against
+    * the accumulated corpus — the nightly operation of a production
+    * pipeline (new-data-vs-old, where the within-corpus detectors are the
+    * backfill). The deterministic split `doc_id % mod == rem` stands in
+    * for "today's crawl"; in production the two sides are different
+    * tables and the corpus side's bands are a maintained index.
+    *
+    * Shape: the shared minhash banding on both sides, candidates from the
+    * cross-side band equi-join (no all-pairs anywhere; the incoming side
+    * is small and prunes to colliding buckets), exact-Jaccard
+    * verification on the hashed shingle sets, then a LEFT join back so
+    * EVERY incoming document gets a decision: match count, best Jaccard
+    * (0 when clean), and keep = no match.
+    */
+  def incrementalDedup(s: SparkSession, dir: String, threshold: Double = 0.8,
+                       mod: Long = 10, rem: Long = 7): DataFrame = {
+    import s.implicits._
+    val sh = hashedShinglesCached(s, dir)
+    val bands = minhashBands(s, sh)
+    val cand = bands.where($"doc_id" % mod === rem).as("a")
+      .join(bands.where($"doc_id" % mod =!= rem).as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    val matches = verifyJaccard(s, cand, sh, threshold)
+    val perDoc = matches.groupBy($"doc_a".as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), max($"jaccard").as("bj"))
+    sh.where($"doc_id" % mod === rem).select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_matches", lit(0L)).as("n_matches"),
+        coalesce($"bj", lit(0.0)).as("best_jaccard"),
+        $"n_matches".isNull.as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  /** [[minhashLshPairs]] over an already-built (cached) hashed-shingle set —
+    * shared with `ngramJaccardPairs`' saturation route so the fallback
+    * reuses the shingles it already computed instead of re-caching them.
+    */
+  private[operators] def minhashLshPairsFrom(s: SparkSession, sh: DataFrame,
+                                             threshold: Double): DataFrame = {
+    import s.implicits._
+    val bands = minhashBands(s, sh)
     val cand = bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))

@@ -185,6 +185,28 @@ class OperatorEquivalenceSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q56 incremental screen equals the within-corpus detector restricted to crossing pairs") {
+    val dir = "/root/testdata/sf0.01"
+    val pairs = TextDedup.minhashLshPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val inc = TextDedup.incrementalDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(inc.nonEmpty && inc.exists(!_._4), "some incoming doc must match the corpus")
+    // same banding + same exact verify on both operators => q56's matches
+    // per incoming doc are exactly q21's pairs with one endpoint on each
+    // side of the split
+    val isIncoming = (id: Long) => id % 10 == 7
+    val crossing = pairs.flatMap { case (a, b, j) =>
+      Seq((a, b, j), (b, a, j)).filter { case (x, y, _) => isIncoming(x) && !isIncoming(y) }
+    }.groupBy(_._1)
+    inc.foreach { case (id, n, bj, kept) =>
+      val exp = crossing.getOrElse(id, Array.empty)
+      assert(n === exp.length.toLong, s"doc $id match count")
+      assert(bj === (if (exp.isEmpty) 0.0 else exp.map(_._3).max), s"doc $id best jaccard")
+      assert(kept === exp.isEmpty, s"doc $id keep decision")
+    }
+  }
+
   test("q54 approx percentiles sit within the sketch's rank-error bound of the exact data") {
     import graft.operators.TextAnalysis
     // approx_percentile(accuracy=10000) guarantees a REAL data value whose
