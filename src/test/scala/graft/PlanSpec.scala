@@ -105,6 +105,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"expected partial_minkaggregator upstream of the exchange:\n$p")
   }
 
+  test("q52 bin offsets broadcast back to the data; packing shuffles once by (lang, range)") {
+    val p = plan(graft.operators.Pipeline.sequencePacking(spark, sfDir))
+    // the per-range offset table is metadata-sized — it must reach the
+    // packed rows via broadcast, never a sort-merge over the data
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast offsets join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"metadata join must not sort-merge the data:\n$p")
+  }
+
+  test("q56 incremental screen joins banded candidates — no cartesian, no corpus broadcast") {
+    val p = plan(graft.operators.TextDedup.incrementalDedup(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cross-side candidates must come from the band equi-join:\n$p")
+  }
+
   test("whole-stage codegen spans the hot path of the pricing summary") {
     val df = Relational.pricingSummary(spark, sfDir)
     df.collect() // AQE: the final plan exists only after execution
