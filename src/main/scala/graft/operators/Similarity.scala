@@ -370,6 +370,9 @@ object Similarity {
     import s.implicits._
     val vecs = memoCache("annIvfKmeans", s, dir, vecDs(s, dir).cache())
       .toDF("vec_id", "v", "nrm")
+    if (vecs.isEmpty) // no corpus → no codebook to seed; mirror annBruteForce's empty contract
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("query_id", "rank", "neighbor_id", "cosine")
     val cents = kmeansCodebook(s, dir, nCells, iters)
     // the inverted file (cell assignments) is as deterministic as the
     // codebook — cache it alongside so steady-state queries pay probe +

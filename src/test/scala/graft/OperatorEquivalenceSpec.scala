@@ -96,6 +96,17 @@ class OperatorEquivalenceSpec extends AnyFunSuite with SparkFixture {
     assert(out.count() === 0)
   }
 
+  test("annIvfKmeans with an empty corpus returns an empty frame, not a crash") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("empty_kmeans").toString
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.annIvfKmeans(spark, dir)
+    assert(out.columns.toSeq === Seq("query_id", "rank", "neighbor_id", "cosine"))
+    assert(out.count() === 0)
+  }
+
   test("q42 candidate-fed pairs ⊆ exhaustive q23 pairs, with identical cosines") {
     // sf0.01: enough vectors that the banding actually forms candidates.
     // The banded path may miss pairs below the banding bar (that's the
