@@ -77,6 +77,8 @@ object SparkEntry {
     "q54_token_percentiles_approx" -> ((s, d) => TextAnalysis.tokenPercentilesApprox(s, d)),
     "q55_dedup_keep_list" -> ((s, d) => operators.Clustering.dedupKeepList(s, d)),
     "q56_incremental_dedup" -> ((s, d) => TextDedup.incrementalDedup(s, d)),
+    "q57_embed_dedup_clusters" -> ((s, d) => operators.Clustering.embedDedupClusters(s, d)),
+    "q58_token_chunks" -> ((s, d) => Pipeline.tokenChunks(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -625,6 +627,44 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
         |LEFT JOIN m ON d.doc_id = m.di
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q57: q42's deterministic LSH-fed cosine pairs closed into components
+    // (the embedding-side q48); same recursive-closure oracle pattern.
+    "q57_embed_dedup_clusters" ->
+      """WITH RECURSIVE vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) nrm FROM vv),
+        |planes AS (SELECT r.p, list_transform(range(0, 64), i ->
+        |    CAST(CAST(concat('0x', substr(md5(CAST(r.p AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000 AS DOUBLE) / 1000.0) w
+        |  FROM range(16) r(p)),
+        |sigs AS (SELECT n.vec_id,
+        |    CAST(sum(CASE WHEN list_reduce(list_transform(range(1, 65), i -> n.v[i] * pl.w[i]), (a, b) -> a + b) >= 0
+        |             THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM n, planes pl GROUP BY n.vec_id),
+        |band AS (SELECT vec_id, r.b AS band, (sig >> (r.b * 4)) & 15 AS bkey FROM sigs, range(4) r(b)),
+        |cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb FROM band a JOIN band b
+        |         ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+        |p AS (SELECT va, vb FROM (
+        |        SELECT va, vb, list_reduce(list_transform(range(1, 65), i -> x.v[i] * y.v[i]), (a, b) -> a + b) / (x.nrm * y.nrm) c
+        |        FROM cand JOIN n x ON va = x.vec_id JOIN n y ON vb = y.vec_id) s
+        |      WHERE c >= 0.45),
+        |e AS (SELECT va u, vb v FROM p UNION SELECT vb, va FROM p),
+        |rch AS (SELECT u AS nd, u AS reach FROM (SELECT DISTINCT u FROM e) b0
+        |        UNION SELECT rch.nd, e.v FROM rch JOIN e ON rch.reach = e.u),
+        |comp AS (SELECT nd AS vec_id, min(reach) AS cluster_id FROM rch GROUP BY 1),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+        |SELECT comp.vec_id, comp.cluster_id, sz.cluster_size
+        |FROM comp JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin,
+
+    // q58: token-window chunking — same slicing arithmetic on both sides;
+    // content compared via md5 so the oracle hash-checks chunks without
+    // megabyte rows.
+    "q58_token_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |c AS (SELECT doc_id, ts, unnest(range((len(ts) - 1) // 48 + 1)) AS i FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(least(i * 48 + 64, len(ts)) - i * 48 AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(ts[i * 48 + 1 : least(i * 48 + 64, len(ts))], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // q55: q48's component closure LEFT-JOINed to every document — the
     // keep decision is "doc is its cluster's min id" (unclustered docs

@@ -122,6 +122,22 @@ object Clustering {
       .orderBy($"doc_id")
   }
 
+  /** q57: near-dup clusters on the EMBEDDING side — q42's LSH-fed exact
+    * cosine pairs (threshold 0.45, fully oracle-reproducible) closed into
+    * components, mirroring q48's text-side clusters. Semantic dedup acts
+    * on these the same way: keep one representative per component.
+    */
+  def embedDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Similarity.cosineNearDupLsh(s, dir).select($"vec_a", $"vec_b")
+    val cc = connectedComponents(pairs)
+      .select($"node".as("vec_id"), $"component".as("cluster_id"))
+    val sizes = cc.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select($"vec_id", $"cluster_id", $"cluster_size")
+      .orderBy($"vec_id")
+  }
+
   /** q55: the dedup DECISION a pipeline actually executes after
     * clustering — every document labeled with its cluster id (its own id
     * when unclustered) and `keep` = "is the cluster representative"

@@ -123,6 +123,45 @@ object Pipeline {
       .orderBy($"lang", $"bin")
   }
 
+  /** Token-window chunking (q58): split each document into fixed-size
+    * overlapping token windows — the context-window preparation step
+    * between a cleaned corpus and sequence packing (RAG indexing and
+    * long-doc training both consume this shape). Windows of `window`
+    * tokens start every `stride` tokens; the last window truncates at the
+    * document end; every document emits at least one chunk. Emits the
+    * chunk's md5 rather than its text so the oracle hash-checks content
+    * without megabyte rows.
+    *
+    * Pure per-row flatMap kernel — no shuffle, embarrassingly parallel;
+    * output size is corpus x (1/stride) rows.
+    */
+  def tokenChunks(s: SparkSession, dir: String,
+                  window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val n = toks.length
+          val nChunks = (n - 1) / stride + 1
+          (0 until nChunks).iterator.map { i =>
+            val from = i * stride
+            val until = math.min(from + window, n)
+            val sb = new java.lang.StringBuilder(toks(from))
+            var j = from + 1
+            while (j < until) { sb.append(' ').append(toks(j)); j += 1 }
+            val hex = md.digest(sb.toString.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            (id, i.toLong, (until - from).toLong, hex)
+          }
+        }
+      }.toDF("doc_id", "chunk_idx", "n_tokens", "chunk_md5")
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   /** Filter funnel: every document lands in exactly one bucket — the
     * first cleaning rule it trips (too short, too repetitive, stopword
     * flood) or `kept` — with per-bucket counts and token mass, so a

@@ -90,6 +90,24 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q57 embedding clusters are consistent with q42's pair set") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = "/root/testdata/sf0.01" // banding forms real pairs here
+    val pairs = graft.operators.Similarity.cosineNearDupLsh(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    val clusters = Clustering.embedDedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val label = clusters.map(c => c._1 -> c._2).toMap
+    assert(pairs.forall { case (a, b) => label(a) == label(b) })
+    clusters.groupBy(_._2).foreach { case (cid, ms) =>
+      assert(ms.map(_._1).min == cid)
+      assert(ms.forall(_._3 == ms.length))
+    }
+    assert(label.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
   test("q48 clusters are consistent with q21's pair set") {
     val spark2 = spark
     import spark2.implicits._

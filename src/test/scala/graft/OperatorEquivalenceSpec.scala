@@ -196,6 +196,33 @@ class OperatorEquivalenceSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q58 chunking: correct chunk counts, window bound, full coverage at stride = window") {
+    import graft.operators.Pipeline
+    val ntok = Tables.table(spark, sfDir, "documents")
+      .selectExpr("doc_id", "cast(size(split(text, ' ')) as long) as n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // overlapping default: every doc emits floor((n-1)/stride)+1 chunks,
+    // each at most `window` tokens, and the first `stride` tokens of
+    // consecutive chunks tile the document
+    val rows = rowsOf(Pipeline.tokenChunks(spark, sfDir))
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long], r(2).asInstanceOf[Long]))
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val n = ntok(id)
+      assert(cs.length.toLong === (n - 1) / 48 + 1, s"doc $id chunk count")
+      assert(cs.map(_._2).sorted === (0L until cs.length).toSeq)
+      assert(cs.forall(_._3 <= 64))
+      // last chunk reaches the document end
+      val last = cs.maxBy(_._2)
+      assert(last._2 * 48 + last._3 === n, s"doc $id tail coverage")
+    }
+    // stride == window → non-overlapping → token mass conserved exactly
+    val flat = rowsOf(Pipeline.tokenChunks(spark, sfDir, window = 32, stride = 32))
+      .map(r => (r(0).asInstanceOf[Long], r(2).asInstanceOf[Long]))
+    flat.groupBy(_._1).foreach { case (id, cs) =>
+      assert(cs.map(_._2).sum === ntok(id), s"doc $id token conservation")
+    }
+  }
+
   test("q56 incremental screen equals the within-corpus detector restricted to crossing pairs") {
     val dir = "/root/testdata/sf0.01"
     val pairs = TextDedup.minhashLshPairs(spark, dir).collect()
