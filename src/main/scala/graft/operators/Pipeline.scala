@@ -153,8 +153,7 @@ object Pipeline {
             val sb = new java.lang.StringBuilder(toks(from))
             var j = from + 1
             while (j < until) { sb.append(' ').append(toks(j)); j += 1 }
-            val hex = md.digest(sb.toString.getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString
+            val hex = TextDedup.hexLower(md.digest(sb.toString.getBytes("UTF-8")))
             (id, i.toLong, (until - from).toLong, hex)
           }
         }

@@ -26,6 +26,22 @@ import graft.Tables.table
   */
 object TextDedup {
 
+  /** Lowercase hex of a digest without `String.format` (which re-parses
+    * the format string and boxes per byte — measured ~5x the cost of the
+    * digest itself in the q58 chunk kernel).
+    */
+  private[operators] def hexLower(bytes: Array[Byte]): String = {
+    val digits = "0123456789abcdef"
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(i * 2) = digits((bytes(i) >> 4) & 0xf)
+      out(i * 2 + 1) = digits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** The 60-bit hash (SQL form `conv(substring(md5(x), 1, 15), 16, 10)`)
     * computed without a hex-string round trip: the first 15 hex chars of an
     * md5 are the first 8 digest bytes as a big-endian long, unsigned-shifted
@@ -126,7 +142,8 @@ object TextDedup {
       .orderBy($"source")
   }
 
-  /** Near-dup pairs with word-bigram Jaccard >= 0.8, via prefix filtering
+  /** Near-dup pairs with word n-gram ([[ShingleWidth]] = trigram) Jaccard
+    * >= 0.8, via prefix filtering
     * (PPJoin-style): index only each document's `n - ceil(t*n) + 1` globally
     * rarest shingles — any pair with J >= t must collide inside those
     * prefixes — plus the length filter (J >= t forces t*|B| <= |A|), applied
