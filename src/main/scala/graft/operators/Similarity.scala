@@ -364,9 +364,17 @@ object Similarity {
     * engine-specific by design -> rows-only check; `SimilarityRecallSpec`
     * gates recall against exact brute force and bounds the scanned
     * fraction (the cost side), like q25.
+    *
+    * Defaults measured by [[IvfSweep]] on the near-uniform test
+    * embeddings (the adversarial geometry): 64 cells / 8 probes reach
+    * recall@5 0.72 while scanning 12.5% of the corpus — a 5.8x lift over
+    * blind scanning, vs 1.2x for 8 cells / 2 probes. Finer cells pay off
+    * directly: halving the scan while doubling recall; the one-time
+    * codebook build cost (k-1 farthest-point passes + Lloyd rounds) is
+    * the standard index-build trade, memoized per session.
     */
-  def annIvfKmeans(s: SparkSession, dir: String, k: Int = 5, nCells: Int = 8,
-                   nProbe: Int = 2, iters: Int = 5): DataFrame = {
+  def annIvfKmeans(s: SparkSession, dir: String, k: Int = 5, nCells: Int = 64,
+                   nProbe: Int = 8, iters: Int = 5): DataFrame = {
     import s.implicits._
     val vecs = memoCache("annIvfKmeans", s, dir, vecDs(s, dir).cache())
       .toDF("vec_id", "v", "nrm")

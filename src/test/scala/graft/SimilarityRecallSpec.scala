@@ -59,11 +59,11 @@ class SimilarityRecallSpec extends AnyFunSuite with SparkFixture {
     val recalls = exact.map { case (q, t) => (t & approx(q)).size.toDouble / t.size }
     val mean = recalls.sum / recalls.size
 
-    // cost side: the 2-of-8 probed cells must cover a bounded corpus
+    // cost side: the 8-of-64 probed cells must cover a bounded corpus
     // fraction per query — an index whose cells collapse into one bucket
     // "earns" recall by scanning everything. Reconstruct the probe on the
     // driver from the deterministic codebook (k x 64 doubles).
-    val cents = Similarity.kmeansCodebook(spark, dir, 8, 5)
+    val cents = Similarity.kmeansCodebook(spark, dir, 64, 5)
     val sizes = Similarity.assignCells(spark,
         spark.read.parquet(s"$dir/embeddings.parquet")
           .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
@@ -83,27 +83,27 @@ class SimilarityRecallSpec extends AnyFunSuite with SparkFixture {
       d / math.sqrt(na * nb)
     }
     val fracs = queries.map { case (_, qv) =>
-      val probed = cents.sortBy(c => (-cos(qv, c._2), c._1)).take(2).map(_._1)
+      val probed = cents.sortBy(c => (-cos(qv, c._2), c._1)).take(8).map(_._1)
       probed.map(c => sizes.getOrElse(c, 0L)).sum / corpus
     }
     val meanFrac = fracs.sum / fracs.length
-    assert(meanFrac <= 0.45, f"mean scanned fraction $meanFrac%.3f exceeds 0.45")
+    assert(meanFrac <= 0.25, f"mean scanned fraction $meanFrac%.3f exceeds 0.25")
     // recall gate, relative to cost: blind-scanning fraction f of a
     // structureless corpus recovers ~f of the true neighbors, and these
     // synthetic embeddings are near-uniform BY DESIGN (the adversarial
     // geometry — see the class doc). The learned cells must beat that
-    // baseline with margin (measured: 0.32 recall at 0.25 scanned, a
-    // 1.3x lift; clustered real-world embeddings concentrate much
-    // harder). An absolute floor keeps the gate meaningful if the probe
-    // reconstruction drifts.
-    assert(mean >= meanFrac * 1.15 && mean >= 0.25,
+    // baseline with margin (IvfSweep measured: recall 0.72 at 0.125
+    // scanned for the 64-cell/8-probe default, a 5.8x lift; clustered
+    // real-world embeddings concentrate much harder). An absolute floor
+    // keeps the gate meaningful if the probe reconstruction drifts.
+    assert(mean >= meanFrac * 2.0 && mean >= 0.5,
       f"mean recall@5 $mean%.3f did not beat the blind-scan baseline " +
         f"($meanFrac%.3f scanned) with margin")
     info(f"q53 mean recall@5 $mean%.3f at $meanFrac%.3f mean scanned fraction")
 
     // machinery check: probing EVERY cell is a full exact scan — must
     // reproduce brute force bit-for-bit (same kernel, same rounding)
-    val all = Similarity.annIvfKmeans(spark, dir, nProbe = 8)
+    val all = Similarity.annIvfKmeans(spark, dir, nProbe = 64)
     assert(all.collect().map(_.toSeq).toSeq === exactDf.collect().map(_.toSeq).toSeq)
   }
 
