@@ -43,6 +43,24 @@ private[graft] object OpCache {
       }
     }
 
+  /** Unpersist and forget a single family's live cache (if any). For paths
+    * that prove the cache will never be read (e.g. an empty corpus): a bare
+    * `unpersist()` on the Dataset would leave the registry entry behind, so
+    * a later call on the same key would get a memo hit on a no-longer-
+    * cached Dataset — correct but silently recomputing per action.
+    */
+  def release(family: String): Unit = liveCaches.synchronized {
+    val it = liveCaches.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(family + "|")) {
+        try e.getValue.unpersist()
+        catch { case scala.util.control.NonFatal(_) => () }
+        it.remove()
+      }
+    }
+  }
+
   def releaseAll(): Unit = liveCaches.synchronized {
     val it = liveCaches.entrySet().iterator()
     while (it.hasNext) {

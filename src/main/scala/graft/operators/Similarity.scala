@@ -30,7 +30,15 @@ object Similarity {
                            build: => Dataset[T]): Dataset[T] =
     OpCache.memo(family, s.sparkContext.applicationId, key, build)
 
-  def releaseCaches(): Unit = OpCache.releaseAll()
+  def releaseCaches(): Unit = {
+    OpCache.releaseAll()
+    // the codebook memo is derived data keyed by (appId, dir, ...): after a
+    // release + rewrite of the same dir the vector cache rebuilds from the
+    // new files, so a stale codebook would silently disagree with its
+    // corpus — drop it with the Datasets (and stop old-appId entries
+    // accumulating across sessions)
+    codebooks.clear()
+  }
 
   /** (vec_id, v as double[], norm) rows — the shared input shape. */
   private def vecDs(s: SparkSession, dir: String) = {
@@ -77,7 +85,10 @@ object Similarity {
     // the old shape needed is gone
     val queryIds = vecs.filter(_._1 % 100 == 0).map(_._1).collect().sorted
     if (queryIds.isEmpty) {
-      vecs.unpersist() // nothing will ever read the cache on this path
+      // nothing will ever read the cache on this path — release entry AND
+      // storage together, so a later non-empty call rebuilds a real cache
+      // instead of memo-hitting an unpersisted Dataset
+      OpCache.release("annBruteForce")
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("query_id", "rank", "neighbor_id", "cosine")
     }
@@ -243,20 +254,33 @@ object Similarity {
     * exists). No RNG anywhere, so the codebook is identical on any
     * partitioning/cluster:
     *
-    *  - init: farthest-point greedy (Gonzalez) seeded at the vector with
-    *    the smallest `hash60(vec_id)` — the hash supplies the arbitrary
-    *    but reproducible starting choice, each next center is the vector
-    *    least similar to its nearest chosen center (ties: smaller vec_id);
-    *  - `iters` fixed Lloyd rounds: assign by max centroid cosine (ties:
-    *    smaller cell), recompute means elementwise through DECIMAL sums
-    *    so aggregation order cannot perturb the doubles; an emptied cell
-    *    keeps its previous centroid.
+    *  - training set: the `256 * nCells` rows with the smallest
+    *    `hash60(vec_id)` — the engine's seedless-sampling idiom (same
+    *    hash ordering as `Pipeline.stratifiedSample`), extracted in ONE
+    *    corpus pass (a TakeOrdered) and collected to the driver (bounded:
+    *    <= 256·k × dim doubles, ~8 MB at the 64-cell default). 256 points
+    *    per centroid is the standard coarse-quantizer training budget
+    *    (FAISS caps k-means training the same way); corpora smaller than
+    *    the cap train on everything, unchanged.
+    *  - init: farthest-point greedy (Gonzalez) over the sample, seeded at
+    *    the vector with the smallest `hash60(vec_id)` — the hash supplies
+    *    the arbitrary but reproducible starting choice, each next center
+    *    is the sample vector least similar to its nearest chosen center
+    *    (ties: smaller vec_id);
+    *  - `iters` fixed Lloyd rounds over the sample: assign by max centroid
+    *    cosine (ties: smaller cell), recompute elementwise means by a
+    *    sequential fold in vec_id order — the DECIMAL sums of the
+    *    distributed form existed solely to make PARALLEL aggregation
+    *    order-free; a single-threaded loop over a sorted array is already
+    *    bit-deterministic. An emptied cell keeps its previous centroid.
     *
-    * Scale shape: centroids are k x dim doubles on the driver (O(1) in
-    * corpus size); init is k-1 corpus passes and each round is one
-    * assignment kernel pass + one map-side-combined mean aggregation —
-    * the standard index-build cost, paid once per codebook, and every
-    * pass reads the cached corpus. Returns (cell -> (centroid, norm)).
+    * Scale shape: the index build is O(1) corpus passes — one sample
+    * extraction here plus the one final `assignCells` pass the caller
+    * runs — however large the corpus; the k×dim codebook and the
+    * 256·k-row training set are the only driver state. (The previous
+    * shape ran Gonzalez+Lloyd distributed over the FULL corpus: k-1
+    * serial broadcast+scan jobs — the index build that never finishes at
+    * 100 TB.) Returns (cell -> (centroid, norm)).
     */
   private[graft] def kmeansCodebook(s: SparkSession, dir: String,
                                     nCells: Int, iters: Int): Array[(Int, Array[Double], Double)] = {
@@ -277,59 +301,65 @@ object Similarity {
     import s.implicits._
     val vecs = memoCache("annIvfKmeans", s, dir, vecDs(s, dir).cache())
       .toDF("vec_id", "v", "nrm")
-    val dim = vecs.select($"v").as[Array[Double]].head().length
-    // seed: smallest hash60(vec_id) — reproducible, data-independent
-    val seed = vecs
+    // the ONE corpus pass of the build: TakeOrdered by (hash60, vec_id)
+    // bounds the training set whatever the corpus size
+    val ordered = vecs
       .withColumn("h", expr("hash60(cast(vec_id as string))"))
-      .orderBy($"h".asc, $"vec_id".asc).limit(1)
-      .select($"v", $"nrm").as[(Array[Double], Double)].head()
-    val centers = scala.collection.mutable.ArrayBuffer[(Array[Double], Double)](seed)
+      .orderBy($"h".asc, $"vec_id".asc)
+      .limit(256 * nCells)
+      .select($"vec_id", $"v", $"nrm")
+      .as[(Long, Array[Double], Double)]
+      .collect()
+    val seed = ordered.head // smallest (hash60, vec_id): the reproducible start
+    val sample = ordered.sortBy(_._1) // fixed fold/tie order for every pass below
+    val dim = seed._2.length
+    // Gonzalez init, incremental: each point tracks its best cosine to any
+    // chosen center and refreshes only against the newest one, so init is
+    // O(nCells * sample * dim) total, not quadratic in nCells
+    val centers = scala.collection.mutable.ArrayBuffer[(Array[Double], Double)]((seed._2, seed._3))
+    val bestSim = Array.fill(sample.length)(-2.0)
     while (centers.length < nCells) {
-      val bc = s.sparkContext.broadcast(centers.toArray)
-      // farthest point: smallest max-cosine to any chosen center
-      val next = vecs.select($"vec_id", $"v", $"nrm")
-        .as[(Long, Array[Double], Double)]
-        .mapPartitions { it =>
-          val cs = bc.value
-          it.map { case (id, v, n) =>
-            var best = -1.0; var i = 0
-            while (i < cs.length) {
-              val c = dot(v, cs(i)._1) / (n * cs(i)._2)
-              if (c > best) best = c
-              i += 1
-            }
-            (id, v, n, best)
-          }
-        }.toDF("vec_id", "v", "nrm", "maxsim")
-        .orderBy($"maxsim".asc, $"vec_id".asc).limit(1)
-        .select($"v", $"nrm").as[(Array[Double], Double)].head()
-      centers += next
+      val (cv, cn) = centers.last
+      var worstIdx = 0; var worst = 2.0
+      var i = 0
+      while (i < sample.length) {
+        val c = dot(sample(i)._2, cv) / (sample(i)._3 * cn)
+        if (c > bestSim(i)) bestSim(i) = c
+        // strict < keeps the FIRST minimum in vec_id order = smaller vec_id
+        if (bestSim(i) < worst) { worst = bestSim(i); worstIdx = i }
+        i += 1
+      }
+      centers += ((sample(worstIdx)._2, sample(worstIdx)._3))
     }
     var cents: Array[(Int, Array[Double], Double)] =
       centers.toArray.zipWithIndex.map { case ((v, n), i) => (i, v, n) }
     var round = 0
     while (round < iters) {
-      val assigned = assignCells(s, vecs, cents)
-      // DECIMAL-exact elementwise means (same discipline as q35's
-      // per-label centroids): decimal addition is order-free, so the new
-      // codebook is identical however the sum parallelizes
-      import org.apache.spark.sql.types.DecimalType
-      val means = assigned
-        .select($"cell", posexplode($"v"))
-        .groupBy($"cell", $"pos")
-        .agg((sum(col("col").cast(DecimalType(25, 12))).cast(DecimalType(30, 12)).cast("double")
-          / count(lit(1))).as("c"))
-        .as[(Int, Int, Double)].collect()
-      val byCell = means.groupBy(_._1)
+      // local Lloyd round: assign (max cosine, ties smaller cell — the
+      // assignCells rule), then elementwise means folded in vec_id order
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Long](nCells)
+      var i = 0
+      while (i < sample.length) {
+        val (_, v, n) = sample(i)
+        var bestCell = cents(0)._1; var best = -2.0; var j = 0
+        while (j < cents.length) {
+          val c = dot(v, cents(j)._2) / (n * cents(j)._3)
+          if (c > best || (c == best && cents(j)._1 < bestCell)) { best = c; bestCell = cents(j)._1 }
+          j += 1
+        }
+        val sv = sums(bestCell); var d = 0
+        while (d < dim) { sv(d) += v(d); d += 1 }
+        counts(bestCell) += 1
+        i += 1
+      }
       cents = cents.map { case (cell, oldV, oldN) =>
-        byCell.get(cell) match {
-          case Some(rows) =>
-            val v = new Array[Double](dim)
-            rows.foreach { case (_, p, c) => v(p) = c }
-            var ss = 0.0; var i = 0
-            while (i < dim) { ss += v(i) * v(i); i += 1 }
-            (cell, v, math.sqrt(ss))
-          case None => (cell, oldV, oldN) // emptied cell keeps its centroid
+        if (counts(cell) == 0L) (cell, oldV, oldN) // emptied cell keeps its centroid
+        else {
+          val v = new Array[Double](dim)
+          var ss = 0.0; var d = 0
+          while (d < dim) { v(d) = sums(cell)(d) / counts(cell); ss += v(d) * v(d); d += 1 }
+          (cell, v, math.sqrt(ss))
         }
       }
       round += 1
@@ -370,8 +400,8 @@ object Similarity {
     * recall@5 0.72 while scanning 12.5% of the corpus — a 5.8x lift over
     * blind scanning, vs 1.2x for 8 cells / 2 probes. Finer cells pay off
     * directly: halving the scan while doubling recall; the one-time
-    * codebook build cost (k-1 farthest-point passes + Lloyd rounds) is
-    * the standard index-build trade, memoized per session.
+    * codebook build is ONE bounded sample-extraction pass + driver-local
+    * training (see [[kmeansCodebook]]), memoized per session.
     */
   def annIvfKmeans(s: SparkSession, dir: String, k: Int = 5, nCells: Int = 64,
                    nProbe: Int = 8, iters: Int = 5): DataFrame = {
