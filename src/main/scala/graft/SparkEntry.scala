@@ -79,6 +79,7 @@ object SparkEntry {
     "q56_incremental_dedup" -> ((s, d) => TextDedup.incrementalDedup(s, d)),
     "q57_embed_dedup_clusters" -> ((s, d) => operators.Clustering.embedDedupClusters(s, d)),
     "q58_token_chunks" -> ((s, d) => Pipeline.tokenChunks(s, d)),
+    "q60_audio_meta" -> ((s, d) => Multimodal.audioMeta(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -328,11 +329,16 @@ object SparkEntry {
         |g AS (SELECT fingerprint, count(*) group_size FROM fp GROUP BY 1)
         |SELECT fp.doc_id, fp.fingerprint, g.group_size FROM fp JOIN g USING (fingerprint) ORDER BY doc_id""".stripMargin,
 
+    // q30: the engine builds a REAL PNG per doc (pixels = text bytes cycled
+    // into a (1+doc_id%16) x (1+(doc_id/16)%16) RGB raster) and decodes it
+    // with ImageIO; PNG losslessness means the decoded pixel checksum must
+    // equal md5 of the cycled bytes, which DuckDB computes codec-free.
     "q30_blob_meta" ->
-      """WITH m AS (SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) n_bytes, md5(text) checksum FROM documents),
-        |h AS (SELECT *, CAST(concat('0x', substr(checksum, 1, 15)) AS BIGINT) hv FROM m)
-        |SELECT doc_id, n_bytes, checksum, hv % 1024 AS width, (hv >> 10) % 1024 AS height
-        |FROM h ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 16 AS width, 1 + (doc_id // 16) % 16 AS height, text FROM documents)
+        |SELECT doc_id, width, height, width * height * 3 AS n_pixel_bytes,
+        |  md5(substring(repeat(text, CAST(ceil(CAST(width * height * 3 AS DOUBLE) / length(text)) AS INT)),
+        |      1, CAST(width * height * 3 AS INT))) AS pixel_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q31_frame_sample" ->
       """WITH f AS (SELECT doc_id, unnest(list_transform(range(0, (length(text) - 1) // 64 + 1),
@@ -665,6 +671,17 @@ object SparkEntry {
         |  CAST(least(i * 48 + 64, len(ts)) - i * 48 AS BIGINT) AS n_tokens,
         |  md5(array_to_string(ts[i * 48 + 1 : least(i * 48 + 64, len(ts))], ' ')) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // q60: the engine builds a REAL 16-bit PCM mono WAV per doc (sample =
+    // text byte * 257, little-endian; rate 8000*(1+doc_id%4)) and decodes
+    // it with javax.sound.sampled. byte*257 makes both LE bytes of each
+    // sample the text byte itself, so the lossless PCM stream is exactly
+    // the text with every char doubled — md5-able as a plain string.
+    "q60_audio_meta" ->
+      """SELECT doc_id, 8000 * (1 + doc_id % 4) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels, CAST(length(text) AS BIGINT) AS n_frames,
+        |  md5(regexp_replace(text, '(.)', '\1\1', 'g')) AS pcm_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q55: q48's component closure LEFT-JOINed to every document — the
     // keep decision is "doc is its cluster's min id" (unclustered docs

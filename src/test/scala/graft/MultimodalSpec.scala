@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+/** The decode stage must be a REAL codec pass: these tests check the
+  * generated payloads are genuine PNG/WAV containers (magic bytes), and
+  * that the decoded metadata q30/q60 emit equals values computed here
+  * WITHOUT any codec — which only holds if encode->decode is lossless
+  * and the decoder actually parsed the container.
+  */
+class MultimodalSpec extends AnyFunSuite with SparkFixture {
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map(x => f"$x%02x").mkString
+
+  test("buildPng emits a real PNG container; ImageIO round-trips the raster") {
+    val png = Multimodal.buildPng(37L, "the quick brown fox jumps over the lazy dog 0123")
+    // PNG signature: 89 50 4E 47 0D 0A 1A 0A
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == (1 + 37 % 16) && img.getHeight == (1 + (37 / 16) % 16))
+  }
+
+  test("buildWav emits a real RIFF/WAVE container") {
+    val wav = Multimodal.buildWav(5L, "hello world, this is a pcm payload")
+    assert(new String(wav, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(wav, 8, 4, "US-ASCII") == "WAVE")
+  }
+
+  test("q30 decoded dimensions and pixel checksum match the codec-free rule") {
+    val rows = Multimodal.blobMeta(spark, sfDir).collect()
+    assert(rows.length > 0)
+    val texts = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val w = 1L + id % 16L; val h = 1L + (id / 16L) % 16L
+      assert(r.getLong(1) == w, s"width doc $id")
+      assert(r.getLong(2) == h, s"height doc $id")
+      assert(r.getLong(3) == w * h * 3)
+      val src = texts(id).getBytes("UTF-8")
+      val cycled = Array.tabulate((w * h * 3).toInt)(i => src(i % src.length))
+      assert(r.getString(4) == md5hex(cycled), s"pixel md5 doc $id")
+    }
+  }
+
+  test("q60 decoded format and pcm checksum match the codec-free rule") {
+    val rows = Multimodal.audioMeta(spark, sfDir).collect()
+    assert(rows.length > 0)
+    val texts = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == 8000L * (1L + id % 4L), s"rate doc $id")
+      assert(r.getLong(2) == 1L)
+      val src = texts(id).getBytes("UTF-8")
+      assert(r.getLong(3) == src.length.toLong, s"frames doc $id")
+      val doubled = src.flatMap(b => Array(b, b))
+      assert(r.getString(4) == md5hex(doubled), s"pcm md5 doc $id")
+    }
+  }
+}
