@@ -59,32 +59,69 @@ object Similarity {
     acc
   }
 
-  /** Brute-force cosine top-k: every vec_id % 100 == 0 is a query; rank all
-    * other vectors by cosine (ties by vec_id). The query side is processed
-    * in fixed-size chunks — each chunk (and only that chunk) is collected
-    * and broadcast, the corpus streams through partition-local score loops,
-    * and only (query, candidate, score) scalars shuffle into the per-query
-    * top-k window. Driver memory is O(queryChunk) however many queries
-    * there are; a 1%-of-corpus query set never materializes at once.
-    * Brute force is the exact baseline — `annIvf`/`annLsh` are the paths
-    * that also bound the compare work at 100 TB.
+  /** Normalize a user query set — any frame with `(vec_id, embedding)`
+    * columns, the embeddings-table shape — into the internal
+    * `(id, double[], norm)` rows. Queries need not exist in the corpus;
+    * ids that do exist are excluded from their own neighbor lists.
     */
+  private def queryDs(s: SparkSession, queries: DataFrame): Dataset[(Long, Array[Double], Double)] = {
+    import s.implicits._
+    queries
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        var i = 0; var ss = 0.0
+        while (i < v.length) { ss += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(ss))
+      }
+  }
+
+  /** The harness's benchmark query set: every corpus vector whose id is
+    * divisible by 100 (~1%). This CONVENTION lives here in the callers —
+    * the operators themselves take any `queries` frame.
+    */
+  private def harnessQueries(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "embeddings").where($"vec_id" % 100 === 0)
+      .select($"vec_id", $"embedding")
+  }
+
+  /** Brute-force cosine top-k with the harness's %100 query convention. */
   def annBruteForce(s: SparkSession, dir: String, k: Int = 5,
-                    queryChunk: Int = 512): DataFrame = {
+                    queryChunk: Int = 512): DataFrame =
+    annBruteForce(s, dir, harnessQueries(s, dir), k, queryChunk)
+
+  /** Brute-force cosine top-k over an arbitrary query set: rank every
+    * corpus vector (minus the query itself) by cosine, ties by vec_id.
+    * `queries` is any frame with `(vec_id, embedding)` columns. The query
+    * side is processed in fixed-size chunks — each chunk (and only that
+    * chunk) is collected and broadcast, the corpus streams through
+    * partition-local score loops, and only (query, candidate, score)
+    * scalars shuffle into the per-query top-k window. Driver memory is
+    * O(queryChunk) however many queries there are; a 1%-of-corpus query
+    * set never materializes at once. Brute force is the exact baseline —
+    * `annIvf`/`annLsh` are the paths that also bound the compare work at
+    * 100 TB.
+    */
+  def annBruteForce(s: SparkSession, dir: String, queries: DataFrame,
+                    k: Int, queryChunk: Int): DataFrame = {
     import s.implicits._
     // cache the corpus: the chunk loop would otherwise rescan the parquet
-    // for every per-chunk collect AND every scoring pass (2·chunks scans);
-    // cached, the file is read once and spills to executor storage if the
-    // corpus outgrows memory. Memoized: a repeat query reuses the live
-    // cache, a new dir releases the previous one.
+    // for every scoring pass; cached, the file is read once and spills to
+    // executor storage if the corpus outgrows memory. Memoized: a repeat
+    // query reuses the live cache, a new dir releases the previous one.
     val vecs = memoCache("annBruteForce", s, dir, vecDs(s, dir).cache())
+    // the query set is chunk-collected below, so cache it across the
+    // per-chunk collects (ids pass + one vectors pass per chunk);
+    // released before returning — the broadcasts own the data after that
+    val qds = queryDs(s, queries).cache()
     // collect query IDS only (8 bytes each — the vectors stay distributed)
     // and chunk by rank in the sorted id list: each broadcast is genuinely
     // bounded by queryChunk whatever the id distribution (chunking by
-    // id arithmetic only bounded it for dense ids), and the count() job
-    // the old shape needed is gone
-    val queryIds = vecs.filter(_._1 % 100 == 0).map(_._1).collect().sorted
+    // id arithmetic only bounded it for dense ids)
+    val queryIds = qds.map(_._1).collect().sorted
     if (queryIds.isEmpty) {
+      qds.unpersist()
       // nothing will ever read the cache on this path — release entry AND
       // storage together, so a later non-empty call rebuilds a real cache
       // instead of memo-hitting an unpersisted Dataset
@@ -104,8 +141,8 @@ object Similarity {
     val vecRdd = vecs.rdd // reads the Dataset cache (InMemoryRelation)
     val chunkRdds = queryIds.grouped(queryChunk).toSeq.map { ids =>
       val idSet = ids.toSet
-      val queries = vecs.filter(t => idSet.contains(t._1)).collect()
-      val bq = s.sparkContext.broadcast(queries)
+      val chunk = qds.filter(t => idSet.contains(t._1)).collect()
+      val bq = s.sparkContext.broadcast(chunk)
       vecRdd.mapPartitions { it =>
         val qs = bq.value
         it.flatMap { case (id, v, n) =>
@@ -115,6 +152,7 @@ object Similarity {
         }
       }
     }
+    qds.unpersist()
     s.createDataset(s.sparkContext.union(chunkRdds))
       .toDF("query_id", "neighbor_id", "cosine")
       .withColumn("rank", row_number().over(
@@ -192,7 +230,15 @@ object Similarity {
     * Centroid means go through DECIMAL sums so parallel aggregation order
     * cannot perturb the doubles (the oracle reproduces them exactly).
     */
-  def annIvf(s: SparkSession, dir: String, k: Int = 5, nProbe: Int = 2): DataFrame = {
+  def annIvf(s: SparkSession, dir: String, k: Int = 5, nProbe: Int = 2): DataFrame =
+    annIvf(s, dir, harnessQueries(s, dir), k, nProbe)
+
+  /** [[annIvf]] over an arbitrary `(vec_id, embedding)` query frame —
+    * queries need not live in the corpus; the probe picks their nProbe
+    * nearest cells by centroid cosine exactly as for corpus vectors.
+    */
+  def annIvf(s: SparkSession, dir: String, queries: DataFrame,
+             k: Int, nProbe: Int): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types.DecimalType
     val vecs = table(s, dir, "embeddings")
@@ -210,7 +256,8 @@ object Similarity {
       .withColumn("cn", sqrt(aggregate(transform($"cv", x => x * x), lit(0.0), _ + _)))
     ivfSearch(s,
       vecs.select($"label".as("cell"), $"vec_id", $"v", $"nrm"),
-      cents.select($"label".as("cell"), $"cv", $"cn"), k, nProbe)
+      cents.select($"label".as("cell"), $"cv", $"cn"),
+      queryDs(s, queries).toDF("query_id", "qv", "qn"), k, nProbe)
   }
 
   /** The IVF probe + search shared by the per-label (q35) and learned
@@ -220,13 +267,11 @@ object Similarity {
     * kernel (same index-order fold as the HOF form and the oracle's
     * list_reduce, ~20x cheaper in the hot loop). `assigned` is the
     * inverted file (cell, vec_id, v, nrm); `cents` the codebook
-    * (cell, cv, cn).
+    * (cell, cv, cn); `queries` the (query_id, qv, qn) probe set.
     */
   private def ivfSearch(s: SparkSession, assigned: DataFrame, cents: DataFrame,
-                        k: Int, nProbe: Int): DataFrame = {
+                        queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     import s.implicits._
-    val queries = assigned.where($"vec_id" % 100 === 0)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
     val probed = queries.crossJoin(broadcast(cents))
       .withColumn("csim",
         aggregate(zip_with($"qv", $"cv", _ * _), lit(0.0), _ + _) / ($"qn" * $"cn"))
@@ -404,7 +449,12 @@ object Similarity {
     * training (see [[kmeansCodebook]]), memoized per session.
     */
   def annIvfKmeans(s: SparkSession, dir: String, k: Int = 5, nCells: Int = 64,
-                   nProbe: Int = 8, iters: Int = 5): DataFrame = {
+                   nProbe: Int = 8, iters: Int = 5): DataFrame =
+    annIvfKmeans(s, dir, harnessQueries(s, dir), k, nCells, nProbe, iters)
+
+  /** [[annIvfKmeans]] over an arbitrary `(vec_id, embedding)` query frame. */
+  def annIvfKmeans(s: SparkSession, dir: String, queries: DataFrame, k: Int,
+                   nCells: Int, nProbe: Int, iters: Int): DataFrame = {
     import s.implicits._
     val vecs = memoCache("annIvfKmeans", s, dir, vecDs(s, dir).cache())
       .toDF("vec_id", "v", "nrm")
@@ -418,7 +468,8 @@ object Similarity {
     val assigned = memoCache("annIvfKmeansIdx", s, s"$dir|$nCells|$iters",
       assignCells(s, vecs, cents).cache()).toDF("cell", "vec_id", "v", "nrm")
     val centsDf = cents.toSeq.toDF("cell", "cv", "cn")
-    ivfSearch(s, assigned, centsDf, k, nProbe)
+    ivfSearch(s, assigned, centsDf,
+      queryDs(s, queries).toDF("query_id", "qv", "qn"), k, nProbe)
   }
 
   /** Random-hyperplane LSH ANN: 16 deterministic hyperplanes (md5-derived
@@ -500,8 +551,25 @@ object Similarity {
       }.toDF("vec_id", "v", "nrm", "sig").cache()
     })
 
-  private def candidatesFrom(s: SparkSession, sigs: DataFrame, nPlanes: Int,
-                             bandBits: Int, probes: Int): DataFrame = {
+  /** Sign an arbitrary query frame with the same deterministic plane
+    * family the corpus signatures use — queries probe the index without
+    * having to live in it.
+    */
+  private def signQueries(s: SparkSession, queries: DataFrame, nPlanes: Int): DataFrame = {
+    import s.implicits._
+    val bPlanes = s.sparkContext.broadcast(lshPlanesN(nPlanes))
+    queryDs(s, queries).mapPartitions { it =>
+      val ps = bPlanes.value
+      it.map { case (id, v, n) =>
+        var sig = 0L; var p = 0
+        while (p < ps.length) { if (dot(v, ps(p)) >= 0) sig |= 1L << p; p += 1 }
+        (id, v, n, sig)
+      }
+    }.toDF("vec_id", "v", "nrm", "sig")
+  }
+
+  private def candidatesFrom(s: SparkSession, sigs: DataFrame, querySigs: DataFrame,
+                             nPlanes: Int, bandBits: Int, probes: Int): DataFrame = {
     import s.implicits._
     require(nPlanes <= 64 && nPlanes % bandBits == 0, "need nPlanes = bands * bandBits <= 64")
     val nBands = nPlanes / bandBits
@@ -513,7 +581,7 @@ object Similarity {
       .select($"vec_id", $"band", $"bkey")
     // query side (~1% of the corpus): recompute the per-plane margins to
     // rank bit confidence — cheaper than storing 64 doubles per CORPUS row
-    val qprobes = sigs.where($"vec_id" % 100 === 0)
+    val qprobes = querySigs
       .select($"vec_id", $"v", $"sig")
       .as[(Long, Array[Double], Long)]
       .mapPartitions { it =>
@@ -543,8 +611,20 @@ object Similarity {
     * versus 0.44 at 24% for the old single-probe 16-plane config.
     */
   def annLshCandidates(s: SparkSession, dir: String, nPlanes: Int = 64,
-                       bandBits: Int = 8, probes: Int = 8): DataFrame =
-    candidatesFrom(s, annLshSigs(s, dir, nPlanes), nPlanes, bandBits, probes)
+                       bandBits: Int = 8, probes: Int = 8): DataFrame = {
+    import s.implicits._
+    val sigs = annLshSigs(s, dir, nPlanes)
+    candidatesFrom(s, sigs, sigs.where($"vec_id" % 100 === 0), nPlanes, bandBits, probes)
+  }
+
+  /** [[annLshCandidates]] for an arbitrary `(vec_id, embedding)` query
+    * frame — query signatures computed on the fly from the same plane
+    * family, so external queries probe the cached corpus index directly.
+    */
+  def annLshCandidates(s: SparkSession, dir: String, queries: DataFrame,
+                       nPlanes: Int, bandBits: Int, probes: Int): DataFrame =
+    candidatesFrom(s, annLshSigs(s, dir, nPlanes),
+      signQueries(s, queries, nPlanes), nPlanes, bandBits, probes)
 
   /** ANN via multi-probe random-hyperplane LSH: 64 md5-derived planes →
     * 64-bit signature → 8 bands of 8 bits; a corpus vector is a candidate
@@ -566,9 +646,21 @@ object Similarity {
              bandBits: Int = 8, probes: Int = 8): DataFrame = {
     import s.implicits._
     val sigs = annLshSigs(s, dir, nPlanes)
-    candidatesFrom(s, sigs, nPlanes, bandBits, probes)
+    annLshFrom(s, sigs, sigs.where($"vec_id" % 100 === 0), k, nPlanes, bandBits, probes)
+  }
+
+  /** [[annLsh]] over an arbitrary `(vec_id, embedding)` query frame. */
+  def annLsh(s: SparkSession, dir: String, queries: DataFrame, k: Int,
+             nPlanes: Int, bandBits: Int, probes: Int): DataFrame =
+    annLshFrom(s, annLshSigs(s, dir, nPlanes), signQueries(s, queries, nPlanes),
+      k, nPlanes, bandBits, probes)
+
+  private def annLshFrom(s: SparkSession, sigs: DataFrame, querySigs: DataFrame,
+                         k: Int, nPlanes: Int, bandBits: Int, probes: Int): DataFrame = {
+    import s.implicits._
+    candidatesFrom(s, sigs, querySigs, nPlanes, bandBits, probes)
       .join(sigs.select($"vec_id", $"v", $"nrm"), "vec_id")
-      .join(sigs.where($"vec_id" % 100 === 0)
+      .join(querySigs
         .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn")), "query_id")
       .select($"query_id", $"vec_id", $"qv", $"qn", $"v", $"nrm")
       .as[(Long, Long, Array[Double], Double, Array[Double], Double)]

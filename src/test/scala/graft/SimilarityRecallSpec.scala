@@ -107,6 +107,62 @@ class SimilarityRecallSpec extends AnyFunSuite with SparkFixture {
     assert(all.collect().map(_.toSeq).toSeq === exactDf.collect().map(_.toSeq).toSeq)
   }
 
+  test("ANN operators accept an arbitrary query frame, including external vectors") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // arbitrary set: three in-corpus ids OFF the %100 convention plus one
+    // external vector that exists nowhere in the corpus
+    val inIds = corpus.map(_._1).filter(id => id % 97 == 1).take(3)
+    val external = (-7L, Array.tabulate(corpus.head._2.length)(i => (0.3f - 0.01f * i)))
+    val queries = (inIds.map(id => (id, corpus.find(_._1 == id).get._2)) :+ external)
+      .toSeq.toDF("vec_id", "embedding")
+    val expectIds = (inIds :+ external._1).toSet
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) = {
+        var i = 0; var acc = 0.0
+        while (i < x.length) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+        acc
+      }
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    // local exact top-5 for every query (self excluded by id)
+    val localTop = (inIds.map(id => (id, corpus.find(_._1 == id).get._2)) :+ external).map {
+      case (qid, qv) =>
+        qid -> corpus.filter(_._1 != qid)
+          .map { case (id, v) => (id, cos(qv, v)) }
+          .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+    }.toMap
+
+    val bf = Similarity.annBruteForce(spark, dir, queries, 5, 512)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    assert(bf.keySet === expectIds)
+    assert(bf === localTop, "brute force over the query frame must equal local exact top-5")
+
+    // probe-all learned IVF over the same frame reproduces brute force
+    val ivfAll = Similarity.annIvfKmeans(spark, dir, queries, 5, 64, 64, 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    assert(ivfAll === localTop)
+
+    // per-label IVF + LSH: answer exactly the asked queries with true cosines
+    val ivf = Similarity.annIvf(spark, dir, queries, 5, 2).collect()
+    assert(ivf.map(_.getLong(0)).toSet.subsetOf(expectIds) && ivf.nonEmpty)
+    val lsh = Similarity.annLsh(spark, dir, queries, 5, 64, 8, 8).collect()
+    assert(lsh.map(_.getLong(0)).toSet.subsetOf(expectIds) && lsh.nonEmpty)
+    lsh.foreach { r =>
+      val qv = (inIds.map(id => (id, corpus.find(_._1 == id).get._2)) :+ external)
+        .find(_._1 == r.getLong(0)).get._2
+      val nv = corpus.find(_._1 == r.getLong(2)).get._2
+      assert(math.abs(r.getDouble(3) - cos(qv, nv)) < 1e-5,
+        s"LSH cosine for ${r.getLong(0)}->${r.getLong(2)} is not the true cosine")
+    }
+  }
+
   test("repeat ANN queries hold at most one live corpus cache per operator") {
     val dir = "/root/testdata/sf0.001"
     Similarity.annLsh(spark, dir).count()
