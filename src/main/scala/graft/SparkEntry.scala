@@ -79,6 +79,7 @@ object SparkEntry {
     "q56_incremental_dedup" -> ((s, d) => TextDedup.incrementalDedup(s, d)),
     "q57_embed_dedup_clusters" -> ((s, d) => operators.Clustering.embedDedupClusters(s, d)),
     "q58_token_chunks" -> ((s, d) => Pipeline.tokenChunks(s, d)),
+    "q59_stream_incremental_dedup" -> ((s, d) => streaming.StreamOps.incrementalDedupStreamed(s, d)),
     "q60_audio_meta" -> ((s, d) => Multimodal.audioMeta(s, d)),
   )
 
@@ -611,6 +612,35 @@ object SparkEntry {
     // incoming/corpus split, exact-Jaccard verify, LEFT JOIN back so
     // every incoming doc gets a (n_matches, best_jaccard, kept) decision.
     "q56_incremental_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([CAST(concat('0x', substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15)) AS BIGINT)
+        |         for i in range(1, len(ts) - 1)]) hs FROM t),
+        |ex AS (SELECT doc_id, unnest(hs) h FROM sh),
+        |seeds AS (SELECT r.s, CAST(concat('0x', substr(md5(CAST(r.s AS VARCHAR)), 1, 15)) AS BIGINT) c FROM range(32) r(s)),
+        |mh AS (SELECT ex.doc_id, seeds.s, min(xor(ex.h, seeds.c)) mh FROM ex, seeds GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(mh ORDER BY s) sig FROM mh GROUP BY 1),
+        |band AS (SELECT doc_id, r.b band, array_to_string(sig[r.b * 4 + 1 : r.b * 4 + 4], ',') bkey
+        |         FROM sig, range(8) r(b)),
+        |cand AS (SELECT DISTINCT a.doc_id di, b.doc_id dc FROM band a JOIN band b
+        |         ON a.band = b.band AND a.bkey = b.bkey
+        |         AND a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+        |j AS (SELECT di, dc, len(list_intersect(x.hs, y.hs)) inter, len(x.hs) na, len(y.hs) nb
+        |      FROM cand JOIN sh x ON cand.di = x.doc_id JOIN sh y ON cand.dc = y.doc_id),
+        |m AS (SELECT di, count(*) n, max(CAST(inter AS DOUBLE) / (na + nb - inter)) bj FROM j
+        |      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8 GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_matches,
+        |  floor(COALESCE(m.bj, 0.0) * 1000000.0 + 0.5) / 1000000.0 AS best_jaccard,
+        |  m.di IS NULL AS kept
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+        |LEFT JOIN m ON d.doc_id = m.di
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q59: the STREAMING detector under q56's exact oracle — threshold-0
+    // keyed band state emits precisely the batch candidate bar (shares
+    // >= 1 band bucket), and the shared decision tail makes the streaming
+    // and batch screens hash-equal by construction. One oracle, two
+    // engine surfaces.
+    "q59_stream_incremental_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
         |sh AS (SELECT doc_id, list_distinct([CAST(concat('0x', substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15)) AS BIGINT)
         |         for i in range(1, len(ts) - 1)]) hs FROM t),

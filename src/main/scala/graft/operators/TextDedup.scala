@@ -360,6 +360,20 @@ object TextDedup {
         $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
+    decideIncoming(s, dir, cand, threshold, mod, rem)
+  }
+
+  /** The decision tail of [[incrementalDedup]], shared with the STREAMING
+    * candidate generator (q59): exact-Jaccard verification of an
+    * externally-supplied (doc_a = incoming, doc_b = corpus) candidate
+    * set, then the LEFT join back so every incoming document gets its
+    * (n_matches, best_jaccard, kept) decision. Identical candidates in →
+    * identical decisions out, whichever engine surface banded them.
+    */
+  private[graft] def decideIncoming(s: SparkSession, dir: String, cand: DataFrame,
+                                    threshold: Double, mod: Long, rem: Long): DataFrame = {
+    import s.implicits._
+    val sh = hashedShinglesCached(s, dir)
     val matches = verifyJaccard(s, cand, sh, threshold)
     val perDoc = matches.groupBy($"doc_a".as("doc_id"))
       .agg(count(lit(1)).as("n_matches"), max($"jaccard").as("bj"))

@@ -269,6 +269,66 @@ object StreamOps {
       .orderBy($"window_epoch", $"event_type")
   }
 
+  /** The streaming near-dup detector under the BATCH oracle (q59 — the
+    * q47 pattern applied to dedup): a REAL Structured Streaming run of
+    * [[nearDupStream]] over the documents table (`readStream`, event-time
+    * watermark, keyed band state, `Trigger.AvailableNow`, parquet file
+    * sink) generates the candidate pairs, and the SAME exact-verify +
+    * decision tail as the batch screen (`TextDedup.decideIncoming`) turns
+    * them into per-incoming-doc decisions.
+    *
+    * Threshold 0 at the detector makes its emission rule exactly "shares
+    * >= 1 band bucket" — the batch screen's candidate bar — so the
+    * decisions must HASH-EQUAL q56's batch run on the same split (one
+    * shared DuckDB oracle), which is the whole point: the stateful
+    * streaming surface is proven against the same truth as the batch
+    * plan, not just unit-asserted. In production the detector keeps its
+    * real threshold and drops at ingest; here it feeds the verifier.
+    *
+    * The file sink keeps candidate volume off the driver (band-collision
+    * pairs can be corpus-scale); only the per-incoming-doc decisions —
+    * one bounded row each — are collected before the work dir is deleted.
+    */
+  def incrementalDedupStreamed(s: SparkSession, dir: String, threshold: Double = 0.8,
+                               mod: Long = 10, rem: Long = 7): DataFrame = {
+    import s.implicits._
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    // [d] glob: same single-file addressing trick as q43/q47
+    val stream = s.readStream.schema(raw.schema).parquet(s"$dir/[d]ocuments.parquet")
+      // the table carries no event time; a CONSTANT synthetic ts drives
+      // the watermark machinery, and constancy is load-bearing: however
+      // the source splits into micro-batches, the watermark (ts - delay)
+      // can never pass any bucket's timeout (ts + ttl), so no band state
+      // expires mid-run and every co-bucket pair is emitted — the
+      // detector's TTL semantics are exercised separately by its spec
+      .withColumn("ts", timestamp_seconds(lit(1700000000L)))
+      .select(col("doc_id"), col("ts"), col("text"))
+    val work = java.nio.file.Files.createTempDirectory("q59_stream")
+    val outDir = work.resolve("out").toString
+    val q = nearDupStream(s, stream, threshold = 0.0)
+      .toDF("doc_a", "doc_b", "est")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sunk = s.read.schema("doc_a LONG, doc_b LONG, est DOUBLE").parquet(outDir)
+    // keep crossing pairs only and orient them (incoming, corpus) — the
+    // detector normalizes to (min, max) and also pairs within each side
+    val inA = col("doc_a") % mod === rem
+    val inB = col("doc_b") % mod === rem
+    val cand = sunk.where(inA =!= inB)
+      .select(when(inA, col("doc_a")).otherwise(col("doc_b")).as("doc_a"),
+        when(inA, col("doc_b")).otherwise(col("doc_a")).as("doc_b"))
+      .distinct()
+    val decided = graft.operators.TextDedup.decideIncoming(s, dir, cand, threshold, mod, rem)
+    val rows = decided.collect().toSeq // one row per incoming doc — bounded
+    deleteRecursively(work.toFile)
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), decided.schema)
+      .orderBy($"doc_id")
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
