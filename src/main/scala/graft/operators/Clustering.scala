@@ -25,26 +25,49 @@ object Clustering {
     * own singleton component — where component = the smallest node id in
     * its connected component.
     *
-    * Each round checkpoints its frames to truncate the growing lineage
-    * (on a real cluster with flaky executors, `sparkContext.setCheckpointDir`
-    * + reliable `checkpoint()` is the drop-in hardening; the shape is
-    * identical), and releases the PREVIOUS round's checkpointed blocks once
-    * the new round is materialized — block storage holds at most two
-    * rounds of edges however many rounds run, instead of waiting on the
-    * ContextCleaner across up to `maxRounds` rounds. The convergence test
-    * is exact set equality — count match plus one-sided `except` — never a
+    * Each round checkpoints its frames to truncate the growing lineage,
+    * and releases the PREVIOUS round's storage once the new round is
+    * materialized — at most two rounds of edges are ever held however
+    * many rounds run. `checkpointDir = None` (default) uses
+    * `localCheckpoint` — fastest, but blocks die with their executor, the
+    * right trade single-node and on healthy clusters. Passing a
+    * `checkpointDir` switches every round to RELIABLE `checkpoint()`
+    * into that (HDFS/object-store) path: a lost executor recomputes from
+    * the checkpoint files instead of failing the 50-round job — the
+    * hardening for lossy clusters; released rounds delete their files so
+    * the dir also holds at most two rounds. The convergence test is
+    * exact set equality — count match plus one-sided `except` — never a
     * hash signature that could false-converge.
     */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    // checkpoint boundary: materialize as a localCheckpoint'd RDD of
-    // (u, v) pairs and keep the RDD handle so the round that stops needing
-    // it can unpersist it explicitly (Dataset.localCheckpoint offers no
-    // public handle to its blocks)
+    val reliable = checkpointDir.isDefined
+    checkpointDir.foreach(d => s.sparkContext.setCheckpointDir(d))
+    // checkpoint boundary: materialize as a checkpointed RDD of (u, v)
+    // pairs and keep the RDD handle so the round that stops needing it
+    // can release it explicitly (Dataset.localCheckpoint offers no
+    // public handle to its blocks). Reliable mode persists before
+    // checkpointing — the standard pairing, or the checkpoint job
+    // recomputes the whole round's lineage a second time.
     def ckpt(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[(Long, Long)]) = {
-      val rdd = df.as[(Long, Long)].rdd.localCheckpoint()
+      val rdd = df.as[(Long, Long)].rdd
+      if (reliable) {
+        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.checkpoint()
+      } else rdd.localCheckpoint(): Unit
       (s.createDataset(rdd).toDF("u", "v"), rdd)
+    }
+    // release = blocks always; in reliable mode also the checkpoint
+    // files, or a long convergence leaves maxRounds copies of the edge
+    // set in the checkpoint store
+    def release(rdd: org.apache.spark.rdd.RDD[(Long, Long)]): Unit = {
+      rdd.unpersist(blocking = false)
+      if (reliable) rdd.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
     }
     // checkpoint the INPUT edge list once: both the canonical orientation
     // and the final self-loop sweep read it, and without the checkpoint
@@ -83,10 +106,10 @@ object Clustering {
       val smallCount = small.count()
       converged = smallCount == curCount && small.except(cur).isEmpty
       // the count + except actions materialized `small`; the previous
-      // round's blocks (cur) and this round's intermediate (large) are
+      // round's storage (cur) and this round's intermediate (large) are
       // dead — release them now
-      curRdd.unpersist(blocking = false)
-      largeRdd.unpersist(blocking = false)
+      release(curRdd)
+      release(largeRdd)
       cur = small
       curRdd = smallRdd
       curCount = smallCount

@@ -71,6 +71,28 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
     assert(cc(Seq((3L, 3L), (8L, 8L))) === Map(3L -> 3L, 8L -> 8L))
   }
 
+  test("reliable-checkpoint mode converges to the identical labeling and bounds its files") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc_reliable")
+    val edges = Seq[(Long, Long)](
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), (15L, 16L),
+      (100L, 50L), (100L, 60L), (100L, 70L), (5L, 7L), (7L, 7L), (200L, 201L))
+    val got = Clustering.connectedComponents(edges.toDF("a", "b"),
+        checkpointDir = Some(dir.toString))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === cc(edges), "reliable and local checkpoint paths must label identically")
+    // released rounds delete their checkpoint files: what remains is the
+    // input edge list + at most the last two rounds, not one dir per round
+    def rddDirs(f: java.io.File): Int =
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .count(d => d.isDirectory && d.getName.startsWith("rdd-")) +
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .filter(_.isDirectory).map(rddDirs).sum
+    assert(rddDirs(dir.toFile) <= 3,
+      s"checkpoint dir holds ${rddDirs(dir.toFile)} rdd dirs — released rounds not deleted")
+  }
+
   test("q55 keep list: one representative per cluster, unclustered docs all kept") {
     val keep = Clustering.dedupKeepList(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
