@@ -40,7 +40,10 @@ object SparkEntry {
     "q17_archive_keys" -> ((s, d) => EventOps.archiveKeys(s, d)),
     "q18_user_cardinality" -> ((s, d) => EventOps.userCardinality(s, d)),
     "q19_exact_dedup" -> ((s, d) => TextDedup.exactDedup(s, d)),
-    "q20_ngram_jaccard_pairs" -> ((s, d) => TextDedup.ngramJaccardPairs(s, d)),
+    // explicit harness opt-in to the saturation fallback: stress SFs with
+    // saturated shingle vocabularies route to minhash-LSH in-operator
+    // instead of failing the suite (the engine default is fail-fast)
+    "q20_ngram_jaccard_pairs" -> ((s, d) => TextDedup.ngramJaccardPairs(s, d, routeOnSaturation = true)),
     "q21_minhash_lsh_pairs" -> ((s, d) => TextDedup.minhashLshPairs(s, d)),
     "q22_simhash_pairs" -> ((s, d) => TextDedup.simhashPairs(s, d)),
     "q23_cosine_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),

@@ -162,10 +162,23 @@ object TextDedup {
     */
   val DefaultCandidateBudget: Long = 500000000L
 
-  def ngramJaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.8,
-                        freqSketchSize: Int = 1 << 16,
-                        candidateBudget: Long = DefaultCandidateBudget,
-                        routeOnSaturation: Boolean = true): DataFrame = {
+  /** [[ngramJaccardPairsRouted]]'s result: the pair frame plus WHICH
+    * algorithm produced it — callers route on `routed` instead of
+    * guessing from a stderr line (a routed result has recall < 1; a
+    * pipeline may e.g. schedule a backfill when it sees one).
+    */
+  case class RoutedPairs(pairs: DataFrame, routed: Boolean, candidateBound: Long)
+
+  /** The exact-PPJoin near-dup detector with its saturation guard
+    * SURFACED: returns the pairs, whether the guard routed to the
+    * minhash-LSH fallback, and the computed candidate upper bound.
+    * Calling this is eager about the guard (one tiny aggregation over
+    * the prefix table runs now — the price of deciding the route before
+    * the join can materialize anything).
+    */
+  def ngramJaccardPairsRouted(s: SparkSession, dir: String, threshold: Double = 0.8,
+                              freqSketchSize: Int = 1 << 16,
+                              candidateBudget: Long = DefaultCandidateBudget): RoutedPairs = {
     import s.implicits._
     val sh = hashedShinglesCached(s, dir)
     // cached via the OpCache registry — read once by the saturation guard
@@ -189,20 +202,12 @@ object TextDedup {
       .agg(sum(expr("count * (count - 1) DIV 2")).cast("long"))
       .as[Long].collect().headOption.flatMap(Option(_)).getOrElse(0L)
     if (bound > candidateBudget) {
-      if (routeOnSaturation) {
-        System.err.println(
-          s"[graft] ngramJaccardPairs: prefix table implies up to $bound candidate " +
-          s"pairs (budget $candidateBudget) — shingle vocabulary is saturated; " +
-          s"routing to minhashLshPairs (banded candidates, exact verification, " +
-          s"recall < 1 is the documented trade)")
-        return minhashLshPairsFrom(s, sh, threshold)
-      }
-      throw new IllegalStateException(
-        s"ngramJaccardPairs: candidate upper bound $bound exceeds budget " +
-        s"$candidateBudget — the shingle vocabulary is saturated for this corpus " +
-        s"(bounded vocab => quadratic PPJoin candidates, measured fatal at 2.01e9). " +
-        s"Use minhashLshPairs (linear, exact-verified, recall < 1) or raise " +
-        s"candidateBudget if you have the shuffle capacity for $bound pairs.")
+      System.err.println(
+        s"[graft] ngramJaccardPairs: prefix table implies up to $bound candidate " +
+        s"pairs (budget $candidateBudget) — shingle vocabulary is saturated; " +
+        s"routing to minhashLshPairs (banded candidates, exact verification, " +
+        s"recall < 1 is the documented trade)")
+      return RoutedPairs(minhashLshPairsFrom(s, sh, threshold), routed = true, bound)
     }
     // candidate join with the PPJoin length filter (t*|B| <= |A| <= |B|/t)
     // and positional filter: a prefix match at ranks (ra, rb) bounds the
@@ -220,7 +225,30 @@ object TextDedup {
     // verification: distributed doc_id joins against the hashed shingle
     // sets — only candidate pairs and their two set arrays move, nothing
     // corpus-sized ever reaches the driver.
-    verifyJaccard(s, cand, sh, threshold)
+    RoutedPairs(verifyJaccard(s, cand, sh, threshold), routed = false, bound)
+  }
+
+  /** Plain-DataFrame form of [[ngramJaccardPairsRouted]]. Default is FAIL
+    * FAST on saturation — a silent algorithm swap (recall 1 → recall < 1)
+    * is not something to default into when the caller cannot see the
+    * route from the returned frame; passing `routeOnSaturation = true`
+    * opts into the documented fallback (what the harness does), and
+    * callers who need the route surfaced use the Routed form.
+    */
+  def ngramJaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.8,
+                        freqSketchSize: Int = 1 << 16,
+                        candidateBudget: Long = DefaultCandidateBudget,
+                        routeOnSaturation: Boolean = false): DataFrame = {
+    val r = ngramJaccardPairsRouted(s, dir, threshold, freqSketchSize, candidateBudget)
+    if (r.routed && !routeOnSaturation)
+      throw new IllegalStateException(
+        s"ngramJaccardPairs: candidate upper bound ${r.candidateBound} exceeds budget " +
+        s"$candidateBudget — the shingle vocabulary is saturated for this corpus " +
+        s"(bounded vocab => quadratic PPJoin candidates, measured fatal at 2.01e9). " +
+        s"Use minhashLshPairs (linear, exact-verified, recall < 1), pass " +
+        s"routeOnSaturation = true to accept that fallback here, or raise " +
+        s"candidateBudget if you have the shuffle capacity for ${r.candidateBound} pairs.")
+    r.pairs
   }
 
   /** The PPJoin prefix table behind [[ngramJaccardPairs]]: each document's

@@ -42,15 +42,20 @@ class OperatorEquivalenceSpec extends AnyFunSuite with SparkFixture {
       val rnd = new scala.util.Random(i)
       (i.toLong, Seq.fill(30)(words(rnd.nextInt(words.length))).mkString(" "))
     }.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
-    // fail-fast path: the error carries the measured bound and the fix
+    // fail-fast path (the DEFAULT): the error carries the measured bound
+    // and the fix
     val e = intercept[IllegalStateException] {
-      TextDedup.ngramJaccardPairs(spark, dir, candidateBudget = 100L,
-        routeOnSaturation = false).collect()
+      TextDedup.ngramJaccardPairs(spark, dir, candidateBudget = 100L).collect()
     }
     assert(e.getMessage.contains("exceeds budget 100"))
     assert(e.getMessage.contains("minhashLshPairs"))
-    // auto-route path (the default): same rows as the minhash-LSH detector
-    val routed = rowsOf(TextDedup.ngramJaccardPairs(spark, dir, candidateBudget = 100L))
+    // opt-in route: same rows as the minhash-LSH detector, and the
+    // structured API SAYS it routed and carries the bound
+    val rp = TextDedup.ngramJaccardPairsRouted(spark, dir, candidateBudget = 100L)
+    assert(rp.routed && rp.candidateBound > 100L)
+    val routed = rowsOf(TextDedup.ngramJaccardPairs(spark, dir, candidateBudget = 100L,
+      routeOnSaturation = true))
+    assert(routed === rowsOf(rp.pairs))
     assert(routed === rowsOf(TextDedup.minhashLshPairs(spark, dir)))
     // under budget the exact PPJoin result is unchanged (superset of the
     // LSH detector's by prefix-filter losslessness)
