@@ -128,9 +128,12 @@ object Bench {
     // arrived with parsed:null) — persist it to the repo too so the full
     // totals survive whatever buffer sits between this process and the
     // round artifacts
+    // cwd-relative default (sbt runs from the repo root) so the binary
+    // is not coupled to one checkout layout; SPARK_GRAFT_BENCH_FILE
+    // overrides for any other launch directory
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-        "/root/repo/BENCH_LAST.json")), line + "\n")
+        "BENCH_LAST.json")), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }

@@ -108,15 +108,20 @@ object Pipeline {
       }.toDF("lang", "grp", "doc_id", "ntok", "lbin")
     // per-lang renumbering: offset each range's local bins by the bin
     // count of all earlier ranges in the same language. One row per
-    // (lang, range) flows through the window — metadata-sized — and the
-    // join back to `packed` broadcasts it.
+    // (lang, range) flows through the window. NO broadcast hint on the
+    // join back: offsets is nDocs/rangeSize rows — comfortably broadcast
+    // at test scale (Spark picks broadcast-hash on its own under the
+    // auto threshold, asserted in PlanSpec) but MILLIONS of rows at
+    // billions of docs, where a forced broadcast hits driver/executor
+    // limits; past the threshold it degrades to a shuffle join keyed the
+    // same as `packed`'s existing partitioning
     val offsets = packed.groupBy($"lang", $"grp")
       .agg((max($"lbin") + 1).as("nbins"))
       .withColumn("off", coalesce(sum($"nbins").over(
         Window.partitionBy($"lang").orderBy($"grp")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select($"lang", $"grp", $"off")
-    packed.join(broadcast(offsets), Seq("lang", "grp"))
+    packed.join(offsets, Seq("lang", "grp"))
       .withColumn("bin", $"off" + $"lbin")
       .groupBy($"lang", $"bin")
       .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"))

@@ -106,9 +106,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("q52 bin offsets broadcast back to the data; packing shuffles once by (lang, range)") {
-    val p = plan(graft.operators.Pipeline.sequencePacking(spark, sfDir))
-    // the per-range offset table is metadata-sized — it must reach the
-    // packed rows via broadcast, never a sort-merge over the data
+    // the offsets join carries NO broadcast hint (a hint would force a
+    // driver-sized build even when offsets grows to millions of rows at
+    // billions of docs) — the small-table broadcast must come from AQE's
+    // runtime stats, so assert on the FINAL adaptive plan after execution
+    val df = graft.operators.Pipeline.sequencePacking(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast offsets join:\n$p")
     assert(!p.contains("SortMergeJoin"), s"metadata join must not sort-merge the data:\n$p")
   }
