@@ -84,6 +84,8 @@ object SparkEntry {
     "q58_token_chunks" -> ((s, d) => Pipeline.tokenChunks(s, d)),
     "q59_stream_incremental_dedup" -> ((s, d) => streaming.StreamOps.incrementalDedupStreamed(s, d)),
     "q60_audio_meta" -> ((s, d) => Multimodal.audioMeta(s, d)),
+    "q61_image_resize" -> ((s, d) => Multimodal.imageResize(s, d)),
+    "q62_audio_energy" -> ((s, d) => Multimodal.audioEnergy(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -715,6 +717,32 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS channels, CAST(length(text) AS BIGINT) AS n_frames,
         |  md5(regexp_replace(text, '(.)', '\1\1', 'g')) AS pcm_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q61: decode + nearest-neighbor resize — the thumbnail byte at
+    // out-pixel (x,y), channel c is source byte (sy*w+sx)*3+c of the
+    // cycled text (sx = x*w//8, sy = y*h//8, integer division), which
+    // the oracle indexes directly out of the q30 generating rule.
+    "q61_image_resize" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id // 16) % 16 AS h, text FROM documents),
+        |c AS (SELECT doc_id, w, h,
+        |        substring(repeat(text, CAST(ceil(CAST(w*h*3 AS DOUBLE)/length(text)) AS INT)), 1, CAST(w*h*3 AS INT)) AS cyc
+        |      FROM d),
+        |p AS (SELECT doc_id, w, h, cyc, unnest(range(192)) AS p FROM c),
+        |b AS (SELECT doc_id, w, h, p,
+        |        substring(cyc, CAST(((((p//3)//8) * h // 8) * w + (((p//3)%8) * w // 8)) * 3 + (p%3) + 1 AS INT), 1) AS ch
+        |      FROM p)
+        |SELECT doc_id, CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
+        |       md5(string_agg(ch, '' ORDER BY p)) AS thumb_md5
+        |FROM b GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // q62: amplitude stats over the decoded PCM — integer-exact (sample =
+    // byte*257), so the oracle folds the same values from the text.
+    "q62_audio_energy" ->
+      """WITH u AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents),
+        |v AS (SELECT doc_id, ascii(substring(text, CAST(i AS INT), 1)) * 257 AS v FROM u)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(v) AS BIGINT) AS sum_amp, CAST(max(v) AS BIGINT) AS peak_amp
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q55: q48's component closure LEFT-JOINed to every document — the
     // keep decision is "doc is its cluster's min id" (unclustered docs

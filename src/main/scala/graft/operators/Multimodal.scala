@@ -49,85 +49,187 @@ object Multimodal {
     sb.toString
   }
 
-  /** Deterministic PNG payload for a document: a `w x h` RGB raster whose
-    * pixel bytes are the document's text bytes cycled in order (byte i of
-    * the raster = text byte `i mod len` — the oracle reproduces this as
+  /** Deterministic raster for a document: `w x h` RGB pixels that are the
+    * document's text bytes cycled in order (byte i of the raster = text
+    * byte `i mod len` — the oracle reproduces this as
     * `substring(repeat(text, k), 1, w*h*3)`). Dimensions derive from
     * doc_id alone so the oracle can state them without decoding.
     */
-  private[graft] def buildPng(docId: Long, text: String): Array[Byte] = {
+  private def pngRaster(docId: Long, text: String): java.awt.image.BufferedImage = {
     val w = (1L + docId % 16L).toInt
     val h = (1L + (docId / 16L) % 16L).toInt
     val src = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var i = 0; var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val r = src(i % src.length) & 0xff
-        val g = src((i + 1) % src.length) & 0xff
-        val b = src((i + 2) % src.length) & 0xff
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
-        i += 3; x += 1
-      }
-      y += 1
+    val px = new Array[Int](w * h)
+    var i = 0; var j = 0
+    while (j < px.length) {
+      val r = src(i % src.length) & 0xff
+      val g = src((i + 1) % src.length) & 0xff
+      val b = src((i + 2) % src.length) & 0xff
+      px(j) = (r << 16) | (g << 8) | b
+      i += 3; j += 1
     }
-    val bos = new java.io.ByteArrayOutputStream(w * h * 3 + 128)
-    javax.imageio.ImageIO.write(img, "png", bos)
+    img.setRGB(0, 0, w, h, px, 0, w) // one bulk raster write, not w*h calls
+    img
+  }
+
+  /** Encode through a caller-owned writer — the payload-generation twin of
+    * [[decodePng]]'s per-partition reader reuse.
+    */
+  private def encodePng(writer: javax.imageio.ImageWriter,
+                        img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(img.getWidth * img.getHeight * 3 + 128)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(img)
+    ios.close()
     bos.toByteArray
   }
 
-  /** REAL image decode: `ImageIO.read` parses the PNG container, inflates
-    * the IDAT stream, and hands back the raster — width/height/pixels here
-    * are what the codec decoded, not metadata carried alongside.
+  /** One-shot PNG payload (tests, single blobs): fresh writer per call. */
+  private[graft] def buildPng(docId: Long, text: String): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    try encodePng(writer, pngRaster(docId, text)) finally writer.dispose()
+  }
+
+  /** REAL image decode: the PNG reader parses the container, inflates the
+    * IDAT stream, and hands back the raster — width/height/pixels here
+    * are what the codec decoded, not metadata carried alongside. Takes
+    * the reader as an argument so the decode stage instantiates ONE
+    * reader per partition (the `ImageIO.read` convenience re-runs the
+    * service-provider lookup per call — measurable per-row overhead on a
+    * million-blob partition); pixels move via one bulk `getRGB`.
     */
-  private def decodePng(id: Long, payload: Array[Byte]): ImageMeta = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+  private def decodePng(reader: javax.imageio.ImageReader, id: Long,
+                        payload: Array[Byte]): ImageMeta = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    reader.setInput(iis, true, true)
+    val img = reader.read(0)
+    iis.close()
     val w = img.getWidth; val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     val out = new Array[Byte](w * h * 3)
-    var i = 0; var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        out(i) = ((rgb >> 16) & 0xff).toByte
-        out(i + 1) = ((rgb >> 8) & 0xff).toByte
-        out(i + 2) = (rgb & 0xff).toByte
-        i += 3; x += 1
-      }
-      y += 1
+    var i = 0; var j = 0
+    while (j < px.length) {
+      val rgb = px(j)
+      out(i) = ((rgb >> 16) & 0xff).toByte
+      out(i + 1) = ((rgb >> 8) & 0xff).toByte
+      out(i + 2) = (rgb & 0xff).toByte
+      i += 3; j += 1
     }
     ImageMeta(id, w.toLong, h.toLong, out.length.toLong, md5Hex(out))
   }
 
   /** Image metadata extraction (q30): build the real PNG binary column,
-    * then decode it via `mapPartitions` — partition-parallel, nothing on
-    * the driver. PNG losslessness is the correctness lever: the decoded
-    * pixel checksum must equal md5 of the cycled text bytes, which the
-    * DuckDB oracle computes directly from `documents.text`.
+    * then decode it via `mapPartitions` — partition-parallel, decoder
+    * instantiated once per partition, nothing on the driver. PNG
+    * losslessness is the correctness lever: the decoded pixel checksum
+    * must equal md5 of the cycled text bytes, which the DuckDB oracle
+    * computes directly from `documents.text`.
     */
   def blobMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val blobs = table(s, dir, "documents")
       .select($"doc_id", $"text")
       .as[(Long, String)]
-      .map { case (id, text) => (id, buildPng(id, text)) } // media column: real PNG bytes
+      .mapPartitions { it => // media column: real PNG bytes, one writer per partition
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        it.map { case (id, text) => (id, encodePng(writer, pngRaster(id, text))) }
+      }
     blobs
-      .mapPartitions { it => it.map { case (id, png) => decodePng(id, png) } }
+      .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+        it.map { case (id, png) => decodePng(reader, id, png) }
+      }
       .toDF()
       .orderBy($"doc_id")
   }
 
-  /** Deterministic WAV payload: 16-bit PCM mono, little-endian, sample
-    * rate `8000 * (1 + doc_id mod 4)`, one frame per text byte with
-    * sample value `byte * 257` — so the two LE bytes of each sample are
-    * both the text byte itself, and the PCM byte stream is the text with
-    * every char doubled (printable ASCII end to end), which the oracle
-    * can md5 without blob support.
+  /** Thumbnail row emitted per image by the resize stage. */
+  private case class ThumbMeta(doc_id: Long, src_w: Long, src_h: Long,
+                               thumb_md5: String)
+
+  /** Image RESIZE (q61): decode the real PNG, nearest-neighbor downsample
+    * the decoded raster to `outW x outH`, and emit the thumbnail's pixel
+    * checksum — the feature-extraction step of a vision-data pipeline
+    * (every VLM preprocessing stack opens with decode + resize). The
+    * sampling rule is integer arithmetic (`sx = x*w / outW`), so the
+    * oracle reproduces the thumbnail bytes from the generating text with
+    * no codec — possible precisely because the decode is lossless and
+    * the kernel deterministic. Same scale shape as q30: per-partition
+    * codec, no shuffle, nothing on the driver.
     */
-  private[graft] def buildWav(docId: Long, text: String): Array[Byte] = {
-    val src = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val rate = (8000L * (1L + docId % 4L)).toInt
+  def imageResize(s: SparkSession, dir: String, outW: Int = 8, outH: Int = 8): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        it.map { case (id, text) => (id, encodePng(writer, pngRaster(id, text))) }
+      }
+      .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+        it.map { case (id, png) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(png))
+          reader.setInput(iis, true, true)
+          val img = reader.read(0)
+          iis.close()
+          val w = img.getWidth; val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val out = new Array[Byte](outW * outH * 3)
+          var p = 0
+          while (p < outW * outH) {
+            val x = p % outW; val y = p / outW
+            val rgb = px((y * h / outH) * w + (x * w / outW))
+            out(3 * p) = ((rgb >> 16) & 0xff).toByte
+            out(3 * p + 1) = ((rgb >> 8) & 0xff).toByte
+            out(3 * p + 2) = (rgb & 0xff).toByte
+            p += 1
+          }
+          ThumbMeta(id, w.toLong, h.toLong, md5Hex(out))
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  /** The JDK's REAL WAV codec pair, resolved once via the same SPI
+    * registry `AudioSystem` dispatches through. Going to the SPI directly
+    * matters in a per-row kernel: the `AudioSystem.getAudioInputStream`
+    * convenience retries EVERY registered provider per call, and each
+    * non-WAV reader signals "not mine" by throwing — an exception-storm
+    * tax of hundreds of µs/row (q60 measured 200 s for 5 M blobs at sf10
+    * through the convenience path; see BENCH_NOTES for the SPI number).
+    */
+  private def wavReader(): javax.sound.sampled.spi.AudioFileReader = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    while (it.hasNext) {
+      val r = it.next()
+      // probe with a minimal valid WAV: the reader that accepts it is the
+      // container's codec (com.sun.media.sound.WaveFileReader in the JDK)
+      try {
+        r.getAudioFileFormat(new java.io.ByteArrayInputStream(buildWavBytes(8000, Array[Byte](65))))
+        return r
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    throw new IllegalStateException("no WAV AudioFileReader on this JVM")
+  }
+
+  private def wavWriter(): javax.sound.sampled.spi.AudioFileWriter = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    while (it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE)) return w
+    }
+    throw new IllegalStateException("no WAV AudioFileWriter on this JVM")
+  }
+
+  private def buildWavBytes(rate: Int, src: Array[Byte]): Array[Byte] = {
     val pcm = new Array[Byte](src.length * 2)
     var i = 0
     while (i < src.length) {
@@ -140,17 +242,36 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, src.length.toLong)
     val bos = new java.io.ByteArrayOutputStream(pcm.length + 64)
-    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val w = wavWriterTL.get()
+    w.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
-  /** REAL audio decode: `AudioSystem.getAudioInputStream` parses the RIFF
-    * header and yields format + frames; the PCM checksum is over the bytes
-    * the decoder streamed back, oracle-checked against the generating rule.
+  // one resolved codec pair per executor thread — the SPI probe runs once,
+  // not per row or even per partition
+  private lazy val wavWriterTL =
+    ThreadLocal.withInitial[javax.sound.sampled.spi.AudioFileWriter](() => wavWriter())
+  private lazy val wavReaderTL =
+    ThreadLocal.withInitial[javax.sound.sampled.spi.AudioFileReader](() => wavReader())
+
+  /** Deterministic WAV payload: 16-bit PCM mono, little-endian, sample
+    * rate `8000 * (1 + doc_id mod 4)`, one frame per text byte with
+    * sample value `byte * 257` — so the two LE bytes of each sample are
+    * both the text byte itself, and the PCM byte stream is the text with
+    * every char doubled (printable ASCII end to end), which the oracle
+    * can md5 without blob support.
+    */
+  private[graft] def buildWav(docId: Long, text: String): Array[Byte] =
+    buildWavBytes((8000L * (1L + docId % 4L)).toInt,
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** REAL audio decode: the RIFF header is parsed and the PCM streamed
+    * back by the JDK's WAV codec; checksum is over what the decoder
+    * returned, oracle-checked against the generating rule.
     */
   private def decodeWav(id: Long, payload: Array[Byte]): AudioMeta = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
+    val ais = wavReaderTL.get()
+      .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
     val fmt = ais.getFormat
     val nFrames = ais.getFrameLength
     val pcm = ais.readAllBytes()
@@ -168,6 +289,41 @@ object Multimodal {
       .as[(Long, String)]
       .map { case (id, text) => (id, buildWav(id, text)) }
       .mapPartitions { it => it.map { case (id, wav) => decodeWav(id, wav) } }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  /** Per-doc amplitude stats emitted by the audio feature extractor. */
+  private case class AudioEnergy(doc_id: Long, n_frames: Long, sum_amp: Long,
+                                 peak_amp: Long)
+
+  /** Audio FEATURE EXTRACTION (q62): decode the real WAV and fold the
+    * decoded 16-bit samples into amplitude statistics (sum + peak —
+    * integer-exact, so no float-order concerns cross engines). The same
+    * shape as any real per-clip featurizer (loudness, clipping
+    * detection): stream the decoder's PCM once, O(1) state per row.
+    */
+  def audioEnergy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .map { case (id, text) => (id, buildWav(id, text)) }
+      .mapPartitions { it =>
+        it.map { case (id, wav) =>
+          val ais = wavReaderTL.get()
+            .getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+          val pcm = ais.readAllBytes()
+          ais.close()
+          var i = 0; var sum = 0L; var peak = 0L
+          while (i + 1 < pcm.length) {
+            val v = ((pcm(i) & 0xff) | ((pcm(i + 1) & 0xff) << 8)).toLong
+            sum += v; if (v > peak) peak = v
+            i += 2
+          }
+          AudioEnergy(id, pcm.length.toLong / 2L, sum, peak)
+        }
+      }
       .toDF()
       .orderBy($"doc_id")
   }

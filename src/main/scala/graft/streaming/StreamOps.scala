@@ -286,8 +286,10 @@ object StreamOps {
     * real threshold and drops at ingest; here it feeds the verifier.
     *
     * The file sink keeps candidate volume off the driver (band-collision
-    * pairs can be corpus-scale); only the per-incoming-doc decisions —
-    * one bounded row each — are collected before the work dir is deleted.
+    * pairs can be corpus-scale), and the decisions are materialized via
+    * `localCheckpoint` — NOT collected: one decision per incoming doc is
+    * corpus-proportional, exactly the driver bottleneck to avoid —
+    * before the work dir is deleted out from under the lazy plan.
     */
   def incrementalDedupStreamed(s: SparkSession, dir: String, threshold: Double = 0.8,
                                mod: Long = 10, rem: Long = 7): DataFrame = {
@@ -322,11 +324,14 @@ object StreamOps {
       .select(when(inA, col("doc_a")).otherwise(col("doc_b")).as("doc_a"),
         when(inA, col("doc_b")).otherwise(col("doc_a")).as("doc_b"))
       .distinct()
-    val decided = graft.operators.TextDedup.decideIncoming(s, dir, cand, threshold, mod, rem)
-    val rows = decided.collect().toSeq // one row per incoming doc — bounded
+    // eager localCheckpoint: decisions materialize to executor blocks and
+    // the lineage (which reads the temp sink files) is truncated, so the
+    // work dir can be deleted; rows never funnel through the driver
+    val decided = graft.operators.TextDedup
+      .decideIncoming(s, dir, cand, threshold, mod, rem)
+      .localCheckpoint(true)
     deleteRecursively(work.toFile)
-    s.createDataFrame(s.sparkContext.parallelize(rows, 1), decided.schema)
-      .orderBy($"doc_id")
+    decided
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

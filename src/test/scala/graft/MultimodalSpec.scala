@@ -47,6 +47,42 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q61 thumbnails equal the codec-free nearest-neighbor rule") {
+    val rows = Multimodal.imageResize(spark, sfDir).collect()
+    assert(rows.length > 0)
+    val texts = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val w = (1L + id % 16L).toInt; val h = (1L + (id / 16L) % 16L).toInt
+      assert(r.getLong(1) == w && r.getLong(2) == h)
+      val src = texts(id).getBytes("UTF-8")
+      val cyc = Array.tabulate(w * h * 3)(i => src(i % src.length))
+      val out = Array.tabulate(8 * 8 * 3) { p =>
+        val pix = p / 3; val c = p % 3
+        val sx = (pix % 8) * w / 8; val sy = (pix / 8) * h / 8
+        cyc((sy * w + sx) * 3 + c)
+      }
+      assert(r.getString(3) == md5hex(out), s"thumb md5 doc $id")
+    }
+  }
+
+  test("q62 amplitude stats equal integer folds of the generating samples") {
+    val rows = Multimodal.audioEnergy(spark, sfDir).collect()
+    assert(rows.length > 0)
+    val texts = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val vs = texts(id).getBytes("UTF-8").map(b => (b & 0xff).toLong * 257L)
+      assert(r.getLong(1) == vs.length.toLong)
+      assert(r.getLong(2) == vs.sum, s"sum_amp doc $id")
+      assert(r.getLong(3) == vs.max, s"peak_amp doc $id")
+    }
+  }
+
   test("q60 decoded format and pcm checksum match the codec-free rule") {
     val rows = Multimodal.audioMeta(spark, sfDir).collect()
     assert(rows.length > 0)
