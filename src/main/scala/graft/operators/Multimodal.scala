@@ -12,6 +12,22 @@ case class ImageMeta(doc_id: Long, width: Long, height: Long,
 case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
                      n_frames: Long, pcm_md5: String)
 
+/** Thumbnail row emitted per image by the resize stage (q61).
+  *
+  * Top-level on purpose: a `private case class` nested in the object makes
+  * the accessors package-private in bytecode, and Janino-generated
+  * `SerializeFromObject` code can't call them — every task then throws
+  * `CompileException` and falls back to interpreted projection.
+  */
+case class ThumbMeta(doc_id: Long, src_w: Long, src_h: Long,
+                     thumb_md5: String)
+
+/** Per-doc amplitude stats emitted by the audio feature extractor (q62).
+  * Top-level for codegen visibility — see [[ThumbMeta]].
+  */
+case class AudioEnergy(doc_id: Long, n_frames: Long, sum_amp: Long,
+                       peak_amp: Long)
+
 /** Multimodal columns: media handled as opaque `binary` columns with typed
   * metadata extracted by a partition-local decode stage.
   *
@@ -145,10 +161,6 @@ object Multimodal {
       .toDF()
       .orderBy($"doc_id")
   }
-
-  /** Thumbnail row emitted per image by the resize stage. */
-  private case class ThumbMeta(doc_id: Long, src_w: Long, src_h: Long,
-                               thumb_md5: String)
 
   /** Image RESIZE (q61): decode the real PNG, nearest-neighbor downsample
     * the decoded raster to `outW x outH`, and emit the thumbnail's pixel
@@ -292,10 +304,6 @@ object Multimodal {
       .toDF()
       .orderBy($"doc_id")
   }
-
-  /** Per-doc amplitude stats emitted by the audio feature extractor. */
-  private case class AudioEnergy(doc_id: Long, n_frames: Long, sum_amp: Long,
-                                 peak_amp: Long)
 
   /** Audio FEATURE EXTRACTION (q62): decode the real WAV and fold the
     * decoded 16-bit samples into amplitude statistics (sum + peak —
