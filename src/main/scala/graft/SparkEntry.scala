@@ -86,6 +86,10 @@ object SparkEntry {
     "q60_audio_meta" -> ((s, d) => Multimodal.audioMeta(s, d)),
     "q61_image_resize" -> ((s, d) => Multimodal.imageResize(s, d)),
     "q62_audio_energy" -> ((s, d) => Multimodal.audioEnergy(s, d)),
+    "q63_pii_redaction" -> ((s, d) => TextAnalysis.piiRedaction(s, d)),
+    "q64_line_dedup" -> ((s, d) => TextDedup.lineDedup(s, d)),
+    "q65_token_rarity" -> ((s, d) => TextAnalysis.tokenRarity(s, d)),
+    "q66_canonical_docs" -> ((s, d) => operators.Clustering.canonicalDocs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -744,6 +748,53 @@ object SparkEntry {
         |  CAST(sum(v) AS BIGINT) AS sum_amp, CAST(max(v) AS BIGINT) AS peak_amp
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // q63: both engines append the same deterministic PII tail (the corpus
+    // itself is PII-free), then count/redact with the same RE2-compatible
+    // patterns; the post-redaction md5 proves the masking byte-identical.
+    "q63_pii_redaction" ->
+      """WITH a AS (SELECT doc_id,
+        |  text || repeat(' user' || doc_id || '@mail.example.com', CAST(1 + doc_id % 3 AS INT))
+        |       || repeat(' +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), CAST(doc_id % 2 AS INT))
+        |       || ' 10.' || (doc_id % 256) || '.0.1' AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[a-z0-9._]+@[a-z0-9.]+[a-z]')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(aug, '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(aug, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+        |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS clean_md5
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    // q64: lines are fixed 4-token spans (the corpus has no newlines);
+    // any line occurring 2+ times anywhere is dropped from every doc, and
+    // the kept lines reassemble in pos order — md5-checked.
+    "q64_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |l AS (SELECT doc_id, i AS pos, array_to_string(ts[i*4+1 : i*4+4], ' ') AS line
+        |      FROM t, unnest(generate_series(0, CAST(ceil(len(ts)/4.0) AS INT) - 1)) u(i)),
+        |c AS (SELECT line, count(*) AS c FROM l GROUP BY line),
+        |k AS (SELECT l.doc_id, l.pos, l.line FROM l JOIN c USING (line) WHERE c.c < 2),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |        string_agg(line, ' ' ORDER BY pos) AS txt FROM k GROUP BY doc_id),
+        |n AS (SELECT doc_id, CAST(ceil(len(ts)/4.0) AS BIGINT) AS n_lines FROM t)
+        |SELECT n.doc_id, n.n_lines, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  md5(coalesce(r.txt, '')) AS clean_md5
+        |FROM n LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q65: unigram-LM scoring with integer-exact arithmetic-mean
+    // probability (no libm log, so the doubles match bit-for-bit).
+    "q65_token_rarity" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM f),
+        |j AS (SELECT t.doc_id, f.freq FROM t JOIN f USING (tok))
+        |SELECT j.doc_id, CAST(count(*) AS BIGINT) AS ntok,
+        |  CAST(min(j.freq) AS BIGINT) AS min_freq,
+        |  floor(1e6 * (CAST(sum(j.freq) AS DOUBLE) / (count(*) * tot.total)) + 0.5) / 1e6 AS mean_prob
+        |FROM j, tot GROUP BY j.doc_id, tot.total ORDER BY j.doc_id""".stripMargin,
+
     // q55: q48's component closure LEFT-JOINed to every document — the
     // keep decision is "doc is its cluster's min id" (unclustered docs
     // are their own cluster and kept).
@@ -770,6 +821,41 @@ object SparkEntry {
         |  d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS keep
         |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q66: q55's component closure + q27's (already 1e-6-rounded) quality
+    // score; the representative is argmax(score), doc_id tie-break.
+    "q66_canonical_docs" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([CAST(concat('0x', substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15)) AS BIGINT)
+        |         for i in range(1, len(ts) - 1)]) hs FROM t),
+        |ex AS (SELECT doc_id, unnest(hs) h FROM sh),
+        |seeds AS (SELECT r.s, CAST(concat('0x', substr(md5(CAST(r.s AS VARCHAR)), 1, 15)) AS BIGINT) c FROM range(32) r(s)),
+        |mh AS (SELECT ex.doc_id, seeds.s, min(xor(ex.h, seeds.c)) mh FROM ex, seeds GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(mh ORDER BY s) sig FROM mh GROUP BY 1),
+        |band AS (SELECT doc_id, r.b band, array_to_string(sig[r.b * 4 + 1 : r.b * 4 + 4], ',') bkey
+        |         FROM sig, range(8) r(b)),
+        |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM band a JOIN band b
+        |         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |j AS (SELECT da, db, len(list_intersect(x.hs, y.hs)) inter, len(x.hs) na, len(y.hs) nb
+        |      FROM cand JOIN sh x ON cand.da = x.doc_id JOIN sh y ON cand.db = y.doc_id),
+        |pairs AS (SELECT da, db FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+        |e AS (SELECT da u, db v FROM pairs UNION SELECT db, da FROM pairs),
+        |r AS (SELECT u AS n, u AS reach FROM (SELECT DISTINCT u FROM e) b0
+        |      UNION SELECT r.n, e.v FROM r JOIN e ON r.reach = e.u),
+        |c AS (SELECT n AS doc_id, min(reach) AS cluster_id FROM r GROUP BY 1),
+        |m AS (SELECT doc_id, CAST(len(ts) AS BIGINT) ntok, CAST(len(list_distinct(ts)) AS BIGINT) ndist,
+        |  CAST(len(list_filter(ts, x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT) nstop,
+        |  CAST(list_reduce(list_transform(ts, x -> CAST(length(x) AS BIGINT)), (a, b) -> a + b) AS BIGINT) sumlen
+        |  FROM t),
+        |q AS (SELECT doc_id,
+        |  floor((0.4 * (CAST(ndist AS DOUBLE) / ntok) + 0.3 * (1.0 - CAST(nstop AS DOUBLE) / ntok)
+        |    + 0.3 * least(CAST(sumlen AS DOUBLE) / ntok / 10.0, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS score
+        |  FROM m),
+        |lab AS (SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id, q.score
+        |        FROM q LEFT JOIN c ON q.doc_id = c.doc_id)
+        |SELECT doc_id, cluster_id, score,
+        |  row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC) = 1 AS keep
+        |FROM lab ORDER BY doc_id""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

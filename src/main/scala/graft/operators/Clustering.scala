@@ -184,4 +184,33 @@ object Clustering {
       .withColumn("keep", ($"doc_id" === $"cluster_id").as("keep"))
       .orderBy($"doc_id")
   }
+
+  /** q66: canonical-document selection — the keep rule a production dedup
+    * actually wants. [[dedupKeepList]] keeps the smallest doc_id per
+    * cluster (arbitrary but deterministic); this keeps the HIGHEST-QUALITY
+    * copy: q48's components joined to q27's quality score, representative
+    * = argmax(score) with doc_id as the tie-break. Scores are the already-
+    * rounded 1e-6 values, so the ordering (and therefore the keep set) is
+    * bit-identical to the oracle's.
+    *
+    * Shape: the component closure plus one window over cluster_id —
+    * cluster sizes are small by construction (near-dup groups), and
+    * singletons dominate, so the window partition never concentrates; no
+    * new shuffle class beyond q55's.
+    */
+  def canonicalDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = TextDedup.minhashLshPairs(s, dir).select($"doc_a", $"doc_b")
+    val cc = connectedComponents(pairs)
+      .select($"node".as("doc_id"), $"component")
+    val labeled = TextAnalysis.qualityScore(s, dir).select($"doc_id", $"score")
+      .join(cc, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"component", $"doc_id").as("cluster_id"), $"score")
+    val w = Window.partitionBy($"cluster_id").orderBy($"score".desc, $"doc_id".asc)
+    labeled
+      .withColumn("keep", (row_number().over(w) === 1).as("keep"))
+      .select($"doc_id", $"cluster_id", $"score", $"keep")
+      .orderBy($"doc_id")
+  }
 }

@@ -349,4 +349,71 @@ object TextAnalysis {
       .select($"doc_id", $"fingerprint", $"group_size")
       .orderBy($"doc_id")
   }
+
+  private val EmailRe = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+  private val PhoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+  private val IpRe    = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII detection + redaction (q63): count and mask emails, phone
+    * numbers, and IPv4 addresses — the scrubbing stage every text corpus
+    * passes through before training. The synthetic corpus carries no PII,
+    * so both engines first append a deterministic PII tail derived from
+    * `doc_id` (same trick as the multimodal payloads: the injection is
+    * reproducible without the operator, which is what makes the redaction
+    * VERIFIABLE — counts and the post-redaction checksum must match an
+    * oracle that never ran the regexes over hidden state).
+    *
+    * Shape: pure per-row kernel of codegen'd native functions
+    * (`regexp_extract_all` / `regexp_replace` / `md5`) — no shuffle, no
+    * UDF, trivially 100 TB-safe. Patterns stay in the RE2-compatible
+    * subset (no lookaround) so Java and the oracle's RE2 agree.
+    */
+  def piiRedaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val aug = concat(
+      $"text",
+      expr("repeat(concat(' user', doc_id, '@mail.example.com'), cast(1 + doc_id % 3 as int))"),
+      expr("repeat(concat(' +1-555-', lpad(cast(doc_id % 10000 as string), 4, '0')), cast(doc_id % 2 as int))"),
+      concat(lit(" 10."), $"doc_id" % 256, lit(".0.1")))
+    table(s, dir, "documents")
+      .select($"doc_id", aug.as("aug"))
+      .select(
+        $"doc_id",
+        size(regexp_extract_all($"aug", lit(EmailRe), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all($"aug", lit(PhoneRe), lit(0))).cast("long").as("n_phone"),
+        size(regexp_extract_all($"aug", lit(IpRe), lit(0))).cast("long").as("n_ip"),
+        md5(regexp_replace(regexp_replace(regexp_replace(
+          $"aug", EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
+        ).as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Unigram-LM corpus filter (q65): score every document by the corpus
+    * frequency of its own tokens — the classic LM-filtering shape (KenLM
+    * perplexity ranking) with the log replaced by integer-exact
+    * arithmetic-mean probability, so the oracle reproduces the doubles
+    * bit-for-bit (libm `log` is not guaranteed identical across engines).
+    * Low `mean_prob` / low `min_freq` = out-of-distribution document.
+    *
+    * Shape: explode -> vocab aggregate (map-side combined; output is
+    * vocab-sized, not corpus-sized) -> shuffle join token->freq -> per-doc
+    * aggregate. The join key is Zipf-skewed by nature ("the" is a hot
+    * key); AQE skew-join splits it at runtime, and the per-doc aggregate
+    * re-shuffles on the uniform doc_id. No driver state beyond one scalar.
+    */
+  def tokenRarity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = table(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val freq = toks.groupBy($"tok").agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum($"freq")).as[Long].head()
+    toks.join(freq, "tok")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("ntok"),
+        min($"freq").as("min_freq"),
+        (floor(lit(1e6) * (sum($"freq").cast("double") /
+          (count(lit(1)) * lit(total))) + lit(0.5)) / 1e6).as("mean_prob"))
+      .orderBy($"doc_id")
+  }
 }

@@ -503,4 +503,47 @@ object TextDedup {
       .select($"doc_a", $"doc_b", $"hamming")
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** Line-level corpus dedup (q64), the CCNet/C4 cleaning stage: any
+    * "line" that occurs `threshold`+ times ANYWHERE in the corpus is
+    * boilerplate (headers, navigation chrome, license banners) and every
+    * copy is dropped; each document is then reassembled from its kept
+    * lines in original order. The synthetic corpus has no newlines, so a
+    * line is a fixed `window`-token span — the same rule the oracle
+    * applies via list slicing.
+    *
+    * Shape: chunk per row (codegen'd `transform`/`slice`, no UDF) ->
+    * posexplode -> line-frequency aggregate (map-side combined; output is
+    * distinct-line-sized) -> shuffle join line->count -> per-doc regroup.
+    * Two shuffles total, both on keys that exist at any corpus size; the
+    * reassembly carries (pos, line) pairs so no ordering is assumed from
+    * the shuffle. Boilerplate lines are hot join keys by definition —
+    * AQE skew-join handles them, and dropping (not keeping-one-of) each
+    * duplicated line means no per-key tie-break state is needed.
+    */
+  def lineDedup(s: SparkSession, dir: String, window: Int = 4,
+                threshold: Int = 2): DataFrame = {
+    import s.implicits._
+    val chunks = table(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .select($"doc_id", expr(
+        s"transform(sequence(0, cast(ceil(size(ts) / $window.0) as int) - 1)," +
+        s" i -> array_join(slice(ts, i * $window + 1, $window), ' '))").as("lines"))
+    val lines = chunks.select($"doc_id", posexplode($"lines").as(Seq("pos", "line")))
+    val counts = lines.groupBy($"line").agg(count(lit(1)).as("c"))
+    val rebuilt = lines.join(counts, "line")
+      .where($"c" < threshold)
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct($"pos", $"line"))),
+          e => e("line")), " ").as("txt"))
+    chunks.select($"doc_id", size($"lines").cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_lines",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        md5(coalesce($"txt", lit(""))).as("clean_md5"))
+      .orderBy($"doc_id")
+  }
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{TextAnalysis, TextDedup}
+
+/** Hand-computed expectations for the corpus-cleaning operators added in
+  * round 6 — PII redaction (q63), CCNet-style line dedup (q64), and the
+  * unigram-LM rarity filter (q65). Each test builds a corpus small enough
+  * that the expected output is derivable on paper, independent of both
+  * the operator and the DuckDB oracle.
+  */
+class PipelineCleaningSpec extends AnyFunSuite with SparkFixture {
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cleaning").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q63 counts and redacted checksum match the injection rule") {
+    val docs = Seq(0L -> "alpha beta", 1L -> "gamma", 5L -> "t one two")
+    val dir = writeDocs(docs)
+    val got = TextAnalysis.piiRedaction(spark, dir).collect()
+    assert(got.length === docs.length)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val text = docs.toMap.apply(id)
+      val nEmail = 1 + id % 3
+      val nPhone = id % 2
+      assert(r.getLong(1) === nEmail, s"n_email doc $id")
+      assert(r.getLong(2) === nPhone, s"n_phone doc $id")
+      assert(r.getLong(3) === 1L, s"n_ip doc $id")
+      val redacted = text + (" <EMAIL>" * nEmail.toInt) +
+        (" <PHONE>" * nPhone.toInt) + " <IP>"
+      assert(r.getString(4) === md5Hex(redacted), s"clean_md5 doc $id")
+    }
+  }
+
+  test("q64 drops every copy of a corpus-duplicated line, keeps order") {
+    val dir = writeDocs(Seq(
+      0L -> "a1 a2 a3 a4 dup1 dup2 dup3 dup4",
+      1L -> "dup1 dup2 dup3 dup4 b1 b2 b3 b4",
+      2L -> "c1 c2 c3 c4 c5",
+      3L -> "dup1 dup2 dup3 dup4"))
+    val got = TextDedup.lineDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(0L) === ((2L, 1L, md5Hex("a1 a2 a3 a4"))))
+    assert(got(1L) === ((2L, 1L, md5Hex("b1 b2 b3 b4"))))
+    // short tail line "c5" is its own line and unique -> doc 2 intact
+    assert(got(2L) === ((2L, 2L, md5Hex("c1 c2 c3 c4 c5"))))
+    // every line duplicated -> empty doc, md5 of ""
+    assert(got(3L) === ((1L, 0L, md5Hex(""))))
+  }
+
+  test("q66 keeps exactly the argmax-quality doc per cluster, clusters agree with q55") {
+    val rows = operators.Clustering.canonicalDocs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    rows.groupBy(_._2).foreach { case (cluster, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length === 1, s"cluster $cluster keep count")
+      // representative is max score, doc_id ascending tie-break
+      val best = members.minBy(m => (-m._3, m._1))
+      assert(kept.head._1 === best._1, s"cluster $cluster representative")
+    }
+    val q55 = operators.Clustering.dedupKeepList(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, cluster, _, _) =>
+      assert(q55(id) === cluster, s"doc $id cluster label")
+    }
+  }
+
+  test("q65 scores are the exact corpus-frequency arithmetic") {
+    // freqs: w=2, x=2, y=1; total=5
+    val dir = writeDocs(Seq(0L -> "w w x", 1L -> "x y"))
+    val rows = TextAnalysis.tokenRarity(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows(0L) === ((3L, 2L, 0.4))) // (2+2+2)/(3*5)
+    assert(rows(1L) === ((2L, 1L, 0.3))) // (2+1)/(2*5)
+  }
+}
