@@ -90,6 +90,7 @@ object SparkEntry {
     "q64_line_dedup" -> ((s, d) => TextDedup.lineDedup(s, d)),
     "q65_token_rarity" -> ((s, d) => TextAnalysis.tokenRarity(s, d)),
     "q66_canonical_docs" -> ((s, d) => operators.Clustering.canonicalDocs(s, d)),
+    "q67_token_budget_mix" -> ((s, d) => Pipeline.tokenBudgetMix(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -856,6 +857,23 @@ object SparkEntry {
         |SELECT doc_id, cluster_id, score,
         |  row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC) = 1 AS keep
         |FROM lab ORDER BY doc_id""".stripMargin,
+
+    // q67: the oracle's single window per source IS the semantics; the
+    // engine reproduces it with the two-level bucket decomposition (bucket
+    // order is monotone in h, so the totals agree row-for-row).
+    "q67_token_budget_mix" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) ntok
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, ntok,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) mix_rank,
+        |    sum(ntok) OVER (PARTITION BY source ORDER BY h, doc_id
+        |                    ROWS UNBOUNDED PRECEDING) cum_tok
+        |  FROM d)
+        |SELECT source, doc_id, CAST(mix_rank AS BIGINT) AS mix_rank, ntok,
+        |  CAST(cum_tok AS BIGINT) AS cum_tok, cum_tok <= 800 AS keep
+        |FROM r ORDER BY source, mix_rank""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

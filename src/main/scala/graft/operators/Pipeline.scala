@@ -194,4 +194,54 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"))
       .orderBy($"reason")
   }
+
+  /** Token-budget mixture (q67): give every source a token BUDGET and keep
+    * its documents in deterministic hash order until the budget is spent —
+    * how a pretraining mix is actually assembled ("200 B tokens of web,
+    * 50 B of curated") once per-source fractions ([[weightedMix]]) have
+    * been turned into absolute token targets. A doc is kept iff it fits
+    * entirely: cumulative tokens through this doc ≤ `budget`. The order
+    * is the seedless `hash60(doc_id)` scan used by [[stratifiedSample]],
+    * so the selection is uniform-in-expectation and reproducible, and a
+    * grown corpus keeps its previously-selected prefix.
+    *
+    * The naive plan is one running-sum window per source — which funnels
+    * an ENTIRE source (trillions of tokens at target scale) through a
+    * single window partition. This uses [[sequencePacking]]'s two-level
+    * decomposition instead: hash space is cut into `nBuckets` ranges
+    * (`grp = h DIV width`, monotone in `h`, so bucket order extends hash
+    * order); per-(source, bucket) token/doc totals — a `nSources ×
+    * nBuckets` summary, map-side combined — get prefix-summed by one tiny
+    * window, then join back (no broadcast hint, same rationale as q52)
+    * and a per-bucket window adds the local running sum to the bucket
+    * offset. Every window partition is corpus/nBuckets-bounded; raise
+    * `nBuckets` with corpus size.
+    */
+  def tokenBudgetMix(s: SparkSession, dir: String, budget: Long = 800L,
+                     nBuckets: Int = 64): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val width = math.max((1L << 60) / nBuckets, 1L)
+    val docs = table(s, dir, "documents")
+      .select($"source", $"doc_id",
+        expr("hash60(cast(doc_id as string))").as("h"),
+        size(split($"text", " ")).cast("long").as("ntok"))
+      .withColumn("grp", expr(s"h DIV ${width}L"))
+    val wOff = Window.partitionBy($"source").orderBy($"grp")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy($"source", $"grp")
+      .agg(sum($"ntok").as("btok"), count(lit(1)).as("bdocs"))
+      .withColumn("tok_off", coalesce(sum($"btok").over(wOff), lit(0L)))
+      .withColumn("doc_off", coalesce(sum($"bdocs").over(wOff), lit(0L)))
+      .select($"source", $"grp", $"tok_off", $"doc_off")
+    val wLoc = Window.partitionBy($"source", $"grp").orderBy($"h", $"doc_id")
+    docs.join(offsets, Seq("source", "grp"))
+      .withColumn("cum_tok", $"tok_off" +
+        sum($"ntok").over(wLoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("mix_rank", ($"doc_off" + row_number().over(wLoc)).cast("long"))
+      .withColumn("keep", ($"cum_tok" <= budget).as("keep"))
+      .select($"source", $"doc_id", $"mix_rank", $"ntok", $"cum_tok", $"keep")
+      .orderBy($"source", $"mix_rank")
+  }
 }

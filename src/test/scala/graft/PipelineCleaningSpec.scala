@@ -82,6 +82,34 @@ class PipelineCleaningSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q67 keeps the hash-order prefix that fits the budget, per source") {
+    // hash order and cumulative sums computed independently here, straight
+    // from the md5 definition of hash60
+    val docs = Seq(0L -> "a b c", 1L -> "d e", 2L -> "f g h i", 3L -> "j",
+      4L -> "k l m", 5L -> "n o", 6L -> "p q r", 7L -> "s")
+    val dir = writeDocs(docs)
+    def h60(id: Long): Long =
+      java.lang.Long.parseUnsignedLong(md5Hex(id.toString).take(15), 16)
+    val budget = 8L
+    val expected = docs.map { case (id, t) => (id, h60(id), t.split(" ").length.toLong) }
+      .sortBy { case (id, h, _) => (h, id) }
+      .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (id, _, n)) => (id, 0L, n, cum + n) }
+      .drop(1).zipWithIndex
+      .map { case ((id, _, n, cum), i) => id -> ((i + 1L, n, cum, cum <= budget)) }
+      .toMap
+    val got = operators.Pipeline.tokenBudgetMix(spark, dir, budget = budget, nBuckets = 4)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(got === expected)
+    // the decomposition is invariant in the bucket count
+    val got1 = operators.Pipeline.tokenBudgetMix(spark, dir, budget = budget, nBuckets = 1)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(got1 === expected)
+  }
+
   test("q65 scores are the exact corpus-frequency arithmetic") {
     // freqs: w=2, x=2, y=1; total=5
     val dir = writeDocs(Seq(0L -> "w w x", 1L -> "x y"))

@@ -123,6 +123,28 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"cross-side candidates must come from the band equi-join:\n$p")
   }
 
+  test("q64 line dedup joins line counts back — no cartesian, no corpus broadcast") {
+    val p = plan(graft.operators.TextDedup.lineDedup(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"line-frequency must attach via an equi-join:\n$p")
+  }
+
+  test("q67 mix offsets join is AQE-broadcast; data windows partition by (source, bucket)") {
+    // same contract as q52: the nSources×nBuckets offsets table carries no
+    // broadcast hint (it grows with nBuckets at scale) — AQE must pick the
+    // broadcast from runtime stats; and the corpus-sized running sum must
+    // window over (source, grp), never one partition per source
+    val df = graft.operators.Pipeline.tokenBudgetMix(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast offsets join:\n$p")
+    val dataWindows = p.linesIterator.filter(l =>
+      l.contains("Window ") && l.contains("row_number()")).toList
+    assert(dataWindows.nonEmpty, s"expected a row_number window in the plan:\n$p")
+    assert(dataWindows.forall(_.contains("grp")),
+      s"corpus running sum must partition by (source, grp), got:\n${dataWindows.mkString("\n")}\n$p")
+  }
+
   test("whole-stage codegen spans the hot path of the pricing summary") {
     val df = Relational.pricingSummary(spark, sfDir)
     df.collect() // AQE: the final plan exists only after execution
