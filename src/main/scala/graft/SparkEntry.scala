@@ -91,6 +91,7 @@ object SparkEntry {
     "q65_token_rarity" -> ((s, d) => TextAnalysis.tokenRarity(s, d)),
     "q66_canonical_docs" -> ((s, d) => operators.Clustering.canonicalDocs(s, d)),
     "q67_token_budget_mix" -> ((s, d) => Pipeline.tokenBudgetMix(s, d)),
+    "q68_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -874,6 +875,26 @@ object SparkEntry {
         |SELECT source, doc_id, CAST(mix_rank AS BIGINT) AS mix_rank, ntok,
         |  CAST(cum_tok AS BIGINT) AS cum_tok, cum_tok <= 800 AS keep
         |FROM r ORDER BY source, mix_rank""".stripMargin,
+
+    // q68: both engines run the IDENTICAL double expression (float→double
+    // exact, IEEE ops bit-deterministic), so the integer summaries — incl.
+    // the order-sensitive Σ(i+1)·q_i — must match exactly. DuckDB lambda
+    // index is 1-based where Spark's is 0-based; both compute (i+1).
+    "q68_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, label, v,
+        |    list_reduce(list_transform(v, x -> abs(x)), (a, b) -> greatest(a, b)) ma FROM e),
+        |qv AS (SELECT vec_id, label, ma,
+        |    list_transform(v, x -> CAST(floor(x * 127.0 / greatest(ma, 1e-30) + 0.5) AS BIGINT)) q
+        |  FROM m)
+        |SELECT vec_id, label, CAST(len(q) AS BIGINT) AS n_dims,
+        |  floor(ma * 1e6 + 0.5) / 1e6 AS max_abs,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS q_energy,
+        |  CAST(list_sum(list_transform(q, (x, i) -> x * i)) AS BIGINT) AS q_check
+        |FROM qv ORDER BY vec_id""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

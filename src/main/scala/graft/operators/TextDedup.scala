@@ -539,7 +539,11 @@ object TextDedup {
         array_join(transform(
           array_sort(collect_list(struct($"pos", $"line"))),
           e => e("line")), " ").as("txt"))
-    chunks.select($"doc_id", size($"lines").cast("long").as("n_lines"))
+    // n_lines = ceil(ntok/window) straight from the token count — don't
+    // re-materialize the whole line transform just to count it
+    table(s, dir, "documents")
+      .select($"doc_id",
+        ceil(size(split($"text", " ")) / lit(window.toDouble)).cast("long").as("n_lines"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select($"doc_id", $"n_lines",
         coalesce($"n_kept", lit(0L)).as("n_kept"),

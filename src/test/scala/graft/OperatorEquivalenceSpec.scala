@@ -112,6 +112,22 @@ class OperatorEquivalenceSpec extends AnyFunSuite with SparkFixture {
     assert(out.count() === 0)
   }
 
+  test("q68 int8 quantization matches hand-computed components, zero vector safe") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("quant").toString
+    Seq((10L, Array(1.0f, -2.0f, 0.5f), 7), (11L, Array(0.0f, 0.0f, 0.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.quantizeInt8(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // ma=2: q = [floor(63.5+0.5), floor(-127+0.5), floor(31.75+0.5)] = [64, -127, 32]
+    assert(got(10L) === ((7L, 3L, 2.0, -31L, 21249L, -94L)))
+    // all-zero vector: the epsilon guard yields q=0 everywhere, max_abs 0
+    assert(got(11L) === ((3L, 3L, 0.0, 0L, 0L, 0L)))
+  }
+
   test("q42 candidate-fed pairs ⊆ exhaustive q23 pairs, with identical cosines") {
     // sf0.01: enough vectors that the banding actually forms candidates.
     // The banded path may miss pairs below the banding bar (that's the

@@ -38,8 +38,14 @@ def write(out, name, cols):
         if not isinstance(v, (pa.Array, pa.ChunkedArray)):
             cols[k] = pa.array(v)
     t = pa.table(cols)
-    pq.write_table(t, f"{out}/{name}.parquet", compression="snappy")
-    print(f"{name}: {t.num_rows} rows")
+    # bounded row groups: a single-row-group file cannot be split by any
+    # scan (Spark assigns whole row groups to tasks), which serializes
+    # every per-row kernel at stress SFs — aim for ~32 groups per table
+    # like any production writer would produce
+    rg = max(t.num_rows // 32, 8192)
+    pq.write_table(t, f"{out}/{name}.parquet", compression="snappy",
+                   row_group_size=rg)
+    print(f"{name}: {t.num_rows} rows ({max(1, t.num_rows // rg)} row groups)")
 
 
 def main(sf, out):
