@@ -44,7 +44,15 @@ object Clustering {
     val s = edges.sparkSession
     import s.implicits._
     val reliable = checkpointDir.isDefined
+    // setCheckpointDir is SparkContext-GLOBAL: remember the caller's dir
+    // and restore it on exit (all our checkpoint writes happen eagerly
+    // inside the loop's count/except actions, so the restore cannot race
+    // the returned lazy plan). A caller with NO prior dir keeps ours —
+    // the public API cannot unset it — which is harmless: they had no
+    // checkpoint configuration to clobber.
+    val prevCkptDir = s.sparkContext.getCheckpointDir
     checkpointDir.foreach(d => s.sparkContext.setCheckpointDir(d))
+    try {
     // checkpoint boundary: materialize as a checkpointed RDD of (u, v)
     // pairs and keep the RDD handle so the round that stops needing it
     // can release it explicitly (Dataset.localCheckpoint offers no
@@ -126,6 +134,9 @@ object Clustering {
       .join(labeled.select($"node"), Seq("node"), "left_anti")
       .select($"node", $"node".as("component"))
     labeled.union(selfOnly)
+    } finally {
+      if (reliable) prevCkptDir.foreach(d => s.sparkContext.setCheckpointDir(d))
+    }
   }
 
   /** q48: near-dup clusters over the minhash-LSH verified pairs (q21's

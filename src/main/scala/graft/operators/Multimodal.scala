@@ -116,15 +116,27 @@ object Multimodal {
     * service-provider lookup per call — measurable per-row overhead on a
     * million-blob partition); pixels move via one bulk `getRGB`.
     */
-  private def decodePng(reader: javax.imageio.ImageReader, id: Long,
-                        payload: Array[Byte]): ImageMeta = {
+  /** Decode a PNG payload to (width, height, packed RGB ints) — the
+    * container-read sequence shared by q30's metadata path and q61's
+    * resize path, so codec handling (input-stream lifetime, bulk getRGB)
+    * has exactly one implementation. Closes the image input stream on
+    * failure as well as success.
+    */
+  private def decodeRaster(reader: javax.imageio.ImageReader,
+                           payload: Array[Byte]): (Int, Int, Array[Int]) = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
-    reader.setInput(iis, true, true)
-    val img = reader.read(0)
-    iis.close()
-    val w = img.getWidth; val h = img.getHeight
-    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    try {
+      reader.setInput(iis, true, true)
+      val img = reader.read(0)
+      val w = img.getWidth; val h = img.getHeight
+      (w, h, img.getRGB(0, 0, w, h, null, 0, w))
+    } finally iis.close()
+  }
+
+  private def decodePng(reader: javax.imageio.ImageReader, id: Long,
+                        payload: Array[Byte]): ImageMeta = {
+    val (w, h, px) = decodeRaster(reader, payload)
     val out = new Array[Byte](w * h * 3)
     var i = 0; var j = 0
     while (j < px.length) {
@@ -184,13 +196,7 @@ object Multimodal {
       .mapPartitions { it =>
         val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
         it.map { case (id, png) =>
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(png))
-          reader.setInput(iis, true, true)
-          val img = reader.read(0)
-          iis.close()
-          val w = img.getWidth; val h = img.getHeight
-          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val (w, h, px) = decodeRaster(reader, png)
           val out = new Array[Byte](outW * outH * 3)
           var p = 0
           while (p < outW * outH) {
@@ -217,6 +223,10 @@ object Multimodal {
     * through the convenience path; see BENCH_NOTES for the SPI number).
     */
   private def wavReader(): javax.sound.sampled.spi.AudioFileReader = {
+    // build the probe bytes ONCE, outside the per-reader try: if the WAV
+    // writer itself is missing, that failure must surface as its own
+    // error, not be swallowed into "no reader" for every candidate
+    val probe = buildWavBytes(8000, Array[Byte](65))
     val it = java.util.ServiceLoader
       .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
     while (it.hasNext) {
@@ -224,7 +234,7 @@ object Multimodal {
       // probe with a minimal valid WAV: the reader that accepts it is the
       // container's codec (com.sun.media.sound.WaveFileReader in the JDK)
       try {
-        r.getAudioFileFormat(new java.io.ByteArrayInputStream(buildWavBytes(8000, Array[Byte](65))))
+        r.getAudioFileFormat(new java.io.ByteArrayInputStream(probe))
         return r
       } catch { case scala.util.control.NonFatal(_) => () }
     }

@@ -68,6 +68,12 @@ object Similarity {
     import s.implicits._
     queries
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      // a query frame with repeated vec_id rows (e.g. produced by a join)
+      // would otherwise broadcast the id twice and corrupt the top-k
+      // ranking with duplicate neighbor rows; one row per id wins (ids
+      // with CONFLICTING embeddings keep an arbitrary one — supply
+      // unique ids if that matters)
+      .dropDuplicates(Seq("vec_id"))
       .as[(Long, Array[Double])]
       .map { case (id, v) =>
         var i = 0; var ss = 0.0
@@ -658,9 +664,14 @@ object Similarity {
   private def annLshFrom(s: SparkSession, sigs: DataFrame, querySigs: DataFrame,
                          k: Int, nPlanes: Int, bandBits: Int, probes: Int): DataFrame = {
     import s.implicits._
-    candidatesFrom(s, sigs, querySigs, nPlanes, bandBits, probes)
+    // the query-sig plan is consumed twice (probe explosion + the vector
+    // join); uncached that re-evaluates the caller's whole query frame
+    // plus signing per action. cache() is plan-keyed, so the harness's
+    // repeated identical slices share ONE entry rather than leaking
+    val qs = querySigs.cache()
+    candidatesFrom(s, sigs, qs, nPlanes, bandBits, probes)
       .join(sigs.select($"vec_id", $"v", $"nrm"), "vec_id")
-      .join(querySigs
+      .join(qs
         .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn")), "query_id")
       .select($"query_id", $"vec_id", $"qv", $"qn", $"v", $"nrm")
       .as[(Long, Long, Array[Double], Double, Array[Double], Double)]

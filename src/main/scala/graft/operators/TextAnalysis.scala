@@ -399,21 +399,29 @@ object TextAnalysis {
     * vocab-sized, not corpus-sized) -> shuffle join token->freq -> per-doc
     * aggregate. The join key is Zipf-skewed by nature ("the" is a hot
     * key); AQE skew-join splits it at runtime, and the per-doc aggregate
-    * re-shuffles on the uniform doc_id. No driver state beyond one scalar.
+    * re-shuffles on the uniform doc_id. The corpus total rides in as a
+    * broadcast 1-row aggregate — no driver state, fully lazy.
     */
   def tokenRarity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = table(s, dir, "documents")
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
     val freq = toks.groupBy($"tok").agg(count(lit(1)).as("freq"))
-    val total = freq.agg(sum($"freq")).as[Long].head()
+    // the corpus total rides in as a broadcast 1-row crossJoin instead of
+    // an eager head(): the plan stays lazy (no corpus job at construction
+    // time) and the total is the vocab-sized freq aggregate, not a third
+    // full token explosion
+    val total = freq.agg(sum($"freq").as("total"))
     toks.join(freq, "tok")
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("ntok"),
         min($"freq").as("min_freq"),
-        (floor(lit(1e6) * (sum($"freq").cast("double") /
-          (count(lit(1)) * lit(total))) + lit(0.5)) / 1e6).as("mean_prob"))
+        sum($"freq").as("sum_freq"))
+      .crossJoin(broadcast(total))
+      .select($"doc_id", $"ntok", $"min_freq",
+        (floor(lit(1e6) * ($"sum_freq".cast("double") /
+          ($"ntok" * $"total")) + lit(0.5)) / 1e6).as("mean_prob"))
       .orderBy($"doc_id")
   }
 }

@@ -88,7 +88,9 @@ object StreamOps {
                     threshold: Double = 0.8,
                     watermarkDelay: String = "10 minutes",
                     stateTtlMs: Long = 600000L,
-                    maxPerBucket: Int = 1 << 16): Dataset[(Long, Long, Double)] = {
+                    maxPerBucket: Int = 1 << 16,
+                    overflowCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[(Long, Long, Double)] = {
     import s.implicits._
     import graft.operators.TextDedup
     // band first, watermark after: the object-level kernel would strip
@@ -141,8 +143,10 @@ object StreamOps {
                 // against current members (emitted above) but does not
                 // join the bucket, so state per key is hard-bounded —
                 // pairs among two overflow docs in the same TTL window
-                // are the documented loss
+                // are the documented loss, COUNTED so callers whose
+                // contract depends on completeness can fail fast
                 if (seen.size < maxPerBucket) seen = seen.updated(id, sig)
+                else overflowCounter.foreach(_.add(1L))
               }
             }
             state.update(seen)
@@ -306,8 +310,15 @@ object StreamOps {
       .withColumn("ts", timestamp_seconds(lit(1700000000L)))
       .select(col("doc_id"), col("ts"), col("text"))
     val work = java.nio.file.Files.createTempDirectory("q59_stream")
+    try {
     val outDir = work.resolve("out").toString
-    val q = nearDupStream(s, stream, threshold = 0.0)
+    // the hash-equality contract with the batch screen holds only if NO
+    // band bucket hits the detector's state cap (overflow docs stop
+    // joining buckets and their mutual pairs are silently dropped — the
+    // documented production trade, but here it would silently diverge
+    // from the oracle). Count overflow and fail fast instead.
+    val overflow = s.sparkContext.longAccumulator("q59_bucket_overflow")
+    val q = nearDupStream(s, stream, threshold = 0.0, overflowCounter = Some(overflow))
       .toDF("doc_a", "doc_b", "est")
       .writeStream.outputMode(OutputMode.Append)
       .format("parquet").option("path", outDir)
@@ -315,6 +326,10 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    require(overflow.value == 0L,
+      s"incrementalDedupStreamed: ${overflow.value} docs overflowed a band bucket " +
+      s"(cap ${1 << 16}) — the streamed decisions would NOT equal the batch screen; " +
+      "raise maxPerBucket or run the batch incrementalDedup for this corpus")
     val sunk = s.read.schema("doc_a LONG, doc_b LONG, est DOUBLE").parquet(outDir)
     // keep crossing pairs only and orient them (incoming, corpus) — the
     // detector normalizes to (min, max) and also pairs within each side
@@ -327,11 +342,16 @@ object StreamOps {
     // eager localCheckpoint: decisions materialize to executor blocks and
     // the lineage (which reads the temp sink files) is truncated, so the
     // work dir can be deleted; rows never funnel through the driver
-    val decided = graft.operators.TextDedup
+    graft.operators.TextDedup
       .decideIncoming(s, dir, cand, threshold, mod, rem)
       .localCheckpoint(true)
-    deleteRecursively(work.toFile)
-    decided
+    } finally {
+      // the work dir holds a corpus-scale candidate sink + checkpoint;
+      // delete it on EVERY path (a failed stream or decision job must
+      // not leave it behind), which is safe because the success path
+      // materialized the decisions via localCheckpoint above
+      deleteRecursively(work.toFile)
+    }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
