@@ -124,10 +124,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_spread":$spread,"queries_io":$io,"passes":$passes,"skipped":$skipped,"warmup_sec":$warmup%.3f,"cold_sec":$cold%.3f,"sf":"$sfDir"}"""
     println(line)
-    // the line outgrew the driver's stdout tail capture (BENCH_r04.json
-    // arrived with parsed:null) — persist it to the repo too so the full
-    // totals survive whatever buffer sits between this process and the
-    // round artifacts
+    // the full line outgrew the driver's stdout tail capture (2000 chars —
+    // BENCH_r04..r07 all arrived with parsed:null, the line cut mid-way).
+    // Persist full fidelity to the repo, and print a COMPACT line LAST so
+    // a complete JSON object always sits inside the tail window: 1-decimal
+    // per-query medians (~28 bytes/query ≈ 1.8 KB at 68 queries, leaving
+    // room for sbt's trailing "[success] Total time" line)
     // cwd-relative default (sbt runs from the repo root) so the binary
     // is not coupled to one checkout layout; SPARK_GRAFT_BENCH_FILE
     // overrides for any other launch directory
@@ -135,6 +137,23 @@ object Bench {
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
         "BENCH_LAST.json")), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    // self-limiting: the line + sbt's trailing "[success] Total time"
+    // (~70 chars) must fit the 2000-char window together, and the full map
+    // already brushes it at 72 queries — so fill a 1800-char budget with
+    // the SLOWEST queries first (the ones perf grading needs) and say how
+    // many fast ones were cut; BENCH_LAST.json always has all of them
+    val base = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","detail":"BENCH_LAST.json""""
+    val entries = stats.sortBy(-_._2._1)
+      .map { case (k, (m, _, _)) => "\"" + k + "\":" + f"$m%.1f" }
+    val buf = new StringBuilder
+    var omitted = 0
+    entries.foreach { e =>
+      if (base.length + buf.length + e.length + 60 <= 1800) {
+        if (buf.nonEmpty) buf.append(','); buf.append(e)
+      } else omitted += 1
+    }
+    val omittedField = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+    println(s"""$base$omittedField,"queries":{$buf}}""")
     spark.stop()
   }
 }

@@ -92,6 +92,10 @@ object SparkEntry {
     "q66_canonical_docs" -> ((s, d) => operators.Clustering.canonicalDocs(s, d)),
     "q67_token_budget_mix" -> ((s, d) => Pipeline.tokenBudgetMix(s, d)),
     "q68_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
+    "q69_line_dedup_keep_first" -> ((s, d) => TextDedup.lineDedupKeepFirst(s, d)),
+    "q70_dup_ngram_fraction" -> ((s, d) => TextAnalysis.dupNgramFraction(s, d)),
+    "q71_knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)),
+    "q72_stream_sessionize" -> ((s, d) => graft.streaming.StreamOps.sessionizeStreamed(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -895,6 +899,61 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS q_energy,
         |  CAST(list_sum(list_transform(q, (x, i) -> x * i)) AS BIGINT) AS q_check
         |FROM qv ORDER BY vec_id""".stripMargin,
+
+    // q69: C4 keep-first — the occurrence with the smallest (doc_id, pos)
+    // survives, all later copies drop. Spark groups by xxhash64(line),
+    // the oracle by the line text — identical modulo 64-bit collisions.
+    "q69_line_dedup_keep_first" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |l AS (SELECT doc_id, i AS pos, array_to_string(ts[i*4+1 : i*4+4], ' ') AS line
+        |      FROM t, unnest(generate_series(0, CAST(ceil(len(ts)/4.0) AS INT) - 1)) u(i)),
+        |k AS (SELECT doc_id, pos, line,
+        |        row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS occ FROM l),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |        string_agg(line, ' ' ORDER BY pos) AS txt FROM k WHERE occ = 1 GROUP BY doc_id),
+        |n AS (SELECT doc_id, CAST(ceil(len(ts)/4.0) AS BIGINT) AS n_lines FROM t)
+        |SELECT n.doc_id, n.n_lines, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  md5(coalesce(r.txt, '')) AS clean_md5
+        |FROM n LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q70: duplicate-trigram fraction at corpus scope (RefinedWeb filter
+    // signal) — distinct trigrams per doc, df >= 2 marks both copies.
+    "q70_dup_ngram_fraction" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts) - 1)]) shs FROM t),
+        |ex AS (SELECT doc_id, unnest(shs) sh FROM sh),
+        |f AS (SELECT sh, count(*) df FROM ex GROUP BY 1),
+        |n AS (SELECT e.doc_id, count(*) nsh, sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) n_dup
+        |      FROM ex e JOIN f ON e.sh = f.sh GROUP BY 1)
+        |SELECT doc_id, CAST(nsh AS BIGINT) AS nsh, CAST(n_dup AS BIGINT) AS n_dup,
+        |  floor(CAST(n_dup AS DOUBLE) / nsh * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // q71: q24's exact top-5 + a label majority vote, ties to the
+    // smallest label.
+    "q71_knn_classify" ->
+      """WITH vv AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) nrm FROM vv),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+        |sc AS (SELECT q.query_id, n.vec_id, n.label,
+        |        list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y) / (n.nrm * q.qn) c
+        |      FROM n, q WHERE n.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, label, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) rk FROM sc),
+        |v AS (SELECT query_id, CAST(label AS BIGINT) AS label, count(*) AS votes FROM r WHERE rk <= 5 GROUP BY 1, 2),
+        |w AS (SELECT query_id, label, votes,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) vr FROM v)
+        |SELECT query_id, label AS pred_label, CAST(votes AS BIGINT) AS votes
+        |FROM w WHERE vr = 1 ORDER BY query_id""".stripMargin,
+
+    // q72: the streaming session_window run must equal the batch session
+    // rollup — same oracle as q32 by construction.
+    "q72_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |x AS (SELECT user_id, ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS d FROM e)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN d IS NULL OR d > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

@@ -32,21 +32,28 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with its nanosecond timestamp normalized: adds `ts_us`
-    * (microseconds since epoch, BIGINT) and rewrites `ts` as a
-    * microsecond TIMESTAMP. Works whether the session read the parquet
-    * NANOS column as LongType (`spark.sql.legacy.parquet.nanosAsLong=true`)
-    * or a future Spark reads it natively as TimestampType.
+  /** `events` with its timestamp normalized: adds `ts_us` (microseconds
+    * since epoch, BIGINT) and rewrites `ts` as a microsecond TIMESTAMP.
+    * The driver has shipped this column as parquet TIMESTAMP(NANOS) (read
+    * as LongType under `spark.sql.legacy.parquet.nanosAsLong=true`) and as
+    * timestamp[us] without tz metadata (read as TIMESTAMP_NTZ) across
+    * testdata generations; all three arrivals funnel to the same
+    * (TIMESTAMP, ts_us) pair here. The NTZ→LTZ cast interprets the wall
+    * clock in the session time zone — every graft session pins UTC, so it
+    * is exactly the epoch the oracle's `epoch_us(ts)` computes.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts_us", expr("ts div 1000"))
           .withColumn("ts", timestamp_micros($"ts_us"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", $"ts".cast(TimestampType))
+          .withColumn("ts_us", unix_micros($"ts"))
       case _ =>
         raw.withColumn("ts_us", unix_micros($"ts"))
     }

@@ -104,10 +104,12 @@ object Similarity {
     * chunk) is collected and broadcast, the corpus streams through
     * partition-local score loops, and only (query, candidate, score)
     * scalars shuffle into the per-query top-k window. Driver memory is
-    * O(queryChunk) however many queries there are; a 1%-of-corpus query
-    * set never materializes at once. Brute force is the exact baseline —
-    * `annIvf`/`annLsh` are the paths that also bound the compare work at
-    * 100 TB.
+    * O(queryChunk) VECTORS plus 8 B per query id (the id list is
+    * collected once to define the chunk boundaries — 1e8 queries is
+    * 800 MB of driver ids, the practical ceiling of this baseline); the
+    * query vectors never materialize at once. Brute force is the exact
+    * baseline — `annIvf`/`annLsh` are the paths that also bound the
+    * compare work at 100 TB.
     */
   def annBruteForce(s: SparkSession, dir: String, queries: DataFrame,
                     k: Int, queryChunk: Int): DataFrame = {
@@ -167,6 +169,32 @@ object Similarity {
       .select($"query_id", $"rank".cast("long").as("rank"), $"neighbor_id",
         graft.Tables.round6($"cosine").as("cosine"))
       .orderBy($"query_id", $"rank")
+  }
+
+  /** k-NN majority-vote classification (q71): each query's label is the
+    * mode of its k exact nearest neighbors' labels, ties broken toward
+    * the smallest label — the standard retrieval-quality probe for an
+    * embedding space (and the shape of kNN-LM/RETRO-style lookups). Built
+    * directly on [[annBruteForce]]'s top-k — the vote adds one Q·k-sized
+    * aggregate and a per-query argmax window, both tiny next to the
+    * scoring pass; swap in `annIvf`/`annLsh` candidates for the bounded
+    * 100 TB path. The neighbor→label join broadcasts the Q·k knn side
+    * into the corpus-sized label scan, not the reverse.
+    */
+  def knnClassify(s: SparkSession, dir: String, k: Int = 5,
+                  queryChunk: Int = 512): DataFrame = {
+    import s.implicits._
+    val knn = annBruteForce(s, dir, k, queryChunk)
+    val labels = table(s, dir, "embeddings")
+      .select($"vec_id".as("neighbor_id"), $"label".cast("long").as("label"))
+    knn.join(labels, "neighbor_id")
+      .groupBy($"query_id", $"label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"votes".desc, $"label".asc)))
+      .where($"vr" === 1)
+      .select($"query_id", $"label".as("pred_label"), $"votes")
+      .orderBy($"query_id")
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold over the upper

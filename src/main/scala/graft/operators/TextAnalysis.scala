@@ -318,6 +318,34 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Duplicate n-gram fraction (q70) — the RefinedWeb/Dolma repetition
+    * filter signal at CORPUS scope: for each document, the fraction of
+    * its distinct word trigrams that occur in at least `minDf` documents
+    * (itself included). Distinct from [[ngramNovelty]] (q51) — novelty
+    * credits the FIRST holder of a shared trigram, while this metric
+    * marks BOTH copies as duplicated, which is what a filter thresholds
+    * on. Shares the 60-bit hashed-shingle cache: two shuffles, both on
+    * the hash (explode -> document-frequency aggregate, map-side
+    * combined, vocab-sized output -> join back -> per-doc fraction).
+    * Linear in total n-grams at any corpus size.
+    */
+  def dupNgramFraction(s: SparkSession, dir: String, minDf: Int = 2): DataFrame = {
+    import s.implicits._
+    val ex = TextDedup.hashedShinglesCached(s, dir)
+      .select($"doc_id", explode($"hshs").as("h"))
+    // shingle sets are distinct per doc, so count(*) per hash IS the
+    // document frequency
+    val freq = ex.groupBy($"h").agg(count(lit(1)).as("df"))
+    ex.join(freq, "h")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("nsh"),
+        sum(when($"df" >= minDf, 1L).otherwise(0L)).as("n_dup"))
+      .select($"doc_id", $"nsh", $"n_dup",
+        graft.Tables.round6($"n_dup" / $"nsh").as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
   /** Document fingerprint: winnowing-style minimum 60-bit hash over word
     * 3-gram shingles (robust to reordering of distant content, stable under
     * identical prefixes). Emits (doc_id, fingerprint) plus the collision
@@ -396,13 +424,18 @@ object TextAnalysis {
     * Low `mean_prob` / low `min_freq` = out-of-distribution document.
     *
     * Shape: explode -> vocab aggregate (map-side combined; output is
-    * vocab-sized, not corpus-sized) -> shuffle join token->freq -> per-doc
+    * vocab-sized, not corpus-sized) -> split token->freq join -> per-doc
     * aggregate. The join key is Zipf-skewed by nature ("the" is a hot
-    * key); AQE skew-join splits it at runtime, and the per-doc aggregate
+    * key), so the join is SPLIT rather than left to runtime rescue: the
+    * top-`headK` frequencies (a few KB — the Zipf head is tiny by
+    * definition) broadcast-join their tokens with no shuffle at all, and
+    * only the de-skewed tail shuffle-joins the vocab table. Same output,
+    * but the 100 TB plan no longer depends on AQE detecting and
+    * splitting the hot partitions at runtime. The per-doc aggregate then
     * re-shuffles on the uniform doc_id. The corpus total rides in as a
     * broadcast 1-row aggregate — no driver state, fully lazy.
     */
-  def tokenRarity(s: SparkSession, dir: String): DataFrame = {
+  def tokenRarity(s: SparkSession, dir: String, headK: Int = 1024): DataFrame = {
     import s.implicits._
     val toks = table(s, dir, "documents")
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
@@ -412,7 +445,15 @@ object TextAnalysis {
     // time) and the total is the vocab-sized freq aggregate, not a third
     // full token explosion
     val total = freq.agg(sum($"freq").as("total"))
-    toks.join(freq, "tok")
+    // TakeOrdered over the vocab-sized aggregate; tie-break on tok keeps
+    // the head deterministic (set membership only — freq values are
+    // identical either path, so the result can't depend on the cut line)
+    val head = freq.orderBy($"freq".desc, $"tok").limit(headK)
+    val scored = toks.join(broadcast(head), "tok")
+      .unionByName(
+        toks.join(broadcast(head.select($"tok")), Seq("tok"), "left_anti")
+          .join(freq, "tok"))
+    scored
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("ntok"),

@@ -512,42 +512,94 @@ object TextDedup {
     * line is a fixed `window`-token span — the same rule the oracle
     * applies via list slicing.
     *
-    * Shape: chunk per row (codegen'd `transform`/`slice`, no UDF) ->
-    * posexplode -> line-frequency aggregate (map-side combined; output is
-    * distinct-line-sized) -> shuffle join line->count -> per-doc regroup.
-    * Two shuffles total, both on keys that exist at any corpus size; the
-    * reassembly carries (pos, line) pairs so no ordering is assumed from
-    * the shuffle. Boilerplate lines are hot join keys by definition —
-    * AQE skew-join handles them, and dropping (not keeping-one-of) each
-    * duplicated line means no per-key tie-break state is needed.
+    * Shape: chunk per row (codegen'd `transform`/`slice`, no UDF), then
+    * every shuffle is keyed on `xxhash64(line)` — the CCNet trade: 16 B
+    * of (pos, hash) per line on the wire instead of the line text. The
+    * hash stream feeds the frequency aggregate (map-side combined;
+    * output is distinct-line-sized), a broadcast-free left-anti against
+    * the duplicated-hash set picks the KEPT positions, and the per-doc
+    * position list joins back to the documents row by doc_id, where the
+    * text is re-chunked per-row and filtered by position. The corpus
+    * text crosses the wire exactly once (the doc_id join) — the
+    * count-by-line and join-back text shipments of the naive plan are
+    * both hash-keyed now. 64-bit line collisions are the published
+    * trade (~(n_lines)^2 / 2^65, negligible below ~1e8 distinct lines
+    * per corpus; a collision drops one extra line). Boilerplate lines
+    * are hot keys by definition — AQE skew-join splits them, and
+    * dropping (not keeping-one-of) each duplicated line means no
+    * per-key tie-break state is needed.
     */
   def lineDedup(s: SparkSession, dir: String, window: Int = 4,
                 threshold: Int = 2): DataFrame = {
     import s.implicits._
-    val chunks = table(s, dir, "documents")
+    def chunked(df: DataFrame): DataFrame = df
       .select($"doc_id", split($"text", " ").as("ts"))
       .select($"doc_id", expr(
         s"transform(sequence(0, cast(ceil(size(ts) / $window.0) as int) - 1)," +
         s" i -> array_join(slice(ts, i * $window + 1, $window), ' '))").as("lines"))
-    val lines = chunks.select($"doc_id", posexplode($"lines").as(Seq("pos", "line")))
-    val counts = lines.groupBy($"line").agg(count(lit(1)).as("c"))
-    val rebuilt = lines.join(counts, "line")
-      .where($"c" < threshold)
-      .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct($"pos", $"line"))),
-          e => e("line")), " ").as("txt"))
-    // n_lines = ceil(ntok/window) straight from the token count — don't
-    // re-materialize the whole line transform just to count it
-    table(s, dir, "documents")
+    val docs = table(s, dir, "documents")
+    // (doc_id, pos, line-hash): the only corpus-sized stream that shuffles
+    val hashed = chunked(docs)
       .select($"doc_id",
-        ceil(size(split($"text", " ")) / lit(window.toDouble)).cast("long").as("n_lines"))
-      .join(rebuilt, Seq("doc_id"), "left")
+        posexplode(expr("transform(lines, l -> xxhash64(l))")).as(Seq("pos", "lh")))
+    val dupHashes = hashed.groupBy($"lh").agg(count(lit(1)).as("c"))
+      .where($"c" >= threshold).select($"lh")
+    val keptPos = hashed.join(dupHashes, Seq("lh"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"), array_sort(collect_list($"pos")).as("keep"))
+    // reassembly: re-chunk the text per-row (narrow, codegen'd — cheaper
+    // than shipping line text through three shuffles) and keep by position
+    chunked(docs)
+      .select($"doc_id", size($"lines").cast("long").as("n_lines"), $"lines")
+      .join(keptPos, Seq("doc_id"), "left")
       .select($"doc_id", $"n_lines",
         coalesce($"n_kept", lit(0L)).as("n_kept"),
-        md5(coalesce($"txt", lit(""))).as("clean_md5"))
+        md5(coalesce(
+          array_join(expr("filter(lines, (l, i) -> array_contains(keep, i))"), " "),
+          lit(""))).as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Line-level corpus dedup with C4's KEEP-FIRST rule (q69): every
+    * distinct line keeps exactly ONE copy — the occurrence with the
+    * globally smallest (doc_id, pos) — and all later copies are dropped,
+    * so no content is lost, only repetition. Contrast [[lineDedup]]
+    * (q64), the CCNet drop-ALL-copies rule for boilerplate.
+    *
+    * Same hash-keyed wire discipline as q64: the (doc_id, pos,
+    * xxhash64(line)) stream is the only corpus-sized shuffle input. The
+    * first occurrence per line is a min-by-struct aggregate on the hash
+    * (map-side combined — the canonical "keep-one-of" tie-break is ONE
+    * agg, not a window over a corpus-sized sort), the join-back marks
+    * each occurrence keep/drop, and the per-doc kept-position list meets
+    * the text again only at the final doc_id join. Text crosses the wire
+    * once.
+    */
+  def lineDedupKeepFirst(s: SparkSession, dir: String, window: Int = 4): DataFrame = {
+    import s.implicits._
+    def chunked(df: DataFrame): DataFrame = df
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .select($"doc_id", expr(
+        s"transform(sequence(0, cast(ceil(size(ts) / $window.0) as int) - 1)," +
+        s" i -> array_join(slice(ts, i * $window + 1, $window), ' '))").as("lines"))
+    val docs = table(s, dir, "documents")
+    val hashed = chunked(docs)
+      .select($"doc_id",
+        posexplode(expr("transform(lines, l -> xxhash64(l))")).as(Seq("pos", "lh")))
+    val firstOcc = hashed.groupBy($"lh")
+      .agg(min(struct($"doc_id", $"pos")).as("first"))
+    val keptPos = hashed.join(firstOcc, "lh")
+      .where($"doc_id" === $"first.doc_id" && $"pos" === $"first.pos")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"), array_sort(collect_list($"pos")).as("keep"))
+    chunked(docs)
+      .select($"doc_id", size($"lines").cast("long").as("n_lines"), $"lines")
+      .join(keptPos, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_lines",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        md5(coalesce(
+          array_join(expr("filter(lines, (l, i) -> array_contains(keep, i))"), " "),
+          lit(""))).as("clean_md5"))
       .orderBy($"doc_id")
   }
 }

@@ -183,10 +183,13 @@ object StreamOps {
     // [e] character class matches ONLY events.parquet — the batch/oracle
     // side's exact input — not e.g. an events_backup.parquet sibling
     val stream0 = s.readStream.schema(raw.schema).parquet(s"$dir/[e]vents.parquet")
-    // same nanos normalization as graft.Tables.events
+    // same ts normalization as graft.Tables.events (nanos-long or NTZ)
     val stream = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream0.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => stream0
     }
     val name = s"q43_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -226,6 +229,8 @@ object StreamOps {
     val raw = s.read.parquet(s"$dir/events.parquet")
     val tsIsNanosLong =
       raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsIsNtz =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType
     val work = java.nio.file.Files.createTempDirectory("q47_append")
     val srcDir = work.resolve("src"); java.nio.file.Files.createDirectories(srcDir)
     val conf = s.sessionState.newHadoopConf()
@@ -240,6 +245,11 @@ object StreamOps {
     val sentinel =
       if (tsIsNanosLong)
         raw.limit(1).withColumn("ts", lit(maxTs.asInstanceOf[Long] + 7200L * 1000000000L))
+      else if (tsIsNtz)
+        // NTZ collects as LocalDateTime; the literal round-trips as NTZ so
+        // the sentinel file's schema matches the copied input file's
+        raw.limit(1).withColumn("ts",
+          lit(maxTs.asInstanceOf[java.time.LocalDateTime].plusHours(2)))
       else
         raw.limit(1).withColumn("ts",
           lit(maxTs.asInstanceOf[java.sql.Timestamp].getTime / 1000 + 7200L).cast("timestamp"))
@@ -252,6 +262,8 @@ object StreamOps {
     val stream0 = s.readStream.schema(raw.schema).parquet(s"${srcDir.toString}/*.parquet")
     val stream =
       if (tsIsNanosLong) stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else if (tsIsNtz) stream0.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
       else stream0
     val outDir = work.resolve("out").toString
     val q = tumblingCounts(stream)
@@ -271,6 +283,80 @@ object StreamOps {
     deleteRecursively(work.toFile)
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), sink.schema)
       .orderBy($"window_epoch", $"event_type")
+  }
+
+  /** Streaming SESSION windows under the BATCH oracle (q72 — the q47
+    * drain pattern applied to [[sessionCounts]]): a real Structured
+    * Streaming run — `readStream`, 30 min watermark, native
+    * `session_window` state, `OutputMode.Append` into a parquet file
+    * sink, `Trigger.AvailableNow` — emits one row per CLOSED session;
+    * the tiny batch rollup over the sink (one row per session) must then
+    * equal `EventOps.sessionWindowNative`'s per-user (n_sessions,
+    * n_events) under the same DuckDB oracle as q32/q15. This proves the
+    * production session-state surface (merge-on-arrival, emit-on-
+    * watermark, state leaves on close) against batch truth — q32 proves
+    * only the batch form.
+    *
+    * Drain: one sentinel event (user_id -1, 2 h past max event time)
+    * pushes the watermark past every real session end + gap; its own
+    * session is filtered from the sink. State is bounded by the open
+    * sessions inside the watermark horizon however long the stream runs.
+    */
+  def sessionizeStreamed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val tsIsNanosLong =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsIsNtz =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType
+    val work = java.nio.file.Files.createTempDirectory("q72_sessions")
+    val srcDir = work.resolve("src"); java.nio.file.Files.createDirectories(srcDir)
+    val conf = s.sessionState.newHadoopConf()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$dir/events.parquet"),
+      fs, new org.apache.hadoop.fs.Path(s"${srcDir.toString}/events.parquet"),
+      false, conf)
+    val maxTs = raw.agg(max(col("ts"))).head.get(0)
+    val sentinel0 =
+      if (tsIsNanosLong)
+        raw.limit(1).withColumn("ts", lit(maxTs.asInstanceOf[Long] + 7200L * 1000000000L))
+      else if (tsIsNtz)
+        raw.limit(1).withColumn("ts",
+          lit(maxTs.asInstanceOf[java.time.LocalDateTime].plusHours(2)))
+      else
+        raw.limit(1).withColumn("ts",
+          lit(maxTs.asInstanceOf[java.sql.Timestamp].getTime / 1000 + 7200L).cast("timestamp"))
+    sentinel0.withColumn("user_id", lit(-1L))
+      .coalesce(1).write.parquet(work.resolve("sentinel_stage").toString)
+    val staged = new java.io.File(work.resolve("sentinel_stage").toString)
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(staged.toPath, srcDir.resolve("sentinel.parquet"))
+
+    val stream0 = s.readStream.schema(raw.schema).parquet(s"${srcDir.toString}/*.parquet")
+    val stream =
+      if (tsIsNanosLong) stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else if (tsIsNtz) stream0.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      else stream0
+    val outDir = work.resolve("out").toString
+    val q = sessionCounts(stream)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the sink holds one row per closed session — per-user rollup is a
+    // tiny batch aggregate over it, same shape as q32's second groupBy
+    val sink = s.read.parquet(outDir)
+      .where(col("user_id") =!= -1L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_in_session")).as("n_events"))
+    val rows = sink.collect().toSeq
+    deleteRecursively(work.toFile)
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), sink.schema)
+      .orderBy($"user_id")
   }
 
   /** The streaming near-dup detector under the BATCH oracle (q59 — the

@@ -65,6 +65,34 @@ class PipelineCleaningSpec extends AnyFunSuite with SparkFixture {
     assert(got(3L) === ((1L, 0L, md5Hex(""))))
   }
 
+  test("q69 keeps exactly the first occurrence of a duplicated line") {
+    val dir = writeDocs(Seq(
+      0L -> "a1 a2 a3 a4 dup1 dup2 dup3 dup4",
+      1L -> "dup1 dup2 dup3 dup4 b1 b2 b3 b4",
+      2L -> "dup1 dup2 dup3 dup4"))
+    val got = TextDedup.lineDedupKeepFirst(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // doc 0 holds the globally-first (doc_id=0, pos=1) copy of the dup
+    // line -> keeps BOTH its lines; later copies in docs 1 and 2 drop
+    assert(got(0L) === ((2L, 2L, md5Hex("a1 a2 a3 a4 dup1 dup2 dup3 dup4"))))
+    assert(got(1L) === ((2L, 1L, md5Hex("b1 b2 b3 b4"))))
+    assert(got(2L) === ((1L, 0L, md5Hex(""))))
+  }
+
+  test("q70 marks BOTH holders of a shared trigram as duplicated") {
+    val dir = writeDocs(Seq(
+      0L -> "x1 x2 x3 u1",   // trigrams: (x1 x2 x3), (x2 x3 u1)
+      1L -> "x1 x2 x3 u2",   // shares (x1 x2 x3) with doc 0
+      2L -> "z1 z2 z3"))     // fully unique
+    val got = TextAnalysis.dupNgramFraction(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(0L) === ((2L, 1L, 0.5)))
+    assert(got(1L) === ((2L, 1L, 0.5)))
+    assert(got(2L) === ((1L, 0L, 0.0)))
+  }
+
   test("q66 keeps exactly the argmax-quality doc per cluster, clusters agree with q55") {
     val rows = operators.Clustering.canonicalDocs(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))

@@ -26,9 +26,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("filters push into the parquet scan (q10 cat range)") {
-    val p = plan(EventOps.catRange(spark, sfDir))
-    assert(p.contains("PushedFilters: ") && p.contains("IsNotNull(event_type)"))
-    assert(p.contains("EqualTo(event_type,purchase)"))
+    // the default 100-char metadata truncation cuts PushedFilters off
+    // before the event_type entry now that the ts range predicates push
+    // down too (they do since the testdata ships ts as TIMESTAMP_NTZ —
+    // Catalyst rewrites the post-cast range into the file column's domain)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val p = plan(EventOps.catRange(spark, sfDir))
+      assert(p.contains("PushedFilters: ") && p.contains("IsNotNull(event_type)"))
+      assert(p.contains("EqualTo(event_type,purchase)"))
+      assert(p.contains("GreaterThanOrEqual(ts,") && p.contains("LessThan(ts,"),
+        s"ts range must reach the scan:\n$p")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", "100")
   }
 
   test("projection prunes the scan to referenced columns (q27)") {

@@ -107,6 +107,26 @@ class SimilarityRecallSpec extends AnyFunSuite with SparkFixture {
     assert(all.collect().map(_.toSeq).toSeq === exactDf.collect().map(_.toSeq).toSeq)
   }
 
+  test("q71 kNN vote equals a hand-derived majority over the exact top-k") {
+    val dir = sfDir
+    val knn = Similarity.annBruteForce(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val expected = knn.groupBy(_._1).map { case (q, rs) =>
+      val votes = rs.map(r => labels(r._2)).groupBy(identity).map { case (l, v) => (l, v.length) }
+      // argmax by (votes desc, label asc) — the operator's documented tie-break
+      q -> votes.toSeq.sortBy { case (l, v) => (-v, l) }.head
+    }
+    val got = Similarity.knnClassify(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (q, (l, v)) =>
+      assert(got(q) === ((l, v.toLong)), s"query $q")
+    }
+  }
+
   test("ANN operators accept an arbitrary query frame, including external vectors") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
