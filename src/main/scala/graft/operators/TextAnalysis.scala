@@ -346,6 +346,38 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Cross-source contamination matrix (q73): for every pair of corpus
+    * sources, how many distinct word trigrams they share, plus the
+    * trigram-set Jaccard — the train/train leakage audit run before
+    * mixing sources (the source-level form of q49's benchmark screen).
+    *
+    * Shape: the hashed-shingle stream joins its doc's source, collapses
+    * to DISTINCT (source, gram) — corpus-sized down to vocab×sources —
+    * then self-joins on the gram hash. A gram in k sources yields
+    * k·(k-1)/2 pair rows, hard-bounded by nSources² per gram, so the
+    * join output is at most vocab·nSources²: corpus-linear with a small
+    * constant, no driver state. Per-source set sizes ride in as a tiny
+    * broadcast join.
+    */
+  def crossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ex = TextDedup.hashedShinglesCached(s, dir)
+      .select($"doc_id", explode($"hshs").as("h"))
+    val sg = ex.join(table(s, dir, "documents").select($"doc_id", $"source"), "doc_id")
+      .select($"source", $"h").distinct()
+    val sizes = sg.groupBy($"source").agg(count(lit(1)).as("n"))
+    sg.as("a").join(sg.as("b"),
+        $"a.h" === $"b.h" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select($"source".as("source_a"), $"n".as("na"))), "source_a")
+      .join(broadcast(sizes.select($"source".as("source_b"), $"n".as("nb"))), "source_b")
+      .select($"source_a", $"source_b", $"n_shared",
+        graft.Tables.round6($"n_shared".cast("double") /
+          ($"na" + $"nb" - $"n_shared")).as("jaccard"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** Document fingerprint: winnowing-style minimum 60-bit hash over word
     * 3-gram shingles (robust to reordering of distant content, stable under
     * identical prefixes). Emits (doc_id, fingerprint) plus the collision

@@ -138,6 +138,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"line-frequency must attach via an equi-join:\n$p")
   }
 
+  test("q64/q69 shuffle line HASHES, not line text — only the doc_id join carries text") {
+    // the wire-discipline claim behind the CCNet hash trade: every
+    // exchange in the dedup pipeline is keyed on lh/doc_id; the line
+    // strings exist only inside per-row projections
+    for (df <- Seq(graft.operators.TextDedup.lineDedup(spark, sfDir),
+                   graft.operators.TextDedup.lineDedupKeepFirst(spark, sfDir))) {
+      val p = plan(df)
+      val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+      assert(exchanges.nonEmpty, s"expected hash exchanges:\n$p")
+      assert(exchanges.forall(l => l.contains("lh#") || l.contains("doc_id#")),
+        s"every shuffle must key on the line hash or doc_id, got:\n${exchanges.mkString("\n")}")
+    }
+  }
+
   test("q67 mix offsets join is AQE-broadcast; data windows partition by (source, bucket)") {
     // same contract as q52: the nSources×nBuckets offsets table carries no
     // broadcast hint (it grows with nBuckets at scale) — AQE must pick the

@@ -123,7 +123,10 @@ def main(sf, out):
     ets = np.sort(t0 + rng.integers(0, span_ns, n_evt))
     write(out, "events", {
         "event_id": pa.array(np.arange(n_evt), pa.int64()),
-        "ts": pa.array(ets.astype("datetime64[ns]")),
+        # timestamp[us] with no tz — the driver's current generation (Spark
+        # reads it as TIMESTAMP_NTZ); Tables.events also accepts the older
+        # TIMESTAMP(NANOS) arrival, so stress data mirrors the newer format
+        "ts": pa.array((ets // 1000).astype("datetime64[us]")),
         "user_id": pa.array(rng.integers(0, n_user, n_evt), pa.int64()),
         "event_type": [EVENT_TYPES[i] for i in rng.integers(0, 5, n_evt)],
         "value": np.round(rng.exponential(50.0, n_evt), 2),
