@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forward the forked run JVM's stdout/stderr verbatim instead of routing
+// them through sbt's logger: the driver's bench collector parses the LAST
+// stdout line as JSON, and the logger's "[info] " prefix broke that parse
+// every round (BENCH_r04..r08 all "parsed": null)
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -123,13 +123,12 @@ object Bench {
       f""""$name":{"shuffle_write_mb":${(shWrite.get - w0) * mb}%.1f,"shuffle_read_mb":${(shRead.get - r0) * mb}%.1f,"spill_mb":${(spill.get - s0) * mb}%.1f}"""
     }.mkString("{", ",", "}")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_spread":$spread,"queries_io":$io,"passes":$passes,"skipped":$skipped,"warmup_sec":$warmup%.3f,"cold_sec":$cold%.3f,"sf":"$sfDir"}"""
-    println(line)
-    // the full line outgrew the driver's stdout tail capture (2000 chars —
-    // BENCH_r04..r07 all arrived with parsed:null, the line cut mid-way).
-    // Persist full fidelity to the repo, and print a COMPACT line LAST so
-    // a complete JSON object always sits inside the tail window: 1-decimal
-    // per-query medians (~28 bytes/query ≈ 1.8 KB at 68 queries, leaving
-    // room for sbt's trailing "[success] Total time" line)
+    // The full line goes to the repo file ONLY — printing it too is what
+    // kept breaking the driver's 2000-char stdout tail parse (r04..r07 the
+    // line was cut mid-way; r08 its truncated remnant preceded the compact
+    // line). stdout carries exactly one JSON object, the compact line
+    // below, and build.sbt's StdoutOutput strategy keeps sbt's "[info] "
+    // prefix off it.
     // cwd-relative default (sbt runs from the repo root) so the binary
     // is not coupled to one checkout layout; SPARK_GRAFT_BENCH_FILE
     // overrides for any other launch directory

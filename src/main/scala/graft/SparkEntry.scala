@@ -96,6 +96,8 @@ object SparkEntry {
     "q70_dup_ngram_fraction" -> ((s, d) => TextAnalysis.dupNgramFraction(s, d)),
     "q71_knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)),
     "q72_stream_sessionize" -> ((s, d) => graft.streaming.StreamOps.sessionizeStreamed(s, d)),
+    "q73_cross_source_overlap" -> ((s, d) => TextAnalysis.crossSourceOverlap(s, d)),
+    "q74_user_cardinality_exact" -> ((s, d) => EventOps.userCardinalityExact(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -196,11 +198,14 @@ object SparkEntry {
         |FROM (SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // q15/q32/q72 gap boundary: a delta of EXACTLY 30 min starts a new
+    // session (d >= 1800000000) — session_window's half-open semantics,
+    // mirrored by EventOps.sessionize.
     "q15_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
         |x AS (SELECT user_id, ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS d FROM e)
         |SELECT user_id,
-        |  CAST(sum(CASE WHEN d IS NULL OR d > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN d IS NULL OR d >= 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
 
@@ -366,7 +371,7 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
         |x AS (SELECT user_id, ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS d FROM e)
         |SELECT user_id,
-        |  CAST(sum(CASE WHEN d IS NULL OR d > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN d IS NULL OR d >= 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
 
@@ -951,9 +956,35 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
         |x AS (SELECT user_id, ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS d FROM e)
         |SELECT user_id,
-        |  CAST(sum(CASE WHEN d IS NULL OR d > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN d IS NULL OR d >= 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q73: cross-source contamination matrix — distinct word trigrams per
+    // source, COMPLETE unordered-pair matrix (zero-overlap pairs included
+    // via the left join), trigram-set Jaccard. Spark hashes shingles to
+    // 60-bit longs, the oracle works on the raw strings — identical modulo
+    // negligible 60-bit collisions (same convention as q20/q70).
+    "q73_cross_source_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts) - 1)]) shs FROM t),
+        |ex AS (SELECT doc_id, unnest(shs) sh FROM sh),
+        |sg AS (SELECT DISTINCT d.source, e.sh FROM ex e JOIN documents d USING (doc_id)),
+        |sz AS (SELECT source, count(*) AS n FROM sg GROUP BY 1),
+        |sp AS (SELECT a.source AS sa, b.source AS sb, count(*) AS ns
+        |       FROM sg a JOIN sg b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b, a.n AS na, b.n AS nb
+        |      FROM sz a JOIN sz b ON a.source < b.source)
+        |SELECT source_a, source_b, CAST(coalesce(ns, 0) AS BIGINT) AS n_shared,
+        |  floor(CAST(coalesce(ns, 0) AS DOUBLE) / (na + nb - coalesce(ns, 0)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        |FROM p LEFT JOIN sp ON source_a = sa AND source_b = sb
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // q74: q18's exact half split out so the distinct count is
+    // oracle-checked (the HLL column stays rows-only in q18 by design).
+    "q74_user_cardinality_exact" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users_exact
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

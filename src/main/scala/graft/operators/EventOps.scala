@@ -117,6 +117,11 @@ object EventOps {
   /** Sessionization: 30-minute-gap sessions per user via the
     * gaps-and-islands window pattern — one shuffle on user_id, no state
     * blowup, the batch twin of `session_window` in streaming.
+    *
+    * Boundary convention: a gap of EXACTLY `gapMinutes` starts a new
+    * session (`d >= gap`), matching `session_window`'s half-open
+    * [start, last + gap) semantics — so q15/q32/q72 (and their oracles)
+    * agree at the boundary, not just on boundary-free data.
     */
   def sessionize(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     import s.implicits._
@@ -125,7 +130,7 @@ object EventOps {
     events(s, dir)
       .select($"user_id", $"event_id", $"ts_us".as("ts_us"))
       .withColumn("prev_us", lag($"ts_us", 1).over(w))
-      .withColumn("new_sess", when($"prev_us".isNull || $"ts_us" - $"prev_us" > gapUs, 1L).otherwise(0L))
+      .withColumn("new_sess", when($"prev_us".isNull || $"ts_us" - $"prev_us" >= gapUs, 1L).otherwise(0L))
       .groupBy($"user_id")
       .agg(sum($"new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
       .orderBy($"user_id")
@@ -376,6 +381,22 @@ object EventOps {
       .agg(
         count(lit(1)).as("n_users_exact"),
         approx_count_distinct($"user_id", 0.01).as("n_users_approx"))
+      .orderBy($"event_type")
+  }
+
+  /** The exact half of [[userCardinality]] on its own (q74): the same
+    * distinct-pair pre-aggregation, no sketch column — SQL-expressible,
+    * so unlike q18 it gets a full DuckDB oracle row. q18 keeps the
+    * side-by-side form (the estimate column is engine-specific by
+    * design); the HLL's error bound is unit-gated instead
+    * (`OperatorEquivalenceSpec`).
+    */
+  def userCardinalityExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .select($"event_type", $"user_id").distinct()
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_users_exact"))
       .orderBy($"event_type")
   }
 }

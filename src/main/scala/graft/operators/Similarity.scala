@@ -182,9 +182,21 @@ object Similarity {
     * into the corpus-sized label scan, not the reverse.
     */
   def knnClassify(s: SparkSession, dir: String, k: Int = 5,
-                  queryChunk: Int = 512): DataFrame = {
+                  queryChunk: Int = 512): DataFrame =
+    knnClassifyFrom(s, dir, annBruteForce(s, dir, k, queryChunk))
+
+  /** The vote tail of [[knnClassify]] over ANY neighbor frame with
+    * `(query_id, neighbor_id)` columns — the pluggable seam that makes
+    * the classifier scale: the default feeds it [[annBruteForce]]'s exact
+    * top-k (the recall-1 baseline, O(N·Q) compares), while a 100 TB
+    * deployment feeds it `annIvf(s, dir, queries, k, nProbe)` or
+    * `annLsh(...)` so the scan work is bounded by the index's probe
+    * budget. Same vote, same tie-break, whatever produced the neighbors
+    * (`SimilarityRecallSpec` gates the IVF-fed variant's agreement with
+    * the exact vote).
+    */
+  def knnClassifyFrom(s: SparkSession, dir: String, knn: DataFrame): DataFrame = {
     import s.implicits._
-    val knn = annBruteForce(s, dir, k, queryChunk)
     val labels = table(s, dir, "embeddings")
       .select($"vec_id".as("neighbor_id"), $"label".cast("long").as("label"))
     knn.join(labels, "neighbor_id")

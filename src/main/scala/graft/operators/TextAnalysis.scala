@@ -358,6 +358,12 @@ object TextAnalysis {
     * join output is at most vocab·nSources²: corpus-linear with a small
     * constant, no driver state. Per-source set sizes ride in as a tiny
     * broadcast join.
+    *
+    * The matrix is COMPLETE: every unordered source pair gets a row, with
+    * n_shared = 0 when the two sources share no trigram — the pair frame
+    * is built from the (tiny, nSources-row) sizes frame and the shared
+    * counts left-join onto it, so a disjoint pair can't silently vanish
+    * from the leakage report.
     */
   def crossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -366,15 +372,20 @@ object TextAnalysis {
     val sg = ex.join(table(s, dir, "documents").select($"doc_id", $"source"), "doc_id")
       .select($"source", $"h").distinct()
     val sizes = sg.groupBy($"source").agg(count(lit(1)).as("n"))
-    sg.as("a").join(sg.as("b"),
+    val shared = sg.as("a").join(sg.as("b"),
         $"a.h" === $"b.h" && $"a.source" < $"b.source")
       .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(sizes.select($"source".as("source_a"), $"n".as("na"))), "source_a")
-      .join(broadcast(sizes.select($"source".as("source_b"), $"n".as("nb"))), "source_b")
-      .select($"source_a", $"source_b", $"n_shared",
-        graft.Tables.round6($"n_shared".cast("double") /
-          ($"na" + $"nb" - $"n_shared")).as("jaccard"))
+    // all-pairs frame over the nSources-row sizes frame: nSources² rows,
+    // broadcast on both sides — never corpus-sized
+    val pairs = sizes.select($"source".as("source_a"), $"n".as("na"))
+      .join(sizes.select($"source".as("source_b"), $"n".as("nb")),
+        $"source_a" < $"source_b")
+    pairs.join(shared, Seq("source_a", "source_b"), "left")
+      .select($"source_a", $"source_b",
+        coalesce($"n_shared", lit(0L)).as("n_shared"),
+        graft.Tables.round6(coalesce($"n_shared", lit(0L)).cast("double") /
+          ($"na" + $"nb" - coalesce($"n_shared", lit(0L)))).as("jaccard"))
       .orderBy($"source_a", $"source_b")
   }
 

@@ -336,8 +336,17 @@ object TextDedup {
     sig
   }
 
+  /** Memoized through [[OpCache]] like the shingle set underneath it: the
+    * band join + exact-Jaccard verify is the most expensive stage of the
+    * dedup family, and FOUR registered queries consume the identical pair
+    * frame (q21 directly; q48/q55/q66 via `Clustering`). Without the memo
+    * each caller re-executed the join — 4x the heaviest pipeline stage per
+    * suite run, and the same 4x at 100 TB. The memo key is (dir,
+    * threshold); a new corpus or threshold releases the previous cache.
+    */
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
-    minhashLshPairsFrom(s, hashedShinglesCached(s, dir), threshold)
+    OpCache.memo("lshPairs", s.sparkContext.applicationId, s"$dir|$threshold",
+      minhashLshPairsFrom(s, hashedShinglesCached(s, dir), threshold).cache())
 
   /** (doc_id, band, bkey) LSH band rows from a hashed-shingle set — the
     * signature + banding kernel shared by the within-corpus detector

@@ -374,6 +374,11 @@ object StreamOps {
     * streaming surface is proven against the same truth as the batch
     * plan, not just unit-asserted. In production the detector keeps its
     * real threshold and drops at ingest; here it feeds the verifier.
+    * `detectorThreshold` exposes that production mode: at 0.8 the
+    * estimator (32-sig agreement fraction) prunes candidates BEFORE the
+    * exact verify, so the decisions are no longer oracle-equal by
+    * construction — `StreamOpsSpec` measures and pins the keep-decision
+    * agreement rate against the batch screen at the same threshold.
     *
     * The file sink keeps candidate volume off the driver (band-collision
     * pairs can be corpus-scale), and the decisions are materialized via
@@ -382,7 +387,8 @@ object StreamOps {
     * before the work dir is deleted out from under the lazy plan.
     */
   def incrementalDedupStreamed(s: SparkSession, dir: String, threshold: Double = 0.8,
-                               mod: Long = 10, rem: Long = 7): DataFrame = {
+                               mod: Long = 10, rem: Long = 7,
+                               detectorThreshold: Double = 0.0): DataFrame = {
     import s.implicits._
     val raw = s.read.parquet(s"$dir/documents.parquet")
     // [d] glob: same single-file addressing trick as q43/q47
@@ -404,7 +410,8 @@ object StreamOps {
     // documented production trade, but here it would silently diverge
     // from the oracle). Count overflow and fail fast instead.
     val overflow = s.sparkContext.longAccumulator("q59_bucket_overflow")
-    val q = nearDupStream(s, stream, threshold = 0.0, overflowCounter = Some(overflow))
+    val q = nearDupStream(s, stream, threshold = detectorThreshold,
+        overflowCounter = Some(overflow))
       .toDF("doc_a", "doc_b", "est")
       .writeStream.outputMode(OutputMode.Append)
       .format("parquet").option("path", outDir)

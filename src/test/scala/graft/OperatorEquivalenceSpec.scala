@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Similarity, TextDedup}
+import graft.operators.{EventOps, Similarity, TextDedup}
 
 /** The bounded-state operators take tuning knobs (sketch size, block
   * count, query chunk) whose non-default paths the oracle harness never
@@ -320,5 +320,29 @@ class OperatorEquivalenceSpec extends AnyFunSuite with SparkFixture {
         assert(r.getLong(2) <= r.getLong(1)) // n_contaminated <= n_docs
       }
     }
+  }
+
+  test("q18 HLL estimate stays within 3 sigma of the exact count; q74 is its exact half") {
+    // q18's approx column is rows-only at the oracle (sketch estimates are
+    // engine-specific) — this is its error gate instead: the sketch is
+    // configured at rsd 0.01, so |approx - exact| / exact <= 3 * 0.01
+    // with overwhelming probability (and exactly 0 in HLL's sparse regime
+    // at these cardinalities). Run at sf0.01 so the gate sees thousands
+    // of distinct users, not tens.
+    val dir = "/root/testdata/sf0.01"
+    val rows = EventOps.userCardinality(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, approx) = (r.getLong(1), r.getLong(2))
+      assert(exact > 0)
+      val relErr = math.abs(approx - exact).toDouble / exact
+      assert(relErr <= 0.03,
+        s"event_type ${r.getString(0)}: HLL $approx vs exact $exact " +
+          f"(rel err $relErr%.4f > 3 sigma of the 0.01 rsd)")
+    }
+    // q74 = the same exact counts without the sketch column
+    val exactHalf = EventOps.userCardinalityExact(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exactHalf === rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
 }

@@ -147,4 +147,27 @@ class PipelineCleaningSpec extends AnyFunSuite with SparkFixture {
     assert(rows(0L) === ((3L, 2L, 0.4))) // (2+2+2)/(3*5)
     assert(rows(1L) === ((2L, 1L, 0.3))) // (2+1)/(2*5)
   }
+
+  test("q73 matrix is complete: zero-overlap source pairs appear with n_shared = 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val dir = java.nio.file.Files.createTempDirectory("xsrc").toString
+    // a/b share exactly the trigram "x1 x2 x3"; c shares nothing with
+    // either — the leakage matrix must still carry the (a,c)/(b,c) rows
+    Seq(
+      (0L, "x1 x2 x3 x4", "a"), // trigram set {x1 x2 x3, x2 x3 x4}
+      (1L, "x1 x2 x3 y1", "b"), // trigram set {x1 x2 x3, x2 x3 y1}
+      (2L, "z1 z2 z3 z4", "c")) // trigram set {z1 z2 z3, z2 z3 z4}
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.crossSourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("a", "b", 1L, 0.333333), // J = 1/(2+2-1), floor-rounded to 6 dp
+      ("a", "c", 0L, 0.0),
+      ("b", "c", 0L, 0.0)))
+  }
 }

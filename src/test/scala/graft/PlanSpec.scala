@@ -35,8 +35,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       val p = plan(EventOps.catRange(spark, sfDir))
       assert(p.contains("PushedFilters: ") && p.contains("IsNotNull(event_type)"))
       assert(p.contains("EqualTo(event_type,purchase)"))
-      assert(p.contains("GreaterThanOrEqual(ts,") && p.contains("LessThan(ts,"),
-        s"ts range must reach the scan:\n$p")
+      // the ts-range pushdown only exists when the file ships ts as a
+      // TIMESTAMP type (NTZ since the current testdata generation) — under
+      // the also-supported nanos-as-long arrival ts is LongType, the
+      // normalization cast blocks pushdown, and asserting it would redden
+      // the suite against valid older data
+      val tsIsTimestamp = spark.read.parquet(s"$sfDir/events.parquet")
+        .schema("ts").dataType.typeName.startsWith("timestamp")
+      if (tsIsTimestamp)
+        assert(p.contains("GreaterThanOrEqual(ts,") && p.contains("LessThan(ts,"),
+          s"ts range must reach the scan:\n$p")
     } finally spark.conf.set("spark.sql.maxMetadataStringLength", "100")
   }
 

@@ -127,6 +127,39 @@ class SimilarityRecallSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q71 neighbor seam: probe-all IVF reproduces the exact vote; bounded probe agrees") {
+    def votes(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the seam is lossless: probing EVERY cell is a full exact scan, so
+    // the IVF-fed vote must reproduce the brute-force-fed vote exactly
+    val small = "/root/testdata/sf0.001"
+    assert(votes(Similarity.knnClassifyFrom(spark, small,
+        Similarity.annIvfKmeans(spark, small, nProbe = 64)))
+      === votes(Similarity.knnClassify(spark, small)))
+    // the bounded 100 TB path: default 8-of-64 learned cells at sf0.01,
+    // widened to a 10%-of-corpus query frame (50 queries — the %100
+    // harness convention leaves 5, too few to gate a rate on). On these
+    // near-uniform embeddings (the adversarial geometry — see class doc)
+    // neighbor recall is ~0.72 and the 5-neighbor majority vote absorbs
+    // part of the substitutions; the gate is set from the measured rate
+    // with margin, well above the ~1/nLabels random-agreement floor.
+    val dir = "/root/testdata/sf0.01"
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where("vec_id % 10 = 0").select("vec_id", "embedding")
+    val exact = votes(Similarity.knnClassifyFrom(spark, dir,
+      Similarity.annBruteForce(spark, dir, queries, 5, 512)))
+    val bounded = votes(Similarity.knnClassifyFrom(spark, dir,
+      Similarity.annIvfKmeans(spark, dir, queries, 5, 64, 8, 5)))
+    assert(bounded.keySet === exact.keySet, "every query must get a label")
+    val agree = exact.count { case (q, (l, _)) => bounded(q)._1 == l }
+    val rate = agree.toDouble / exact.size
+    // measured 0.50 on the current testdata generation; gated at 0.35 so
+    // a driver data regen doesn't flip the build while a machinery break
+    // (agreement collapsing to the random floor) still does
+    assert(rate >= 0.35, f"IVF-fed kNN label agreement $rate%.3f fell below 0.35")
+    info(f"q71 IVF-fed label agreement: $rate%.3f over ${exact.size} queries")
+  }
+
   test("ANN operators accept an arbitrary query frame, including external vectors") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"

@@ -254,4 +254,35 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.contains((1L, 3L, 30L))) // state carried into batch 2
     assert(rows.contains((2L, 1L, 5L)))
   }
+
+  test("q59 at production threshold 0.8: estimator-pruned screen vs the batch screen") {
+    // q59's oracle mode runs the detector at threshold 0 (pure banding =
+    // the batch candidate bar → hash equality). Production runs the
+    // detector at the REAL threshold: the 32-sig agreement estimator
+    // prunes candidates before the exact verify, so decisions can diverge
+    // where the estimate and the exact Jaccard fall on opposite sides of
+    // 0.8. This gate measures that divergence on the oracle corpus/split
+    // and pins it (number recorded in BENCH_NOTES).
+    val dir = "/root/testdata/sf0.01"
+    val batch = graft.operators.TextDedup.incrementalDedup(spark, dir, threshold = 0.8)
+      .select("doc_id", "kept").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val streamed = StreamOps.incrementalDedupStreamed(spark, dir,
+        threshold = 0.8, detectorThreshold = 0.8)
+      .select("doc_id", "kept").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(streamed.keySet === batch.keySet, "both screens decide the same incoming docs")
+    // pruning is one-sided: the estimator can only LOSE candidates, never
+    // invent them, so a doc the streamed screen DROPS must also be
+    // dropped by the batch screen (a false drop would be a real bug, not
+    // estimator variance)
+    streamed.foreach { case (id, kept) =>
+      if (!kept) assert(!batch(id),
+        s"doc $id dropped by the streamed screen but kept by the batch screen")
+    }
+    val agree = streamed.count { case (id, k) => batch(id) == k }
+    val rate = agree.toDouble / streamed.size
+    assert(rate >= 0.9,
+      f"keep-decision agreement $rate%.3f fell below 0.9 " +
+        f"(${streamed.size - agree} of ${streamed.size} flipped)")
+    info(f"q59@0.8 keep-decision agreement: $rate%.3f over ${streamed.size} docs")
+  }
 }
