@@ -367,10 +367,15 @@ object TextAnalysis {
     */
   def crossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ex = TextDedup.hashedShinglesCached(s, dir)
-      .select($"doc_id", explode($"hshs").as("h"))
-    val sg = ex.join(table(s, dir, "documents").select($"doc_id", $"source"), "doc_id")
-      .select($"source", $"h").distinct()
+    // attach source BEFORE exploding: the doc_id join runs on the compact
+    // per-doc shingle frame (one row per doc), not the corpus-sized
+    // exploded trigram stream — at sf10 this was the difference between a
+    // 2 GB and a ~100 MB join shuffle for identical output. The one
+    // corpus-sized shuffle left is the (source, gram) distinct, which is
+    // the operator's irreducible collapse.
+    val sg = TextDedup.hashedShinglesCached(s, dir)
+      .join(table(s, dir, "documents").select($"doc_id", $"source"), "doc_id")
+      .select($"source", explode($"hshs").as("h")).distinct()
     val sizes = sg.groupBy($"source").agg(count(lit(1)).as("n"))
     val shared = sg.as("a").join(sg.as("b"),
         $"a.h" === $"b.h" && $"a.source" < $"b.source")
