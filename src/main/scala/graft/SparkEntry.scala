@@ -970,13 +970,16 @@ object SparkEntry {
         |sh AS (SELECT doc_id, list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts) - 1)]) shs FROM t),
         |ex AS (SELECT doc_id, unnest(shs) sh FROM sh),
         |sg AS (SELECT DISTINCT d.source, e.sh FROM ex e JOIN documents d USING (doc_id)),
-        |sz AS (SELECT source, count(*) AS n FROM sg GROUP BY 1),
+        |gs AS (SELECT source, count(*) AS n FROM sg GROUP BY 1),
+        |sz AS (SELECT s.source, coalesce(gs.n, 0) AS n
+        |       FROM (SELECT DISTINCT source FROM documents) s LEFT JOIN gs USING (source)),
         |sp AS (SELECT a.source AS sa, b.source AS sb, count(*) AS ns
         |       FROM sg a JOIN sg b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2),
         |p AS (SELECT a.source AS source_a, b.source AS source_b, a.n AS na, b.n AS nb
         |      FROM sz a JOIN sz b ON a.source < b.source)
         |SELECT source_a, source_b, CAST(coalesce(ns, 0) AS BIGINT) AS n_shared,
-        |  floor(CAST(coalesce(ns, 0) AS DOUBLE) / (na + nb - coalesce(ns, 0)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        |  CASE WHEN na + nb - coalesce(ns, 0) = 0 THEN 0.0
+        |       ELSE floor(CAST(coalesce(ns, 0) AS DOUBLE) / (na + nb - coalesce(ns, 0)) * 1000000.0 + 0.5) / 1000000.0 END AS jaccard
         |FROM p LEFT JOIN sp ON source_a = sa AND source_b = sb
         |ORDER BY source_a, source_b""".stripMargin,
 

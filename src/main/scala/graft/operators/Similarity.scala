@@ -194,6 +194,14 @@ object Similarity {
     * budget. Same vote, same tie-break, whatever produced the neighbors
     * (`SimilarityRecallSpec` gates the IVF-fed variant's agreement with
     * the exact vote).
+    *
+    * Contract: output has one row per query_id PRESENT in the neighbor
+    * frame. An index that returns zero candidates for a query (possible
+    * under `annLsh` when a sparse/outlier vector shares no band with the
+    * corpus) yields no prediction row — callers needing an explicit
+    * no-prediction marker left-join this result back onto their query
+    * frame. Brute-force and probe-bounded IVF feeds always cover every
+    * query.
     */
   def knnClassifyFrom(s: SparkSession, dir: String, knn: DataFrame): DataFrame = {
     import s.implicits._

@@ -376,7 +376,15 @@ object TextAnalysis {
     val sg = TextDedup.hashedShinglesCached(s, dir)
       .join(table(s, dir, "documents").select($"doc_id", $"source"), "doc_id")
       .select($"source", explode($"hshs").as("h")).distinct()
-    val sizes = sg.groupBy($"source").agg(count(lit(1)).as("n"))
+    // size every source that EXISTS in the corpus, not every source that
+    // produced a trigram: a source whose docs are all shorter than the
+    // shingle width has an empty gram set, and deriving the pair frame
+    // from sg alone would silently drop its rows — the exact
+    // missing-from-the-report failure the complete matrix exists to
+    // prevent. Such sources carry n = 0 and Jaccard 0 against everyone.
+    val sizes = table(s, dir, "documents").select($"source").distinct()
+      .join(sg.groupBy($"source").agg(count(lit(1)).as("gn")), Seq("source"), "left")
+      .select($"source", coalesce($"gn", lit(0L)).as("n"))
     val shared = sg.as("a").join(sg.as("b"),
         $"a.h" === $"b.h" && $"a.source" < $"b.source")
       .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
@@ -387,10 +395,13 @@ object TextAnalysis {
       .join(sizes.select($"source".as("source_b"), $"n".as("nb")),
         $"source_a" < $"source_b")
     pairs.join(shared, Seq("source_a", "source_b"), "left")
-      .select($"source_a", $"source_b",
-        coalesce($"n_shared", lit(0L)).as("n_shared"),
-        graft.Tables.round6(coalesce($"n_shared", lit(0L)).cast("double") /
-          ($"na" + $"nb" - coalesce($"n_shared", lit(0L)))).as("jaccard"))
+      .withColumn("ns", coalesce($"n_shared", lit(0L)))
+      .withColumn("denom", $"na" + $"nb" - $"ns")
+      .select($"source_a", $"source_b", $"ns".as("n_shared"),
+        // two gram-less sources give an empty-vs-empty union: Jaccard is
+        // 0 by convention here, never a 0/0 null
+        graft.Tables.round6(when($"denom" === 0, lit(0.0))
+          .otherwise($"ns".cast("double") / $"denom")).as("jaccard"))
       .orderBy($"source_a", $"source_b")
   }
 

@@ -22,20 +22,25 @@ object CheckpointProbe {
     val db = CheckpointDb.open(s"jdbc:derby:${dir.resolve("db")};create=true")
     try {
       counts.foreach { n =>
-        val stream = s"s$n" // separate keyspace per count: cold stays cold
+        // separate client AND stream per count: the cold pass stays cold,
+        // and the stats() scan (which filters by client) covers exactly
+        // this count's n rows, not the cumulative table
+        val client = s"probe$n"
+        val stream = s"s$n"
         val shards = (0 until n).map(i => f"shardId-$i%012d")
         val t0 = System.nanoTime()
-        shards.foreach(sh => db.checkpoint("probe", stream, sh, "1", 1L))
+        shards.foreach(sh => db.checkpoint(client, stream, sh, "1", 1L))
         val cold = (System.nanoTime() - t0) / 1e9
         val passes = 3
         val t1 = System.nanoTime()
         (1 to passes).foreach { p =>
-          shards.foreach(sh => db.checkpoint("probe", stream, sh, p.toString, p.toLong))
+          shards.foreach(sh => db.checkpoint(client, stream, sh, p.toString, p.toLong))
         }
         val warm = (System.nanoTime() - t1) / 1e9 / passes
         val t2 = System.nanoTime()
-        val nStats = db.stats("probe", 100L).size
+        val nStats = db.stats(client, 100L).size
         val statsSec = (System.nanoTime() - t2) / 1e9
+        require(nStats == n, s"stats isolation broken: $nStats rows for $n shards")
         println(f"PROBE shards=$n cold_insert_sec=$cold%.2f warm_pass_sec=$warm%.2f " +
           f"upserts_per_sec=${n / warm}%.0f stats_rows=$nStats stats_sec=$statsSec%.2f")
       }

@@ -154,11 +154,16 @@ class PipelineCleaningSpec extends AnyFunSuite with SparkFixture {
     import org.apache.spark.sql.functions.{col, length, lit}
     val dir = java.nio.file.Files.createTempDirectory("xsrc").toString
     // a/b share exactly the trigram "x1 x2 x3"; c shares nothing with
-    // either — the leakage matrix must still carry the (a,c)/(b,c) rows
+    // either; d and e hold only sub-trigram docs (NO grams at all) — the
+    // leakage matrix must still carry every pair, including the
+    // gram-less sources and the (d,e) empty-vs-empty pair (Jaccard 0 by
+    // convention, never a 0/0 null)
     Seq(
       (0L, "x1 x2 x3 x4", "a"), // trigram set {x1 x2 x3, x2 x3 x4}
       (1L, "x1 x2 x3 y1", "b"), // trigram set {x1 x2 x3, x2 x3 y1}
-      (2L, "z1 z2 z3 z4", "c")) // trigram set {z1 z2 z3, z2 z3 z4}
+      (2L, "z1 z2 z3 z4", "c"), // trigram set {z1 z2 z3, z2 z3 z4}
+      (3L, "w1 w2", "d"),       // 2 tokens -> empty trigram set
+      (4L, "v1", "e"))          // 1 token  -> empty trigram set
       .toDF("doc_id", "text", "source")
       .withColumn("lang", lit("en"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -168,6 +173,13 @@ class PipelineCleaningSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq === Seq(
       ("a", "b", 1L, 0.333333), // J = 1/(2+2-1), floor-rounded to 6 dp
       ("a", "c", 0L, 0.0),
-      ("b", "c", 0L, 0.0)))
+      ("a", "d", 0L, 0.0),
+      ("a", "e", 0L, 0.0),
+      ("b", "c", 0L, 0.0),
+      ("b", "d", 0L, 0.0),
+      ("b", "e", 0L, 0.0),
+      ("c", "d", 0L, 0.0),
+      ("c", "e", 0L, 0.0),
+      ("d", "e", 0L, 0.0))) // both empty: denominator 0 guarded to 0.0
   }
 }
