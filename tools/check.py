@@ -26,14 +26,23 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir, out_dir, skip=()):
+def connect(sf_dir):
     con = duckdb.connect()
     # stress SFs: let DuckDB spill instead of OOM on the big oracle
     # intermediates (q21's 848M-row signature build at sf10)
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
-    con.sql("SET memory_limit='48GB'")
+    # overridable: on boxes with strict commit accounting a 48GB DuckDB
+    # reservation can starve the pandas side of the compare — spilling is
+    # cheaper than the process dying
+    import os
+    con.sql(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def main(sf_dir, out_dir, skip=()):
+    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
     for name in sorted(oracle):
@@ -45,8 +54,28 @@ def main(sf_dir, out_dir, skip=()):
             print(f"MISSING  {name}: no parquet written")
             fail += 1
             continue
-        got = pq.read_table(files[0]).to_pandas()
-        want = con.sql(oracle[name]).df()
+        # guard BOTH sides per query: one OOM (a too-big oracle, or an
+        # allocator wedged by a previous one) must fail THAT query, not
+        # abort the whole gate with the earlier OK lines unflushed
+        try:
+            got = pq.read_table(files[0]).to_pandas()
+        except Exception as e:
+            print(f"READ_ERR {name}: {type(e).__name__}: {str(e)[:200]}", flush=True)
+            fail += 1
+            continue
+        try:
+            want = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"ORACLE_ERR {name}: {type(e).__name__}: {str(e)[:200]}", flush=True)
+            fail += 1
+            # an OOM'd DuckDB can keep its allocator pinned; rebuild the
+            # connection so later queries start from a clean slate
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = connect(sf_dir)
+            continue
         g, w = norm(got), norm(want)
         if list(g.columns) != list(w.columns):
             print(f"SCHEMA   {name}: got {list(g.columns)} want {list(w.columns)}")
@@ -63,7 +92,7 @@ def main(sf_dir, out_dir, skip=()):
             print(f"VALUES   {name}: first diff row {bad}:\n  got  {gv[bad]}\n  want {wv[bad]}")
             fail += 1
             continue
-        print(f"OK       {name} ({len(g)} rows)")
+        print(f"OK       {name} ({len(g)} rows)", flush=True)
         ok += 1
     print(f"\n{ok} ok, {fail} failed")
     sys.exit(1 if fail else 0)
