@@ -98,6 +98,9 @@ object SparkEntry {
     "q72_stream_sessionize" -> ((s, d) => graft.streaming.StreamOps.sessionizeStreamed(s, d)),
     "q73_cross_source_overlap" -> ((s, d) => TextAnalysis.crossSourceOverlap(s, d)),
     "q74_user_cardinality_exact" -> ((s, d) => EventOps.userCardinalityExact(s, d)),
+    "q75_contamination_bloom" -> ((s, d) => TextAnalysis.contaminationBloom(s, d)),
+    "q76_dup_substring_coverage" -> ((s, d) => TextDedup.dupSubstringCoverage(s, d)),
+    "q77_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -988,6 +991,53 @@ object SparkEntry {
     "q74_user_cardinality_exact" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users_exact
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q75: the Bloom-prefiltered screen is exact by construction (false
+    // positives die in the verify join), so the oracle is q49's SQL shape
+    // at this operator's (mod 61, threshold 0.3) parameters.
+    "q75_contamination_bloom" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, source, list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts) - 1)]) shs FROM t),
+        |bm AS (SELECT DISTINCT unnest(shs) sh FROM sh WHERE doc_id % 61 = 0),
+        |ex AS (SELECT doc_id, source, len(shs) nsh, unnest(shs) sh FROM sh WHERE doc_id % 61 <> 0),
+        |ov AS (SELECT e.doc_id, e.source, any_value(e.nsh) nsh, count(b.sh) hits
+        |       FROM ex e LEFT JOIN bm b ON e.sh = b.sh GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN CAST(hits AS DOUBLE) / nsh >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  floor(max(CAST(hits AS DOUBLE) / nsh) * 1000000.0 + 0.5) / 1000000.0 AS max_overlap
+        |FROM ov GROUP BY source ORDER BY source""".stripMargin,
+
+    // q76: duplicated-substring span coverage — stride-1 8-token windows,
+    // df >= 2 across the corpus, merged spans (gaps-and-islands; with
+    // fixed-length stride-1 windows the previous span end is lag(pos)+7).
+    // Spark keys the corpus stream on xxhash64(window), the oracle on the
+    // window strings — identical modulo negligible 64-bit collisions
+    // (q64/q69 convention).
+    "q76_dup_substring_coverage" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |base AS (SELECT doc_id, CAST(len(ts) AS BIGINT) ntok, ts FROM t),
+        |wins AS (SELECT doc_id, unnest(range(1, CAST(ntok AS INT) - 6)) AS pos, ts FROM base),
+        |wstr AS (SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS w FROM wins),
+        |df AS (SELECT w FROM wstr GROUP BY w HAVING count(*) >= 2),
+        |dups AS (SELECT doc_id, pos FROM wstr JOIN df USING (w)),
+        |isl AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |          OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 7 THEN 1 ELSE 0 END AS brk FROM dups),
+        |grp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl),
+        |per AS (SELECT doc_id, g, count(*) nw, max(pos) - min(pos) + 8 cov FROM grp GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(nw) AS BIGINT) n_dup_windows, CAST(count(*) AS BIGINT) n_spans,
+        |        CAST(sum(cov) AS BIGINT) dup_tokens FROM per GROUP BY 1)
+        |SELECT b.doc_id, b.ntok, CAST(GREATEST(b.ntok - 7, 0) AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(a.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+        |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  floor(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / b.ntok * 1000000.0 + 0.5) / 1000000.0 AS dup_cov_frac
+        |FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // q77_semantic_dedup: no oracle by design — the learned k-means
+    // codebook is not SQL-expressible (rows-only; spec gates in
+    // SimilarityRecallSpec cover in-cell exactness, recall vs the global
+    // exact prune, and the one-keeper-per-component invariant).
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

@@ -488,6 +488,30 @@ object Similarity {
       }.toDF("cell", "vec_id", "v", "nrm")
   }
 
+  /** Multi-probe generalization of [[assignCells]]: one row per (vector,
+    * probe) for the vector's top-`p` cells by cosine, ties to the smaller
+    * cell id — rank 0 reproduces assignCells' primary cell exactly.
+    * The q77 recall knob: near-uniform embeddings split near-dup pairs
+    * across single cells; overlapping membership recovers them at
+    * ~p^2 compare cost.
+    */
+  private def assignCellsTopP(s: SparkSession, vecs: DataFrame,
+                              cents: Array[(Int, Array[Double], Double)],
+                              p: Int): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    vecs.select($"vec_id", $"v", $"nrm").as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, v, n) =>
+          cs.map(c => (dot(v, c._2) / (n * c._3), c._1))
+            .sortBy { case (c, cell) => (-c, cell) }
+            .iterator.take(p).zipWithIndex
+            .map { case ((_, cell), rk) => (cell, id, v, n, rk) }
+        }
+      }.toDF("cell", "vec_id", "v", "nrm", "rk")
+  }
+
   /** ANN over a LEARNED IVF index (q53): deterministic k-means cells as
     * the inverted file, same probe/search as [[annIvf]]. Cell geometry is
     * engine-specific by design -> rows-only check; `SimilarityRecallSpec`
@@ -524,6 +548,80 @@ object Similarity {
     val centsDf = cents.toSeq.toDF("cell", "cv", "cn")
     ivfSearch(s, assigned, centsDf,
       queryDs(s, queries).toDF("query_id", "qv", "qn"), k, nProbe)
+  }
+
+  /** SemDeDup-style semantic dedup (q77, after Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): every embedding is assigned to its nearest learned
+    * k-means centroid — the SAME memoized codebook + inverted file as
+    * q53, built once and shared — near-duplicate pairs are found ONLY
+    * inside each cell by exact pairwise cosine >= `tau`, pairs connect
+    * into components, and the min-id representative per component
+    * survives. The semantic counterpart of q55's MinHash keep-list:
+    * paraphrases that share no n-grams still collapse.
+    *
+    * Scale shape: the in-cell compare is O(sum_c n_c^2) — the SemDeDup
+    * bargain (cells bound the quadratic at ~N^2/k when balanced). The
+    * pair bound is measured from REAL cell sizes before any compare
+    * launches and the operator fails fast over `pairBudget` (the q20
+    * saturation discipline) instead of starting a doomed stage; the
+    * remedy is more cells, or the q42 LSH route. The cell-local compare
+    * itself streams sorted rows per group — no driver state, one
+    * shuffle on the cell id. Rows-only under the driver oracle (k-means
+    * is not SQL-expressible); spec-gated instead: in-cell pair
+    * exactness vs the brute-force prune, measured recall vs the global
+    * exact pair set, and one-keeper-per-component
+    * (SimilarityRecallSpec).
+    */
+  def semanticDedup(s: SparkSession, dir: String, nCells: Int = 64,
+                    iters: Int = 5, tau: Double = 0.45, probes: Int = 3,
+                    pairBudget: Long = 100000000L): DataFrame = {
+    import s.implicits._
+    val vecs = memoCache("annIvfKmeans", s, dir, vecDs(s, dir).cache())
+      .toDF("vec_id", "v", "nrm")
+    if (vecs.isEmpty)
+      return Seq.empty[(Long, Int, Long, Boolean)]
+        .toDF("vec_id", "cell", "cluster_id", "keep")
+    val cents = kmeansCodebook(s, dir, nCells, iters)
+    // multi-probe assignment: each vector joins its top-`probes` cells,
+    // so a pair splits only when the two memberships are fully disjoint —
+    // the recall knob (cost scales ~probes^2, guarded by the same budget).
+    // rk = 0 is the primary cell (assignCells' argmax-ties-smaller rule).
+    val assigned = memoCache("semanticDedupIdx", s,
+      s"$dir|$nCells|$iters|$probes",
+      assignCellsTopP(s, vecs, cents, probes).cache())
+      .toDF("cell", "vec_id", "v", "nrm", "rk")
+    val pairBound = assigned.groupBy($"cell").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("p"))
+      .as[Long].head()
+    require(pairBound <= pairBudget,
+      s"semanticDedup: in-cell pair bound $pairBound exceeds budget " +
+      s"$pairBudget — raise nCells (smaller cells) or route to " +
+      "cosineNearDupLsh (q42)")
+    val pairs = assigned.select($"cell", $"vec_id", $"v", $"nrm")
+      .as[(Int, Long, Array[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Int, it: Iterator[(Int, Long, Array[Double], Double)]) =>
+        val rows = it.map(t => (t._2, t._3, t._4)).toArray.sortBy(_._1)
+        rows.indices.iterator.flatMap { i =>
+          val (ia, va, na) = rows(i)
+          ((i + 1) until rows.length).iterator.flatMap { j =>
+            val (ib, vb, nb) = rows(j)
+            if (dot(va, vb) / (na * nb) >= tau) Iterator.single((ia, ib))
+            else Iterator.empty
+          }
+        }
+      }.toDF("vec_a", "vec_b")
+    // a pair sharing several probed cells emits several times; CC's
+    // canonical-orientation distinct absorbs the duplicates
+    val cc = Clustering.connectedComponents(pairs)
+      .select($"node".as("vec_id"), $"component")
+    assigned.where($"rk" === 0).select($"vec_id", $"cell")
+      .join(cc, Seq("vec_id"), "left")
+      .select($"vec_id", $"cell",
+        coalesce($"component", $"vec_id").as("cluster_id"))
+      .withColumn("keep", $"vec_id" === $"cluster_id")
+      .orderBy($"vec_id")
   }
 
   /** Random-hyperplane LSH ANN: 16 deterministic hyperplanes (md5-derived

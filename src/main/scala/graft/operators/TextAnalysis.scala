@@ -254,6 +254,55 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** Bloom-prefiltered benchmark-contamination screen (q75): the scale
+    * path past [[contamination]]'s exact-set broadcast. q49 ships the
+    * whole benchmark hash set to every executor (8 B/hash — fine to
+    * ~10^8 n-grams, dead past it); here the driver builds only a Bloom
+    * filter over the benchmark hashes (~1.2 B/entry at 1% fpp — ~7x more
+    * benchmark per MB of broadcast), every corpus shingle probes the
+    * filter partition-locally, and ONLY the BF-positive (doc_id, hash)
+    * survivors — the true hits plus an fpp-sized sliver of the corpus
+    * stream — shuffle into an exact equi-join against the distributed
+    * benchmark frame. False positives die in that join, so the result is
+    * bit-identical to the exact screen (same oracle SQL shape as q49,
+    * distinct (mod, threshold) parameters), while the corpus-sized
+    * stream never shuffles and the benchmark never collects.
+    */
+  def contaminationBloom(s: SparkSession, dir: String, benchMod: Long = 61,
+                         threshold: Double = 0.3, fpp: Double = 0.01): DataFrame = {
+    import s.implicits._
+    val sh = TextDedup.hashedShinglesCached(s, dir)
+    // cached: read once for sizing, once for the BF build, once exact-side
+    val bench = OpCache.memo("benchHashes", s.sparkContext.applicationId,
+      s"$dir|$benchMod",
+      sh.where($"doc_id" % benchMod === 0)
+        .select(explode($"hshs").as("h")).distinct().cache())
+    val nBench = math.max(bench.count(), 64L)
+    val bBf = s.sparkContext.broadcast(
+      bench.stat.bloomFilter("h", nBench, fpp))
+    // docs with no shingles are excluded on BOTH engines (q49 convention)
+    val scoredDocs = sh.where($"doc_id" % benchMod =!= 0 && size($"hshs") > 0)
+    val candidates = scoredDocs
+      .select($"doc_id", explode($"hshs").as("h")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val f = bBf.value
+        it.filter { case (_, h) => f.mightContainLong(h) }
+      }.toDF("doc_id", "h")
+    val hits = candidates.join(bench, Seq("h")) // exact verify: fps die here
+      .groupBy($"doc_id").agg(count(lit(1)).as("hits"))
+    scoredDocs
+      .select($"doc_id", size($"hshs").cast("long").as("nsh"))
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"nsh", coalesce($"hits", lit(0L)).as("hits"))
+      .join(table(s, dir, "documents").select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"hits" / $"nsh" >= threshold, 1L).otherwise(0L)).as("n_contaminated"),
+        graft.Tables.round6(max($"hits" / $"nsh")).as("max_overlap"))
+      .orderBy($"source")
+  }
+
   /** Gopher-style repetition metrics per document: the duplicate-trigram
     * fraction (1 - distinct/total word trigrams) and the top-bigram
     * fraction (occurrences of the most frequent word bigram over all

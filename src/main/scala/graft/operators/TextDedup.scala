@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables.table
 
@@ -609,6 +610,69 @@ object TextDedup {
         md5(coalesce(
           array_join(expr("filter(lines, (l, i) -> array_contains(keep, i))"), " "),
           lit(""))).as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Duplicated-substring span coverage (q76): the ExactSubstr signal of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), approximated at fixed granularity — every `window`-token
+    * run (stride 1) is fingerprinted, runs appearing >= `minDf` times
+    * across the corpus mark their token span duplicated, and overlapping
+    * spans merge so each document reports the exact number of tokens
+    * covered by corpus-duplicated substrings. Unlike the suffix-array
+    * original this is a pure shuffle plan: distributed, no global sort,
+    * no corpus-sized driver state.
+    *
+    * Wire discipline matches q64/q69: the corpus-sized stream is
+    * (doc_id, pos, xxhash64(window)) — window TEXT never shuffles. The
+    * df count map-side combines on the hash; the span merge is classic
+    * gaps-and-islands over (doc_id, pos) — with stride-1 fixed-length
+    * windows the running max span end is just lag(pos) + window - 1, so
+    * one window function, one partition-by-doc shuffle.
+    */
+  def dupSubstringCoverage(s: SparkSession, dir: String, window: Int = 8,
+                           minDf: Int = 2): DataFrame =
+    dupSubstringCoverageDf(table(s, dir, "documents"), window, minDf)
+
+  private[graft] def dupSubstringCoverageDf(docs: DataFrame, window: Int,
+                                            minDf: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = docs
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .select($"doc_id", size($"ts").cast("long").as("ntok"), $"ts")
+    // 1-based window starts 1..ntok-window+1; docs shorter than one
+    // window contribute nothing (sequence() would count DOWN on a
+    // negative span, so the where-guard is load-bearing)
+    val wins = base.where($"ntok" >= window)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(1, cast(ntok as int) - ${window - 1})," +
+        s" i -> xxhash64(array_join(slice(ts, i, $window), ' ')))")).as(Seq("p0", "wh")))
+      .select($"doc_id", ($"p0" + 1L).as("pos"), $"wh")
+    val dupHashes = wins.groupBy($"wh").agg(count(lit(1)).as("c"))
+      .where($"c" >= minDf).select($"wh")
+    val dups = wins.join(dupHashes, Seq("wh")).select($"doc_id", $"pos")
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val spans = dups
+      .withColumn("brk", when(lag($"pos", 1).over(byDoc).isNull ||
+        $"pos" > lag($"pos", 1).over(byDoc) + (window - 1), 1L).otherwise(0L))
+      .withColumn("g", sum($"brk").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"g")
+      .agg(count(lit(1)).as("nw"),
+        (max($"pos") - min($"pos") + window).as("cov"))
+      .groupBy($"doc_id")
+      .agg(sum($"nw").as("n_dup_windows"), count(lit(1)).as("n_spans"),
+        sum($"cov").as("dup_tokens"))
+    base.select($"doc_id", $"ntok",
+        greatest($"ntok" - (window - 1), lit(0L)).as("n_windows"))
+      .join(spans, Seq("doc_id"), "left")
+      .select($"doc_id", $"ntok", $"n_windows",
+        coalesce($"n_dup_windows", lit(0L)).as("n_dup_windows"),
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
+        graft.Tables.round6(coalesce($"dup_tokens", lit(0L)) / $"ntok")
+          .as("dup_cov_frac"))
       .orderBy($"doc_id")
   }
 }

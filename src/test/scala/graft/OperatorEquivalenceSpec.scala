@@ -73,6 +73,21 @@ class OperatorEquivalenceSpec extends AnyFunSuite with SparkFixture {
       s"prefix caches accumulated: $after1 persistent RDDs after 1 call, $after3 after 3")
   }
 
+  test("q75 Bloom-prefiltered screen is bit-identical to the exact broadcast screen") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.operators.TextAnalysis
+      .contamination(spark, dir, benchMod = 61, threshold = 0.3).collect()
+    assert(exact.nonEmpty)
+    val bloom = graft.operators.TextAnalysis.contaminationBloom(spark, dir).collect()
+    assert(bloom.toSeq === exact.toSeq)
+    // even a deliberately sloppy filter (50% fpp) changes nothing: every
+    // false positive dies in the exact verify join — the BF only prices
+    // the shuffle, never the answer
+    val sloppy = graft.operators.TextAnalysis
+      .contaminationBloom(spark, dir, fpp = 0.5).collect()
+    assert(sloppy.toSeq === exact.toSeq)
+  }
+
   test("q23 output is invariant to block count") {
     val b16 = rowsOf(Similarity.cosineNearDupPairs(spark, sfDir, blocks = 16))
     val b3 = rowsOf(Similarity.cosineNearDupPairs(spark, sfDir, blocks = 3))

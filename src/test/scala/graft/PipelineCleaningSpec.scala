@@ -93,6 +93,28 @@ class PipelineCleaningSpec extends AnyFunSuite with SparkFixture {
     assert(got(2L) === ((1L, 0L, 0.0)))
   }
 
+  test("q76 merges overlapping dup windows into exact token coverage") {
+    val dir = writeDocs(Seq(
+      // docs 0/1 share the 10-token run s1..s10 at different offsets:
+      // three 8-token windows each, merging to ONE 10-token span
+      0L -> "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 a1 a2",
+      1L -> "z1 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 z2",
+      2L -> "u1 u2 u3 u4 u5 u6 u7 u8", // one window, unique
+      3L -> "v1 v2 v3",                // shorter than a window
+      // docs 4/5 share TWO disjoint 8-token runs -> two separate spans
+      4L -> "p1 p2 p3 p4 p5 p6 p7 p8 m1 m2 m3 m4 q1 q2 q3 q4 q5 q6 q7 q8",
+      5L -> "p1 p2 p3 p4 p5 p6 p7 p8 w1 w2 w3 w4 q1 q2 q3 q4 q5 q6 q7 q8"))
+    val got = TextDedup.dupSubstringCoverage(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(got(0L) === ((12L, 5L, 3L, 1L, 10L, 0.833333)))
+    assert(got(1L) === ((12L, 5L, 3L, 1L, 10L, 0.833333)))
+    assert(got(2L) === ((8L, 1L, 0L, 0L, 0L, 0.0)))
+    assert(got(3L) === ((3L, 0L, 0L, 0L, 0L, 0.0)))
+    assert(got(4L) === ((20L, 13L, 2L, 2L, 16L, 0.8)))
+    assert(got(5L) === ((20L, 13L, 2L, 2L, 16L, 0.8)))
+  }
+
   test("q66 keeps exactly the argmax-quality doc per cluster, clusters agree with q55") {
     val rows = operators.Clustering.canonicalDocs(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))

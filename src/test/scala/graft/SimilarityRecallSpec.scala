@@ -216,6 +216,57 @@ class SimilarityRecallSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  // q77's rows-only gates: semanticDedup has no SQL oracle (learned
+  // k-means), so three invariants replace it.
+  test("semantic dedup (q77): in-cell exactness, measured recall vs the global prune, one keeper per cluster") {
+    val dir = "/root/testdata/sf0.01"
+    val tau = 0.45
+    val sem = Similarity.semanticDedup(spark, dir, tau = tau).collect()
+    val cluster = sem.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val cell = sem.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val keep = sem.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+
+    // (1) one keeper per cluster, and it is the min id (SemDeDup's
+    // deterministic representative rule)
+    val byCluster = sem.groupBy(_.getLong(2))
+    byCluster.foreach { case (cid, rows) =>
+      val keepers = rows.filter(_.getBoolean(3)).map(_.getLong(0))
+      assert(keepers.toSeq == Seq(cid) && cid == rows.map(_.getLong(0)).min,
+        s"cluster $cid: keeper must be exactly the min member id")
+    }
+
+    // (2) in-cell exactness: every GLOBAL exact near-dup pair whose
+    // endpoints landed in the same cell must be clustered together —
+    // the cell-local compare may not drop pairs it can see
+    val exact = Similarity.cosineNearDupPairs(spark, dir, threshold = tau)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sameCell = exact.filter { case (a, b) => cell(a) == cell(b) }
+    sameCell.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b),
+        s"same-cell exact pair ($a,$b) not clustered together")
+    }
+
+    // (3) measured recall of the global exact pair set: the SemDeDup
+    // bargain loses only the pairs the cells split. The synthetic
+    // embeddings are near-uniform (no cluster structure — the
+    // adversarial case, see the class doc); the floor pins the
+    // machinery against regression, not a universal promise.
+    val captured = exact.count { case (a, b) => cluster(a) == cluster(b) }
+    val recall = if (exact.isEmpty) 1.0 else captured.toDouble / exact.length
+    info(f"q77 recall vs global exact prune: $recall%.3f " +
+      s"($captured/${exact.length} pairs, ${keep.size}/${sem.length} kept)")
+    assert(exact.nonEmpty, "fixture must plant exact near-dup pairs")
+    assert(recall >= 0.5, f"q77 recall $recall%.3f fell below the 0.5 floor")
+  }
+
+  test("semantic dedup (q77): pair-budget guard fails fast before the compare launches") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(spark, "/root/testdata/sf0.001", pairBudget = 1L)
+    }
+    assert(e.getMessage.contains("pair bound"))
+  }
+
   test("repeat ANN queries hold at most one live corpus cache per operator") {
     val dir = "/root/testdata/sf0.001"
     Similarity.annLsh(spark, dir).count()
