@@ -641,13 +641,23 @@ object TextDedup {
     val base = docs
       .select($"doc_id", split($"text", " ").as("ts"))
       .select($"doc_id", size($"ts").cast("long").as("ntok"), $"ts")
+    // window fingerprint: xxhash64 over the SLICE OF PER-TOKEN HASHES
+    // (order-sensitive array hash, native codegen) — each token is
+    // hashed once per doc and each window costs an 8-long array hash,
+    // instead of materializing a ~50-char window string per window and
+    // hashing that (measured 37.5 -> 29.0 s at sf10; the transform runs
+    // in both plan branches, so the string cost was paid twice). The
+    // fingerprint is only a grouping key (the oracle works on window
+    // strings), so any collision-negligible hash is fair game.
     // 1-based window starts 1..ntok-window+1; docs shorter than one
     // window contribute nothing (sequence() would count DOWN on a
     // negative span, so the where-guard is load-bearing)
     val wins = base.where($"ntok" >= window)
+      .select($"doc_id", expr("transform(ts, t -> xxhash64(t))").as("th"),
+        $"ntok")
       .select($"doc_id", posexplode(expr(
         s"transform(sequence(1, cast(ntok as int) - ${window - 1})," +
-        s" i -> xxhash64(array_join(slice(ts, i, $window), ' ')))")).as(Seq("p0", "wh")))
+        s" i -> xxhash64(slice(th, i, $window)))")).as(Seq("p0", "wh")))
       .select($"doc_id", ($"p0" + 1L).as("pos"), $"wh")
     val dupHashes = wins.groupBy($"wh").agg(count(lit(1)).as("c"))
       .where($"c" >= minDf).select($"wh")

@@ -134,6 +134,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SortMergeJoin"), s"metadata join must not sort-merge the data:\n$p")
   }
 
+  test("q76 substring coverage shuffles window HASHES, not window text") {
+    // same wire discipline as q64/q69: the stride-1 window stream is
+    // (doc_id, pos, xxhash64(window)) — every exchange keys on the hash
+    // or doc_id, the 8-token window strings live only in per-row
+    // projections before the first shuffle
+    val p = plan(graft.operators.TextDedup.dupSubstringCoverage(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"window frequency must attach via an equi-join:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.nonEmpty, s"expected hash exchanges:\n$p")
+    assert(exchanges.forall(l => l.contains("wh#") || l.contains("doc_id#")),
+      s"every shuffle must key on the window hash or doc_id, got:\n${exchanges.mkString("\n")}")
+  }
+
   test("q56 incremental screen joins banded candidates — no cartesian, no corpus broadcast") {
     val p = plan(graft.operators.TextDedup.incrementalDedup(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
