@@ -77,6 +77,14 @@ object Tables {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // opt-in state-store provider for the streaming queries (q43/q47/
+    // q59/q72): RocksDB keeps streaming state off-heap, which is how a
+    // production cluster sizes stateful executors — the sf10 ladder
+    // measured q72's in-memory (HDFS-backed) state store paying a
+    // 3.7x GC tax on a 16 GiB heap (BENCH_NOTES). Example:
+    //   SPARK_GRAFT_STATESTORE=org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+    sys.env.get("SPARK_GRAFT_STATESTORE").foreach(p =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
