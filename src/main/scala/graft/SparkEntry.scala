@@ -101,6 +101,7 @@ object SparkEntry {
     "q75_contamination_bloom" -> ((s, d) => TextAnalysis.contaminationBloom(s, d)),
     "q76_dup_substring_coverage" -> ((s, d) => TextDedup.dupSubstringCoverage(s, d)),
     "q77_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "q78_training_shards" -> ((s, d) => Pipeline.trainingShards(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1038,6 +1039,21 @@ object SparkEntry {
     // codebook is not SQL-expressible (rows-only; spec gates in
     // SimilarityRecallSpec cover in-cell exactness, recall vs the global
     // exact prune, and the one-keeper-per-component invariant).
+
+    // q78: the manifest the Spark side computes from the READ-BACK shard
+    // files must equal the assignment arithmetic computed straight off
+    // the documents table — any write/read loss or shard misassignment
+    // breaks the hash compare. Shard + checksum reproduce hash60 via
+    // md5 (the established cross-engine convention).
+    "q78_training_shards" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS shard
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |  CAST(sum(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 1000000007) AS BIGINT) AS content_sum
+        |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

@@ -217,6 +217,59 @@ object Pipeline {
     * offset. Every window partition is corpus/nBuckets-bounded; raise
     * `nBuckets` with corpus size.
     */
+  /** Training-shard writer (q78): the pipeline's final stage — every
+    * document is assigned a deterministic shard (`hash60(doc_id) %
+    * nShards`: seedless, engine-reproducible, uniform in expectation so
+    * shards are size-balanced without a plan-side balance pass), the
+    * corpus is REALLY written as shard-partitioned parquet (ONE shuffle,
+    * keyed on the shard id, so each shard lands as one file per reducer
+    * — the layout a training loader wants), and the returned per-shard
+    * manifest (doc/token counts, id range, content checksum) is computed
+    * from the READ-BACK files, so the oracle compare certifies the full
+    * write -> read round trip, not just the assignment arithmetic.
+    *
+    * At 100 TB this is the same plan: one hash shuffle on a tiny key,
+    * writers stream partition-local, the manifest aggregate combines
+    * map-side to nShards rows. The checksum folds each doc's
+    * `hash60(text) % 1e9+7` so the sum stays far under BIGINT even at
+    * 10^12 docs (ANSI-mode safe).
+    *
+    * `keepDir` (tests) writes to the given directory and leaves it on
+    * disk; the default writes to a temp dir and cleans up after the
+    * manifest materializes.
+    */
+  def trainingShards(s: SparkSession, dir: String, nShards: Int = 32,
+                     keepDir: Option[String] = None): DataFrame = {
+    import s.implicits._
+    val docs = table(s, dir, "documents")
+      .withColumn("shard", expr("hash60(cast(doc_id as string))") % nShards)
+    val work = keepDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("q78_shards").toString)
+    val outDir = s"$work/shards"
+    docs.repartition(nShards, $"shard")
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+    val stats = s.read.parquet(outDir)
+      .groupBy($"shard".cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " "))).cast("long").as("n_tokens"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"),
+        sum(expr("hash60(text) % 1000000007")).as("content_sum"))
+      .orderBy($"shard")
+    if (keepDir.isDefined) stats
+    else {
+      // materialize the manifest off the files, then drop them
+      val rows = stats.collect().toSeq
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(work))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), stats.schema)
+        .orderBy($"shard")
+    }
+  }
+
   def tokenBudgetMix(s: SparkSession, dir: String, budget: Long = 800L,
                      nBuckets: Int = 64): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")

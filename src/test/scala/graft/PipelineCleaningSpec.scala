@@ -115,6 +115,31 @@ class PipelineCleaningSpec extends AnyFunSuite with SparkFixture {
     assert(got(5L) === ((20L, 13L, 2L, 2L, 16L, 0.8)))
   }
 
+  test("q78 writes one file per shard and round-trips every document") {
+    val dir = writeDocs((0L until 20L).map(i => i -> s"tok$i a b"))
+    val out = java.nio.file.Files.createTempDirectory("q78spec").toString
+    val stats = graft.operators.Pipeline
+      .trainingShards(spark, dir, nShards = 4, keepDir = Some(out)).collect()
+    assert(stats.map(_.getLong(1)).sum === 20L, "every doc lands in a shard")
+    // layout: one parquet file per written shard directory (the training-
+    // loader contract the repartition-on-shard exists for)
+    val shardDirs = new java.io.File(s"$out/shards").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${d.getName}: expected 1 file, got ${files.length}")
+    }
+    // round trip: the read-back corpus is exactly the input corpus
+    val back = spark.read.parquet(s"$out/shards")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val orig = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back === orig)
+  }
+
   test("q66 keeps exactly the argmax-quality doc per cluster, clusters agree with q55") {
     val rows = operators.Clustering.canonicalDocs(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
