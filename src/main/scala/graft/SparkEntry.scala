@@ -102,6 +102,9 @@ object SparkEntry {
     "q76_dup_substring_coverage" -> ((s, d) => TextDedup.dupSubstringCoverage(s, d)),
     "q77_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "q78_training_shards" -> ((s, d) => Pipeline.trainingShards(s, d)),
+    "q79_quality_gate" -> ((s, d) => TextAnalysis.qualityGate(s, d)),
+    "q80_split_manifest" -> ((s, d) => Pipeline.splitManifest(s, d)),
+    "q81_source_tfidf" -> ((s, d) => TextAnalysis.sourceTfidfProfile(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1054,6 +1057,63 @@ object SparkEntry {
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
         |  CAST(sum(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 1000000007) AS BIGINT) AS content_sum
         |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // q79: integer cross-multiplied rule comparisons — no division, no
+    // rounding convention needed; both engines evaluate identical BIGINT
+    // arithmetic. sum(len(tok)) uses the single-char-split identity
+    // len(text) - (ntok - 1).
+    "q79_quality_gate" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') ts FROM documents),
+        |m AS (SELECT doc_id, CAST(len(ts) AS BIGINT) ntok,
+        |  CAST(len(text) - len(ts) + 1 AS BIGINT) sumlen,
+        |  CAST(len(list_distinct(ts)) AS BIGINT) nd,
+        |  CAST(len(list_intersect(ts, ['the','a','of','to','and'])) AS BIGINT) nstop FROM t)
+        |SELECT doc_id, ntok,
+        |  ntok < 16 AS f_short,
+        |  ntok > 96 AS f_long,
+        |  (sumlen < ntok * 4 OR sumlen * 10 > ntok * 52) AS f_len,
+        |  nd * 100 < ntok * 35 AS f_ttr,
+        |  nstop < 2 AS f_stop,
+        |  NOT (ntok < 16 OR ntok > 96 OR sumlen < ntok * 4
+        |    OR sumlen * 10 > ntok * 52 OR nd * 100 < ntok * 35
+        |    OR nstop < 2) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q80: bucket + membership checksum reproduce hash60 via md5 (the
+    // established cross-engine convention, q78's form).
+    "q80_split_manifest" ->
+      """WITH d AS (SELECT doc_id, source, text,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |a AS (SELECT doc_id, source, text, h,
+        |    CASE WHEN h % 100 < 90 THEN 'train'
+        |         WHEN h % 100 < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM d)
+        |SELECT split, source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |  CAST(sum(h % 1000000007) AS BIGINT) AS id_sum
+        |FROM a GROUP BY split, source ORDER BY split, source""".stripMargin,
+
+    // q81: idf takes one of nSources distinct ln values (small-integer
+    // ratios — identical doubles in both engines); the product with the
+    // BIGINT tf is then exact IEEE arithmetic on identical operands, so
+    // the (score desc, term asc) rank and the round6-ed score agree
+    // bit-for-bit.
+    "q81_source_tfidf" ->
+      """WITH terms AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT source, term, CAST(count(*) AS BIGINT) tf FROM terms GROUP BY 1, 2),
+        |sfq AS (SELECT term, CAST(count(*) AS BIGINT) sf FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT source) AS BIGINT) n_src FROM documents),
+        |sc AS (SELECT source, term, tf, sf,
+        |    tf * ln(CAST(n_src AS DOUBLE) / CAST(sf AS DOUBLE)) AS score
+        |  FROM tf JOIN sfq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY source ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT source, rank, term, tf, sf,
+        |  floor(score * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

@@ -270,6 +270,39 @@ object Pipeline {
     }
   }
 
+  /** Deterministic train/val/test split manifest (q80): every document
+    * hashes to a bucket in [0, 100) via the engine's content hash over
+    * its id — seedless and engine-reproducible, so ANY worker (or any
+    * future rerun over a grown corpus) assigns the same document to the
+    * same split with no coordination, the property a 100 TB pipeline
+    * needs to split without a shuffle or a stored assignment table.
+    * Buckets < 90 train, < 95 val, else test.
+    *
+    * Emits the per-(split, source) MANIFEST rather than the raw
+    * assignment stream: doc/token counts plus an order-free id checksum
+    * (sum of hash60(doc_id) mod p) — the checksum certifies the exact
+    * membership of every cell (a single doc in the wrong split moves two
+    * cell checksums), so the oracle compare covers each assignment while
+    * the output stays nSplits × nSources rows at any SF. One map-side-
+    * combined aggregation; the assignment itself never shuffles.
+    */
+  def splitManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id", $"source", $"text",
+        (expr("hash60(cast(doc_id as string))") % 100).as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 90, "train").when($"bucket" < 95, "val")
+          .otherwise("test"))
+      .groupBy($"split", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " "))).cast("long").as("n_tokens"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"),
+        sum(expr("hash60(cast(doc_id as string)) % 1000000007")).as("id_sum"))
+      .orderBy($"split", $"source")
+  }
+
   def tokenBudgetMix(s: SparkSession, dir: String, budget: Long = 800L,
                      nBuckets: Int = 64): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")

@@ -573,4 +573,88 @@ object TextAnalysis {
           ($"ntok" * $"total")) + lit(0.5)) / 1e6).as("mean_prob"))
       .orderBy($"doc_id")
   }
+
+  /** Hard quality gate with per-rule reason flags (q79) — the
+    * Gopher/C4-style document FILTER that precedes training, distinct
+    * from [[qualityScore]] (q27), which RANKS. Each document gets one
+    * boolean per rule plus the combined verdict, because a production
+    * filter must report WHY it dropped a document (the per-reason
+    * histogram is the knob-tuning artifact; auditing a filter that only
+    * says "dropped" means rerunning it rule by rule).
+    *
+    * Rules (thresholds tuned to this corpus's measured distribution so
+    * every flag fires on real rows): token count outside [16, 96]; mean
+    * token length outside [4.0, 5.2]; type/token ratio < 0.35; fewer
+    * than 2 distinct stopword types. All comparisons are INTEGER
+    * cross-multiplications (`sumlen*10 > ntok*52`, never
+    * `sumlen/ntok > 5.2`), so the gate is bit-exact against the oracle
+    * at every SF with no rounding convention needed. Token-length sum
+    * uses the split identity `sum(len(tok)) = len(text) - (ntok-1)` —
+    * single-char split guarantees it, so no second pass over the text.
+    *
+    * Pure per-row projection over native array expressions (split /
+    * array_distinct / array_intersect — no UDF, no HOF lambda): no
+    * shuffle, embarrassingly parallel at any scale.
+    */
+  def qualityGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "to", "and")
+    table(s, dir, "documents")
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("ntok"),
+        (length($"text") - size(split($"text", " ")) + 1).cast("long").as("sumlen"),
+        size(array_distinct(split($"text", " "))).cast("long").as("ndistinct"),
+        size(array_intersect(split($"text", " "),
+          array(stop.map(lit): _*))).cast("long").as("nstop"))
+      .select($"doc_id", $"ntok",
+        ($"ntok" < 16).as("f_short"),
+        ($"ntok" > 96).as("f_long"),
+        ($"sumlen" < $"ntok" * 4 || $"sumlen" * 10 > $"ntok" * 52).as("f_len"),
+        ($"ndistinct" * 100 < $"ntok" * 35).as("f_ttr"),
+        ($"nstop" < 2).as("f_stop"))
+      .withColumn("pass",
+        !($"f_short" || $"f_long" || $"f_len" || $"f_ttr" || $"f_stop"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-source characteristic-term profile (q81): the top-k terms of
+    * each source by tf-idf, where tf is the term's occurrence count in
+    * the source and idf = ln(nSources / nSourcesContaining) — the
+    * dataset-card "what distinguishes this slice" summary, and the
+    * cheap signal a mixture designer reads before weighting sources.
+    *
+    * Scale shape: the only corpus-sized stage is the token explode into
+    * the (source, term) count, which combines map-side; everything after
+    * runs on vocab-bounded frames (per-source tf, per-term source
+    * frequency, a broadcast 1-row source count) and the top-k window
+    * partitions by source over at most vocab rows. Output is
+    * nSources × k rows at ANY corpus size, so the oracle compare holds
+    * through sf10.
+    *
+    * Cross-engine determinism: idf takes one of nSources distinct values
+    * (ln of a small-integer ratio — identical doubles in both engines),
+    * tf·idf is then an exact IEEE product of identical operands, and the
+    * rank orders by (score desc, term asc) with the emitted score
+    * round6-ed by the shared convention.
+    */
+  def sourceTfidfProfile(s: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = table(s, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+    val sf = tf.groupBy($"term").agg(count(lit(1)).as("sf"))
+    val nSrc = table(s, dir, "documents")
+      .agg(countDistinct($"source").as("n_src"))
+    val w = Window.partitionBy($"source").orderBy($"score".desc, $"term".asc)
+    tf.join(sf, "term")
+      .crossJoin(broadcast(nSrc))
+      .withColumn("score",
+        $"tf" * log($"n_src".cast("double") / $"sf".cast("double")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= topK)
+      .select($"source", $"rank", $"term", $"tf", $"sf",
+        graft.Tables.round6($"score").as("tfidf"))
+      .orderBy($"source", $"rank")
+  }
 }

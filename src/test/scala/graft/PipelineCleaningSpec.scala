@@ -229,4 +229,77 @@ class PipelineCleaningSpec extends AnyFunSuite with SparkFixture {
       ("c", "e", 0L, 0.0),
       ("d", "e", 0L, 0.0))) // both empty: denominator 0 guarded to 0.0
   }
+
+  test("q79 fires each gate rule on its construction and passes the healthy doc") {
+    // one doc per rule, built to trip exactly the targeted flag(s)
+    val sixteenOk = "the of " + (1 to 14).map(i => f"wrd$i%02d").mkString(" ")
+    val dir = writeDocs(Seq(
+      0L -> "the of cc", // 3 tokens: f_short (mean len 7/3 also < 4 -> f_len)
+      1L -> ("the of " + (1 to 95).map(i => f"tk$i%03d").mkString(" ")), // 97: f_long
+      2L -> ("the of " + (1 to 14).map(_ => "extralongtoken").mkString(" ")), // mean len > 5.2: f_len (+ttr)
+      3L -> ("the of " + Seq.fill(14)("delta").mkString(" ")), // 3/16 distinct: f_ttr (mean 75/16 ok)
+      4L -> (1 to 16).map(i => f"tk$i%03d").mkString(" "), // 0 stop types: f_stop (mean 5.0 ok)
+      5L -> sixteenOk)) // 16 tokens, mean 75/16, ttr 1.0, 2 stop types: pass
+    val got = graft.operators.TextAnalysis.qualityGate(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))))
+      .toMap
+    assert(got(0L) === ((3L, true, false, true, false, false, false)))
+    assert(got(1L) === ((97L, false, true, false, false, false, false)))
+    assert(got(2L) === ((16L, false, false, true, true, false, false)))
+    assert(got(3L) === ((16L, false, false, false, true, false, false)))
+    assert(got(4L) === ((16L, false, false, false, false, true, false)))
+    assert(got(5L) === ((16L, false, false, false, false, false, true)))
+  }
+
+  test("q80 cells partition the corpus and certify membership via the id checksum") {
+    def hash60(x: String): Long =
+      new java.math.BigInteger(md5Hex(x).substring(0, 15), 16).longValue
+    val docs = (0L until 40L).map(i => i -> s"tok$i a b c")
+    val dir = writeDocs(docs)
+    val got = graft.operators.Pipeline.splitManifest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(6)))
+    // expected assignment replicated independently (md5-prefix arithmetic)
+    val exp = docs.map(_._1).groupBy { id =>
+      val b = hash60(id.toString) % 100
+      if (b < 90) "train" else if (b < 95) "val" else "test"
+    }
+    assert(got.map(_._2).sum === 40L, "every doc lands in exactly one cell")
+    got.foreach { case (split, nDocs, nTok, idSum) =>
+      val ids = exp(split)
+      assert(nDocs === ids.length.toLong, s"$split n_docs")
+      assert(nTok === 4L * ids.length, s"$split n_tokens")
+      assert(idSum === ids.map(i => hash60(i.toString) % 1000000007L).sum,
+        s"$split id_sum")
+    }
+    assert(got.map(_._1).toSet === exp.keySet, "only populated splits emit cells")
+  }
+
+  test("q81 ranks source-exclusive terms above shared ones with the exact ln score") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val dir = java.nio.file.Files.createTempDirectory("tfidf").toString
+    // shared terms score ln(2/2)=0; each source's exclusive term wins rank 1
+    Seq(
+      (0L, "common one two zebra zebra zebra", "a"),
+      (1L, "common one two", "a"),
+      (2L, "common one two quokka quokka", "b"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.sourceTfidfProfile(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val top = got.filter(_._2 == 1L).map(t => t._1 -> t).toMap
+    assert(top("a") === (("a", 1L, "zebra", 3L, 1L, r6(3.0 * math.log(2.0)))))
+    assert(top("b") === (("b", 1L, "quokka", 2L, 1L, r6(2.0 * math.log(2.0)))))
+    // shared-vocabulary terms all score exactly 0 and fill the remaining
+    // ranks in term order
+    val aTail = got.filter(t => t._1 == "a" && t._2 > 1L).map(t => (t._3, t._6))
+    assert(aTail.toSeq === Seq("common" -> 0.0, "one" -> 0.0, "two" -> 0.0))
+  }
 }
