@@ -643,11 +643,21 @@ object TextAnalysis {
     val tf = table(s, dir, "documents")
       .select($"source", explode(split($"text", " ")).as("term"))
       .groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
-    val sf = tf.groupBy($"term").agg(count(lit(1)).as("sf"))
+    // sf (source frequency) as a count-over-window on the vocab-bounded
+    // tf frame — the groupBy-then-join formulation re-evaluated the
+    // corpus explode for the sf consumer (two full Generate+scan
+    // subtrees in the physical plan); this shape pays the explode ONCE
+    // and every later stage runs on at most vocab x nSources rows.
+    // n_src reads the raw table rather than tf for the same reason: off
+    // tf it would replay the explode a second time, off the table it is
+    // a column-pruned scan of the dictionary-encoded `source` column —
+    // no Generate anywhere in its subtree.
+    val withSf = tf.withColumn("sf",
+      count(lit(1)).over(Window.partitionBy($"term")).cast("long"))
     val nSrc = table(s, dir, "documents")
       .agg(countDistinct($"source").as("n_src"))
     val w = Window.partitionBy($"source").orderBy($"score".desc, $"term".asc)
-    tf.join(sf, "term")
+    withSf
       .crossJoin(broadcast(nSrc))
       .withColumn("score",
         $"tf" * log($"n_src".cast("double") / $"sf".cast("double")))
