@@ -105,6 +105,8 @@ object SparkEntry {
     "q79_quality_gate" -> ((s, d) => TextAnalysis.qualityGate(s, d)),
     "q80_split_manifest" -> ((s, d) => Pipeline.splitManifest(s, d)),
     "q81_source_tfidf" -> ((s, d) => TextAnalysis.sourceTfidfProfile(s, d)),
+    "q82_embed_stats" -> ((s, d) => Similarity.embedStats(s, d)),
+    "q83_stream_quality_gate" -> ((s, d) => graft.streaming.StreamOps.qualityGateStreamed(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1114,6 +1116,44 @@ object SparkEntry {
         |SELECT source, rank, term, tf, sf,
         |  floor(score * 1000000.0 + 0.5) / 1000000.0 AS tfidf
         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    // q82: float sums re-associate under partial aggregation, so the
+    // stats quantize components to integers (floor(c*1e6+0.5), the
+    // engine-shared rounding form — float->double is exact in both
+    // engines) and sum BIGINTs order-free. DuckDB's sum(BIGINT) widens
+    // to HUGEINT, hence the casts back.
+    "q82_embed_stats" ->
+      """WITH base AS (SELECT label, vec_id, len(embedding) nd, embedding FROM embeddings),
+        |c AS (SELECT label, CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) qc FROM base),
+        |per AS (SELECT label, CAST(sum(qc) AS BIGINT) sum_q, CAST(sum(qc * qc) AS BIGINT) sum_q2 FROM c GROUP BY label),
+        |v AS (SELECT label, CAST(count(*) AS BIGINT) n_vecs, CAST(max(nd) AS BIGINT) n_dims FROM base GROUP BY label)
+        |SELECT label, n_vecs, n_dims, sum_q, sum_q2,
+        |  floor(sum_q / (n_vecs * n_dims * 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS mean_comp,
+        |  floor(sum_q2 / (n_vecs * 1000000000000.0) * 1000000.0 + 0.5) / 1000000.0 AS mean_energy
+        |FROM per JOIN v USING (label) ORDER BY label""".stripMargin,
+
+    // q83: the streamed router's per-source rollup under the aggregate
+    // form of q79's rule battery; n_misrouted is the file-level
+    // routing cross-check, identically 0 when every row landed in the
+    // sink its own flags dictate.
+    "q83_stream_quality_gate" ->
+      """WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') ts FROM documents),
+        |m AS (SELECT source, CAST(len(ts) AS BIGINT) ntok,
+        |  CAST(len(text) - len(ts) + 1 AS BIGINT) sumlen,
+        |  CAST(len(list_distinct(ts)) AS BIGINT) nd,
+        |  CAST(len(list_intersect(ts, ['the','a','of','to','and'])) AS BIGINT) nstop FROM t),
+        |f AS (SELECT source, ntok < 16 AS f_short, ntok > 96 AS f_long,
+        |  (sumlen < ntok * 4 OR sumlen * 10 > ntok * 52) AS f_len,
+        |  nd * 100 < ntok * 35 AS f_ttr, nstop < 2 AS f_stop FROM m)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN NOT (f_short OR f_long OR f_len OR f_ttr OR f_stop) THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(sum(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |  CAST(sum(CASE WHEN f_long THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+        |  CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+        |  CAST(sum(CASE WHEN f_ttr THEN 1 ELSE 0 END) AS BIGINT) AS n_ttr,
+        |  CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+        |  CAST(0 AS BIGINT) AS n_misrouted
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

@@ -920,4 +920,54 @@ object Similarity {
         expr("aggregate(transform(q, (x, i) -> x * (cast(i as bigint) + 1)), cast(0 as bigint), (a, x) -> a + x)").as("q_check"))
       .orderBy($"vec_id")
   }
+
+  /** Per-label embedding sanity stats (q82) — the dataset-card check run
+    * before an embedding corpus feeds training or ANN indexing: are the
+    * vectors unit-norm (mean_energy ≈ 1), centered (mean_comp ≈ 0), and
+    * uniformly dimensioned? A broken encoder batch (zeroed, unnormalized,
+    * or truncated vectors) shows up here before it poisons similarity
+    * thresholds downstream.
+    *
+    * Determinism: float sums re-associate under partial aggregation, so
+    * double sums would hash-differ run to run; components are instead
+    * quantized to integers (floor(c·1e6 + 0.5) — float→double exact, the
+    * engine-shared rounding form), and BIGINT sums are order-free.
+    * Overflow headroom: unit-norm vectors give Σq² ≈ 1e12 per vector, so
+    * the per-label long sum holds ~9 M vectors; beyond that the same
+    * query runs with DECIMAL(38) sums or coarser quantization — noted,
+    * not needed at this corpus's label cardinality.
+    *
+    * One kernel pass per vector (no per-component explode) feeding a
+    * map-side-combined label aggregate: label-cardinality output rows at
+    * any corpus size, no skew (labels are balanced by construction; a
+    * skewed label still only concentrates a LONG-triple aggregate, not
+    * row data).
+    */
+  def embedStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.table(s, dir, "embeddings")
+      .select($"label", $"embedding").as[(Int, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (label, emb) =>
+          var i = 0; var sq = 0L; var sq2 = 0L
+          while (i < emb.length) {
+            val q = math.floor(emb(i).toDouble * 1e6 + 0.5).toLong
+            sq += q; sq2 += q * q; i += 1
+          }
+          (label, emb.length.toLong, sq, sq2)
+        }
+      }.toDF("label", "nd", "sq", "sq2")
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        max($"nd").as("n_dims"),
+        sum($"sq").as("sum_q"),
+        sum($"sq2").as("sum_q2"))
+      .select($"label", $"n_vecs", $"n_dims", $"sum_q", $"sum_q2",
+        graft.Tables.round6($"sum_q" /
+          ($"n_vecs" * $"n_dims" * lit(1e6))).as("mean_comp"),
+        graft.Tables.round6($"sum_q2" /
+          ($"n_vecs" * lit(1e12))).as("mean_energy"))
+      .orderBy($"label")
+  }
 }

@@ -598,23 +598,38 @@ object TextAnalysis {
     */
   def qualityGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    gateFlags(table(s, dir, "documents"))
+      .select($"doc_id", $"ntok", $"f_short", $"f_long", $"f_len",
+        $"f_ttr", $"f_stop", $"pass")
+      .orderBy($"doc_id")
+  }
+
+  /** The q79 rule battery over ANY frame with (doc_id, text) — appends
+    * ntok + the five flags + pass, keeping every other input column.
+    * Shared by the batch gate and the streaming router (q83): ONE rule
+    * definition, so the stream cannot drift from the batch oracle.
+    */
+  def gateFlags(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val stop = Seq("the", "a", "of", "to", "and")
-    table(s, dir, "documents")
-      .select($"doc_id",
-        size(split($"text", " ")).cast("long").as("ntok"),
-        (length($"text") - size(split($"text", " ")) + 1).cast("long").as("sumlen"),
-        size(array_distinct(split($"text", " "))).cast("long").as("ndistinct"),
+    docs
+      .withColumn("ntok", size(split($"text", " ")).cast("long"))
+      .withColumn("sumlen",
+        (length($"text") - size(split($"text", " ")) + 1).cast("long"))
+      .withColumn("ndistinct",
+        size(array_distinct(split($"text", " "))).cast("long"))
+      .withColumn("nstop",
         size(array_intersect(split($"text", " "),
-          array(stop.map(lit): _*))).cast("long").as("nstop"))
-      .select($"doc_id", $"ntok",
-        ($"ntok" < 16).as("f_short"),
-        ($"ntok" > 96).as("f_long"),
-        ($"sumlen" < $"ntok" * 4 || $"sumlen" * 10 > $"ntok" * 52).as("f_len"),
-        ($"ndistinct" * 100 < $"ntok" * 35).as("f_ttr"),
-        ($"nstop" < 2).as("f_stop"))
+          array(stop.map(lit): _*))).cast("long"))
+      .withColumn("f_short", $"ntok" < 16)
+      .withColumn("f_long", $"ntok" > 96)
+      .withColumn("f_len",
+        $"sumlen" < $"ntok" * 4 || $"sumlen" * 10 > $"ntok" * 52)
+      .withColumn("f_ttr", $"ndistinct" * 100 < $"ntok" * 35)
+      .withColumn("f_stop", $"nstop" < 2)
       .withColumn("pass",
         !($"f_short" || $"f_long" || $"f_len" || $"f_ttr" || $"f_stop"))
-      .orderBy($"doc_id")
+      .drop("sumlen", "ndistinct", "nstop")
   }
 
   /** Per-source characteristic-term profile (q81): the top-k terms of

@@ -447,6 +447,83 @@ object StreamOps {
     }
   }
 
+  /** Streaming quality-gate ROUTER (q83): q79's rule battery applied at
+    * corpus INGEST — one real Structured Streaming run (`readStream` over
+    * the documents file, `Trigger.AvailableNow`) whose `foreachBatch`
+    * routes passing rows to the corpus sink and failures, WITH their
+    * reason flags, to a dead-letter sink. That two-sink split is the
+    * production ingest shape: the clean corpus accretes append-only
+    * while rejected documents stay auditable per-reason instead of
+    * vanishing.
+    *
+    * The rules are literally [[graft.operators.TextAnalysis.gateFlags]]
+    * — one definition, so the stream CANNOT drift from the batch gate
+    * q79 oracles. Correctness closes the loop through the files: the
+    * returned per-source rollup (doc/pass/per-reason counts plus an
+    * `n_misrouted` cross-check of each row's sink against its own flags,
+    * constant 0) is computed from the READ-BACK sink parquet, so a row
+    * lost, duplicated, or routed to the wrong sink breaks the oracle
+    * hash — the same file-certified pattern as q47/q59/q72/q78.
+    *
+    * Scale: the gate is stateless (no watermark, no state store) — each
+    * micro-batch routes independently, so throughput is the parquet
+    * write rate; the collect is one row per source.
+    */
+  def qualityGateStreamed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    // [d] glob: same single-file stream addressing trick as q43/q47/q59
+    val stream = s.readStream.schema(raw.schema).parquet(s"$dir/[d]ocuments.parquet")
+    val work = java.nio.file.Files.createTempDirectory("q83_gate")
+    val passDir = work.resolve("pass").toString
+    val failDir = work.resolve("fail").toString
+    try {
+      val q = graft.operators.TextAnalysis.gateFlags(stream)
+        .writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // one gate evaluation per batch: persist before the two
+          // filtered writes or the rule battery (and the upstream read)
+          // runs twice per micro-batch
+          val b = batch.persist()
+          b.where(col("pass")).write.mode("append").parquet(passDir)
+          b.where(!col("pass")).write.mode("append").parquet(failDir)
+          b.unpersist(); ()
+        }
+        .start()
+      q.awaitTermination()
+      // a sink no batch wrote to has no parquet files (a corpus that
+      // passes or fails wholesale is legal) — substitute its empty frame
+      def readSink(p: String, routed: Boolean): DataFrame = {
+        val hasFiles = {
+          val f = new java.io.File(p)
+          f.exists && f.listFiles().exists(_.getName.endsWith(".parquet"))
+        }
+        val base =
+          if (hasFiles) s.read.parquet(p)
+          else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            graft.operators.TextAnalysis.gateFlags(raw).schema)
+        base.withColumn("routed_pass", lit(routed))
+      }
+      val rollup = readSink(passDir, routed = true)
+        .unionByName(readSink(failDir, routed = false))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when($"pass", 1L).otherwise(0L)).as("n_pass"),
+          sum(when($"f_short", 1L).otherwise(0L)).as("n_short"),
+          sum(when($"f_long", 1L).otherwise(0L)).as("n_long"),
+          sum(when($"f_len", 1L).otherwise(0L)).as("n_len"),
+          sum(when($"f_ttr", 1L).otherwise(0L)).as("n_ttr"),
+          sum(when($"f_stop", 1L).otherwise(0L)).as("n_stop"),
+          sum(when($"routed_pass" =!= $"pass", 1L).otherwise(0L)).as("n_misrouted"))
+      val rows = rollup.collect().toSeq // bounded: one row per source
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), rollup.schema)
+        .orderBy($"source")
+    } finally deleteRecursively(work.toFile)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit

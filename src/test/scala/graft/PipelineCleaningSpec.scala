@@ -302,4 +302,25 @@ class PipelineCleaningSpec extends AnyFunSuite with SparkFixture {
     val aTail = got.filter(t => t._1 == "a" && t._2 > 1L).map(t => (t._3, t._6))
     assert(aTail.toSeq === Seq("common" -> 0.0, "one" -> 0.0, "two" -> 0.0))
   }
+
+  test("q82 per-label sums are the exact quantized-component arithmetic") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("embstats").toString
+    Seq(
+      (0L, Array(1.0f, -0.5f), 0),
+      (1L, Array(0.25f, 0.25f), 0),
+      (2L, Array(0.0f, 2.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("label", org.apache.spark.sql.functions.col("label").cast("int"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.Similarity.embedStats(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // label 0: q = (1e6, -5e5), (2.5e5, 2.5e5) -> sum_q 1e6,
+    //   sum_q2 = 1e12 + 2.5e11 + 2*6.25e10 = 1.375e12
+    assert(got(0) === ((2L, 2L, 1000000L, 1375000000000L, 0.25, 0.6875)))
+    // label 1: q = (0, 2e6) -> sum_q 2e6, sum_q2 4e12
+    assert(got(1) === ((1L, 2L, 2000000L, 4000000000000L, 1.0, 4.0)))
+  }
 }

@@ -285,4 +285,45 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
         f"(${streamed.size - agree} of ${streamed.size} flipped)")
     info(f"q59@0.8 keep-decision agreement: $rate%.3f over ${streamed.size} docs")
   }
+
+  test("q83 streamed router rollup equals the batch gate; nothing misroutes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("q83fix").toString
+    // mixed fixture: doc 0 fails (short), docs 1-2 pass, doc 3 fails (no
+    // stopwords) — two sources so the rollup has >1 row and each sink
+    // receives rows
+    val pass16 = "the of " + (1 to 14).map(i => f"wrd$i%02d").mkString(" ")
+    Seq(
+      (0L, "the of cc", "sA"),
+      (1L, pass16, "sA"),
+      (2L, pass16, "sB"),
+      (3L, (1 to 16).map(i => f"tk$i%03d").mkString(" "), "sB"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = StreamOps.qualityGateStreamed(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(8))))
+      .toMap
+    assert(got("sA") === ((2L, 1L, 0L))) // n_docs, n_pass, n_misrouted
+    assert(got("sB") === ((2L, 1L, 0L)))
+    // streamed rollup equals the batch gate's aggregation (same rule
+    // battery by construction; this pins the file round trip)
+    val batch = graft.operators.TextAnalysis.qualityGate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+    assert(batch === Map(0L -> false, 1L -> true, 2L -> true, 3L -> false))
+  }
+
+  test("q83 routes a wholesale-failing corpus without a pass sink") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("q83all").toString
+    Seq((0L, "a b", "s0"), (1L, "c d", "s0"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = StreamOps.qualityGateStreamed(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(8)))
+    assert(got.toSeq === Seq(("s0", 2L, 0L, 0L)))
+  }
 }
