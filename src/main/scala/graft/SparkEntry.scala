@@ -107,6 +107,7 @@ object SparkEntry {
     "q81_source_tfidf" -> ((s, d) => TextAnalysis.sourceTfidfProfile(s, d)),
     "q82_embed_stats" -> ((s, d) => Similarity.embedStats(s, d)),
     "q83_stream_quality_gate" -> ((s, d) => graft.streaming.StreamOps.qualityGateStreamed(s, d)),
+    "q84_archive_compact" -> ((s, d) => EventOps.archiveCompact(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1154,6 +1155,17 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
         |  CAST(0 AS BIGINT) AS n_misrouted
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    // q84: per-day rollup of the COMPACTED archive slice vs the original
+    // table — certifies the rewrite + rename swap preserved every row.
+    "q84_archive_compact" ->
+      """SELECT strftime(ts, '%Y%m%d') AS date, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |  max(epoch_us(ts)) AS max_ts_us,
+        |  min(event_id) AS min_event_id
+        |FROM events
+        |WHERE epoch_us(ts) < (SELECT min(epoch_us(ts)) FROM events) + CAST(5 AS BIGINT) * 86400 * 1000000
+        |GROUP BY 1 ORDER BY date""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

@@ -315,6 +315,63 @@ object EventOps {
       .orderBy($"event_type")
   }
 
+  /** Archive compaction under the correctness gate (q84): the first five
+    * days of events stream into a FRESH archive with a small rotation cap
+    * (so every date partition lands as many small `.tri` files — the
+    * shape a micro-batching store leaves behind), every (date, client)
+    * partition is compacted through [[graft.sources.Archive.compact]]'s
+    * rename swap, and the post-compaction range read aggregates per day
+    * under an oracle on the original table — a row lost, duplicated, or
+    * decoded differently by the rewrite hash-mismatches. The per-call
+    * write is the operator's fixture (compaction mutates its input, so
+    * the q33 pinned-archive trick cannot apply); the 5-day slice bounds
+    * it. The unit test additionally pins the file-count mechanics
+    * (many -> ceil(n/cap), idempotent re-compact), which the data-level
+    * oracle cannot see.
+    *
+    * The cutoff derives from min(ts_us) via one 1-row action — the same
+    * bounded-driver pattern as q47's sentinel.
+    */
+  def archiveCompact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val minUs = ev.agg(min($"ts_us")).head.getLong(0)
+    val cutoff = minUs + 5L * 86400L * 1000000L
+    val slice = ev.where($"ts_us" < cutoff)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val work = java.nio.file.Files.createTempDirectory("q84_compact")
+    try {
+      val root = work.resolve("archive").toString
+      graft.sources.Archive.store(slice, root, "graft", maxRecordsPerFile = 512)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val dates = fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("date=")).map(_.stripPrefix("date="))
+      dates.foreach { d =>
+        val (b, a) = graft.sources.Archive.compact(s, root, "graft", d)
+        require(a <= b, s"compact grew $d: $b -> $a")
+      }
+      val rolled = graft.sources.Archive
+        .read(s, root, "graft", "00000000", "99999999")
+        .groupBy(date_format($"ts", "yyyyMMdd").as("date"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(12, 2))).cast("double").as("sum_value"),
+          max(unix_micros($"ts")).as("max_ts_us"),
+          min($"event_id").as("min_event_id"))
+        .orderBy($"date")
+      val rows = rolled.collect().toSeq // bounded: one row per day in the slice
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), rolled.schema)
+        .orderBy($"date")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(work.toFile)
+    }
+  }
+
   /** One pinned `.tri` archive per source dataset per JVM: the archive is
     * written on first use and reused by later invocations (the bench's
     * steady pass then times read+decode, not a repeated write), keyed by

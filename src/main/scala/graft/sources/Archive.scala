@@ -81,6 +81,59 @@ object Archive {
     if (client.nonEmpty) df.where(col("client") === client) else df
   }
 
+  /** Compact one (date, client) partition of the archive — the maintenance
+    * job a streaming store makes necessary: `foreachBatch` appends one
+    * `.tri` file per (micro-batch, task), so a day of 5-second batches
+    * leaves thousands of files, each a listing entry and (the format is
+    * non-splittable) a separate read task. Compaction rewrites the
+    * partition as ceil(records / maxRecordsPerFile) files and swaps
+    * directories in two renames, via hidden (`.`-prefixed) staging and
+    * backup names that Spark's partition discovery never sees — so a
+    * reader observes either the old file set or the new one, modulo the
+    * instant between the renames (run under the maintenance window or a
+    * coordinator lock; the reference makes the same single-writer
+    * assumption for its uploader). Failure windows: before the first
+    * rename nothing changed; a failed second rename rolls the backup
+    * back; the final backup delete is retryable garbage. On a
+    * rename-as-copy object store the swap degrades to copy+delete —
+    * still correct, not atomic.
+    *
+    * Returns (filesBefore, filesAfter); partitions already at one file
+    * (or absent) are left untouched.
+    */
+  def compact(spark: SparkSession, root: String, client: String, date: String,
+              maxRecordsPerFile: Long = 1000000L): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
+    val conf = spark.sessionState.newHadoopConf()
+    val partDir = new Path(new Path(root, s"date=${esc(date)}"), s"client=${esc(client)}")
+    val fs = partDir.getFileSystem(conf)
+    if (!fs.exists(partDir)) return (0L, 0L)
+    def dataFiles(p: Path) = fs.listStatus(p).filter { f =>
+      val n = f.getPath.getName
+      f.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val before = dataFiles(partDir).length.toLong
+    if (before <= 1) return (before, before)
+    val df = spark.read.format("tri").load(partDir.toString)
+    val n = df.count()
+    val nFiles = math.max(1L, (n + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt
+    val tmp = new Path(partDir.getParent, s".compact_${partDir.getName}")
+    val bak = new Path(partDir.getParent, s".bak_${partDir.getName}")
+    fs.delete(tmp, true); fs.delete(bak, true)
+    df.repartition(nFiles).write.format("tri")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite").save(tmp.toString)
+    if (!fs.rename(partDir, bak))
+      throw new java.io.IOException(s"compact: cannot stage $partDir")
+    if (!fs.rename(tmp, partDir)) {
+      fs.rename(bak, partDir) // rollback: the old partition comes back
+      throw new java.io.IOException(s"compact: cannot swap in $tmp")
+    }
+    fs.delete(bak, true)
+    (before, dataFiles(partDir).length.toLong)
+  }
+
   /** Distinct `client` partition values present in [startDate, endDate],
     * from the directory layout alone (`date=YYYYMMDD/client=<c>/`). The
     * per-date listings run concurrently: on an object store each LIST is

@@ -274,4 +274,34 @@ class TriArchiveSpec extends AnyFunSuite with SparkFixture {
     assert(Archive.archiveKey("20240105", "events", "clientA", 1704448800L)
       === "20240105/events-clientA-1704448800.tri")
   }
+
+  test("compact collapses a small-file partition, preserves rows, and is idempotent") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("tri_compact").resolve("archive").toString
+    // 20 rows on one day, rotation cap 3 -> ceil(20/3)-ish files per task
+    val df = (1L to 20L).map(i => (i, "click", i * 0.5, f"2024-01-05 10:00:${i % 60}%02d"))
+      .toDF("event_id", "event_type", "value", "t")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+    Archive.store(df, root, "cA", maxRecordsPerFile = 3)
+    val partDir = new java.io.File(s"$root/date=20240105/client=cA")
+    def files() = partDir.listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val before = files().length
+    assert(before > 1, s"fixture should fragment, got $before file(s)")
+    val preRows = Archive.read(spark, root, "cA", "20240101", "20241231")
+      .select("event_id", "event_type", "value").collect().map(_.toSeq).toSet
+    val (b, a) = Archive.compact(spark, root, "cA", "20240105")
+    assert(b === before.toLong && a === 1L, s"expected $before -> 1, got $b -> $a")
+    assert(files().length === 1)
+    // no hidden staging/backup leftovers
+    assert(!new java.io.File(s"$root/date=20240105/.bak_client=cA").exists)
+    assert(!new java.io.File(s"$root/date=20240105/.compact_client=cA").exists)
+    val postRows = Archive.read(spark, root, "cA", "20240101", "20241231")
+      .select("event_id", "event_type", "value").collect().map(_.toSeq).toSet
+    assert(postRows === preRows, "compaction must preserve the exact row set")
+    // idempotent: a single-file partition is left untouched
+    assert(Archive.compact(spark, root, "cA", "20240105") === ((1L, 1L)))
+    // absent partitions are a no-op, not an error
+    assert(Archive.compact(spark, root, "cA", "19990101") === ((0L, 0L)))
+  }
 }
