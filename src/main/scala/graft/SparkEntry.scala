@@ -108,6 +108,8 @@ object SparkEntry {
     "q82_embed_stats" -> ((s, d) => Similarity.embedStats(s, d)),
     "q83_stream_quality_gate" -> ((s, d) => graft.streaming.StreamOps.qualityGateStreamed(s, d)),
     "q84_archive_compact" -> ((s, d) => EventOps.archiveCompact(s, d)),
+    "q85_zipf_profile" -> ((s, d) => TextAnalysis.zipfProfile(s, d)),
+    "q86_hourly_anomaly" -> ((s, d) => EventOps.hourlyAnomaly(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1166,6 +1168,57 @@ object SparkEntry {
         |FROM events
         |WHERE epoch_us(ts) < (SELECT min(epoch_us(ts)) FROM events) + CAST(5 AS BIGINT) * 86400 * 1000000
         |GROUP BY 1 ORDER BY date""".stripMargin,
+
+    // q85: both engines quantize ln(rank)/ln(freq) to BIGINT
+    // (floor(ln·1e6+0.5) on exact integer inputs), sum the OLS moments
+    // order-free in integers, and divide once in doubles on identical
+    // operands. DuckDB's sum(BIGINT) widens to HUGEINT — cast back.
+    "q85_zipf_profile" ->
+      """WITH tf AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |cnt AS (SELECT source, term, CAST(count(*) AS BIGINT) tf FROM tf GROUP BY 1, 2),
+        |rk AS (SELECT source, tf,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY tf DESC, term ASC) AS BIGINT) AS rank
+        |  FROM cnt),
+        |q AS (SELECT source, tf,
+        |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) x,
+        |    CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) y
+        |  FROM rk),
+        |agg AS (SELECT source, CAST(count(*) AS BIGINT) vocab, CAST(sum(tf) AS BIGINT) n_tokens,
+        |    CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+        |    CAST(sum(x * y) AS BIGINT) sxy, CAST(sum(x * x) AS BIGINT) sxx
+        |  FROM q GROUP BY source)
+        |SELECT source, vocab, n_tokens,
+        |  floor((CAST(vocab AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |        (CAST(vocab AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope
+        |FROM agg ORDER BY source""".stripMargin,
+
+    // q86: integer hourly counts, integer trailing moment sums, one
+    // double mean/variance/sqrt/z on identical operands; warmup and
+    // zero-variance hours pin z = 0 / has_baseline false so no
+    // NULL-vs-NaN convention ever reaches the compare.
+    "q86_hourly_anomaly" ->
+      """WITH hourly AS (SELECT event_type,
+        |    CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS hour_epoch,
+        |    CAST(count(*) AS BIGINT) n
+        |  FROM events GROUP BY 1, 2),
+        |wn AS (SELECT event_type, hour_epoch, n,
+        |    CAST(count(*) OVER w AS BIGINT) k,
+        |    CAST(sum(n) OVER w AS BIGINT) m,
+        |    CAST(sum(n * n) OVER w AS BIGINT) s2
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |sc AS (SELECT event_type, hour_epoch, n,
+        |    (k = 24 AND (24.0 * s2 - CAST(m * m AS DOUBLE)) / 552.0 > 0.0) AS has_baseline,
+        |    (CAST(n AS DOUBLE) - CAST(m AS DOUBLE) / 24.0) /
+        |      sqrt((24.0 * s2 - CAST(m * m AS DOUBLE)) / 552.0) AS z0
+        |  FROM wn)
+        |SELECT event_type, hour_epoch, n, has_baseline,
+        |  floor((CASE WHEN has_baseline THEN z0 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS z,
+        |  (has_baseline AND
+        |   abs(floor((CASE WHEN has_baseline THEN z0 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0) >= 3.0) AS is_spike
+        |FROM sc ORDER BY event_type, hour_epoch""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

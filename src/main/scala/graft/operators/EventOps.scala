@@ -372,6 +372,45 @@ object EventOps {
     }
   }
 
+  /** Hourly anomaly detection per event type (q86): each (event_type,
+    * hour) count scored as a z-score against its own trailing 24 full
+    * hours — the monitoring query an event pipeline runs over exactly
+    * this data to page on traffic spikes and silent drops. Hours without
+    * a complete 24-row baseline (the warmup edge) or a zero-variance
+    * baseline emit z = 0 with `has_baseline` false, so every hour is in
+    * the report and the oracle never compares NULL-vs-NaN conventions.
+    *
+    * Exactness: counts are integers, the trailing moment sums (Σn, Σn²)
+    * are integer window aggregates, and mean/variance/sqrt/z run in
+    * doubles on those exact operands — identical in both engines, then
+    * round6. Shape: one map-side-combined hourly aggregate (bounded at
+    * types × hours rows at ANY corpus size) and one window pass over it;
+    * the window partitions by event_type, which is types-bounded — skew
+    * concentrates an hours-long frame of longs, never row data.
+    */
+  def hourlyAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = events(s, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .select($"event_type", unix_seconds($"hour").as("hour_epoch"), $"n")
+    val w = Window.partitionBy($"event_type").orderBy($"hour_epoch")
+      .rowsBetween(-24, -1)
+    val stats = hourly
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("m", sum($"n").over(w))
+      .withColumn("s2", sum($"n" * $"n").over(w))
+    // sample variance over the 24-hour frame: (24·Σn² − (Σn)²) / (24·23)
+    val varr = (lit(24.0) * $"s2" - ($"m" * $"m").cast("double")) / lit(552.0)
+    val z = ($"n".cast("double") - $"m".cast("double") / lit(24.0)) / sqrt(varr)
+    stats
+      .withColumn("has_baseline", $"k" === 24 && varr > 0.0)
+      .withColumn("z", graft.Tables.round6(when($"has_baseline", z).otherwise(lit(0.0))))
+      .withColumn("is_spike", $"has_baseline" && abs($"z") >= 3.0)
+      .select($"event_type", $"hour_epoch", $"n", $"has_baseline", $"z", $"is_spike")
+      .orderBy($"event_type", $"hour_epoch")
+  }
+
   /** One pinned `.tri` archive per source dataset per JVM: the archive is
     * written on first use and reused by later invocations (the bench's
     * steady pass then times read+decode, not a repeated write), keyed by

@@ -682,4 +682,52 @@ object TextAnalysis {
         graft.Tables.round6($"score").as("tfidf"))
       .orderBy($"source", $"rank")
   }
+
+  /** Zipf profile per source (q85): vocabulary size, token mass, and the
+    * fitted rank-frequency slope — the corpus-statistics panel of a
+    * dataset card. Natural text follows freq ∝ rank^s with s ≈ -1;
+    * machine-generated or template-heavy slices bend the curve, so the
+    * per-source slope is a cheap generator-artifact detector.
+    *
+    * Fit: OLS of ln(freq) on ln(rank) over the source's full vocabulary.
+    * Cross-engine determinism is the design constraint: both ln values
+    * are quantized to BIGINT (floor(ln·1e6 + 0.5); inputs are exact
+    * small-integer doubles, so the lns agree to ulps and the quantized
+    * values match), the OLS moment sums are then order-free integer
+    * arithmetic, and only the final slope division runs in doubles — on
+    * identical operands. Long headroom: Σxy terms are ~(ln(v)·1e6)² ≈
+    * 3e14 at vocab 1e4 / freq 1e7 — 1e4 of them is 3e18, inside the
+    * long range for any corpus this engine's vocab-bounded frames target
+    * (a web-scale open vocabulary would move the sums to DECIMAL(38)).
+    *
+    * Shape: one corpus explode into the map-side-combined (source, term)
+    * count (the q81 stage, shared cost class), then windows and
+    * aggregates over vocab-bounded frames only.
+    */
+  def zipfProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def qln(c: org.apache.spark.sql.Column) =
+      floor(log(c) * lit(1000000.0) + lit(0.5)).cast("long")
+    val tf = table(s, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy($"source").orderBy($"tf".desc, $"term".asc)
+    val xy = tf
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select($"source", $"tf",
+        qln($"rank".cast("double")).as("x"), qln($"tf".cast("double")).as("y"))
+    xy.groupBy($"source")
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum($"tf").as("n_tokens"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"source", $"vocab", $"n_tokens",
+        graft.Tables.round6(
+          ($"vocab".cast("double") * $"sxy" - $"sx".cast("double") * $"sy") /
+          ($"vocab".cast("double") * $"sxx" - $"sx".cast("double") * $"sx"))
+          .as("zipf_slope"))
+      .orderBy($"source")
+  }
 }

@@ -323,4 +323,57 @@ class PipelineCleaningSpec extends AnyFunSuite with SparkFixture {
     // label 1: q = (0, 2e6) -> sum_q 2e6, sum_q2 4e12
     assert(got(1) === ((1L, 2L, 2000000L, 4000000000000L, 1.0, 4.0)))
   }
+
+  test("q85 slope matches the quantized-log OLS recomputed independently") {
+    // source A: freq 4, 2, 1 (ranks 1..3) — a clean descending profile;
+    // the expected slope replays the exact quantization + moment formula
+    val dir = writeDocs(Seq(
+      0L -> "aa aa aa bb cc",
+      1L -> "aa bb"))
+    val got = graft.operators.TextAnalysis.zipfProfile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def qln(v: Double): Long = math.floor(math.log(v) * 1e6 + 0.5).toLong
+    val freqs = Seq(4L, 2L, 1L) // aa=4, bb=2, cc=1
+    val xy = freqs.zipWithIndex.map { case (f, i) => (qln(i + 1.0), qln(f.toDouble)) }
+    val n = xy.size.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val (sxy, sxx) = (xy.map(t => t._1 * t._2).sum, xy.map(t => t._1 * t._1).sum)
+    val slope = (n * sxy - sx.toDouble * sy) / (n * sxx - sx.toDouble * sx)
+    val exp = math.floor(slope * 1e6 + 0.5) / 1e6
+    assert(got.toSeq === Seq(("t", 3L, 7L, exp)))
+    // sanity: the profile is Zipf-decreasing, so the fit must be negative
+    assert(exp < 0.0)
+  }
+
+  test("q86 flags the spike hour and withholds z until a full 24 h baseline") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("anomfix").toString
+    // 24 baseline hours alternating 9/11 events, then a 30-event spike
+    // hour; hour h gets `cnt(h)` rows
+    def cnt(h: Int): Int = if (h == 24) 30 else if (h % 2 == 0) 9 else 11
+    val rows = for {
+      h <- 0 to 24
+      i <- 1 to cnt(h)
+    } yield (h.toLong * 100 + i,
+      if (h == 24) "2024-03-02 00:00:00" else f"2024-03-01 $h%02d:00:00",
+      1L, "click", 1.0)
+    rows.toDF("event_id", "t", "user_id", "event_type", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("t"))).drop("t")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventOps.hourlyAnomaly(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getDouble(4), r.getBoolean(5)))
+    assert(got.length === 25)
+    // warmup hours: no baseline, z pinned to 0, never a spike
+    got.dropRight(1).foreach { case (_, _, hb, z, spike) =>
+      assert(!hb && z === 0.0 && !spike)
+    }
+    // the spike hour: 12x9 + 12x11 baseline -> m=240, s2=2424,
+    // var=(24*2424-240^2)/552, z=(30-10)/sqrt(var)
+    val varr = (24.0 * 2424 - 240.0 * 240) / 552.0
+    val expZ = math.floor((30.0 - 10.0) / math.sqrt(varr) * 1e6 + 0.5) / 1e6
+    val (_, n, hb, z, spike) = got.last
+    assert(n === 30L && hb && z === expZ && spike)
+  }
 }
