@@ -110,6 +110,8 @@ object SparkEntry {
     "q84_archive_compact" -> ((s, d) => EventOps.archiveCompact(s, d)),
     "q85_zipf_profile" -> ((s, d) => TextAnalysis.zipfProfile(s, d)),
     "q86_hourly_anomaly" -> ((s, d) => EventOps.hourlyAnomaly(s, d)),
+    "q87_event_funnel" -> ((s, d) => EventOps.eventFunnel(s, d)),
+    "q88_retention_cohorts" -> ((s, d) => EventOps.retentionCohorts(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1219,6 +1221,41 @@ object SparkEntry {
         |  (has_baseline AND
         |   abs(floor((CASE WHEN has_baseline THEN z0 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0) >= 3.0) AS is_spike
         |FROM sc ORDER BY event_type, hour_epoch""".stripMargin,
+
+    // q87: strict ordering — each stage's min ts among events strictly
+    // after the user's previous-stage entry; lags sum as integer
+    // microseconds, one double division for the mean.
+    "q87_event_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) t2, min(s1.t1) t1
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) t3, min(s2.t2) t2
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        |  GROUP BY e.user_id),
+        |rep AS (
+        |  SELECT '1_signup' stage, CAST(count(*) AS BIGINT) n_users, CAST(0 AS BIGINT) sum_lag_us FROM s1
+        |  UNION ALL
+        |  SELECT '2_click', CAST(count(*) AS BIGINT), CAST(coalesce(sum(t2 - t1), 0) AS BIGINT) FROM s2
+        |  UNION ALL
+        |  SELECT '3_purchase', CAST(count(*) AS BIGINT), CAST(coalesce(sum(t3 - t2), 0) AS BIGINT) FROM s3)
+        |SELECT stage, n_users, sum_lag_us,
+        |  floor((CASE WHEN n_users > 0 THEN sum_lag_us / (n_users * 3600000000.0) ELSE 0.0 END)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS mean_lag_hours
+        |FROM rep ORDER BY stage""".stripMargin,
+
+    // q88: integer epoch weeks (epoch_us // one-week-of-micros) — no
+    // calendar or timezone arithmetic to disagree on.
+    "q88_retention_cohorts" ->
+      """WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        |c AS (SELECT user_id, min(week) cohort_week FROM uw GROUP BY user_id)
+        |SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM uw JOIN c ON uw.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

@@ -376,4 +376,54 @@ class PipelineCleaningSpec extends AnyFunSuite with SparkFixture {
     val (_, n, hb, z, spike) = got.last
     assert(n === 30L && hb && z === expZ && spike)
   }
+
+  private def writeEvents(rows: Seq[(Long, String, Long, String)]): String = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evfix").toString
+    rows.toDF("event_id", "t", "user_id", "event_type")
+      .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("t"))).drop("t")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q87 funnel only counts strictly-ordered stage entries") {
+    val dir = writeEvents(Seq(
+      // user 1: full ordered funnel, 1 h then 2 h lags
+      (1L, "2024-03-01 10:00:00", 1L, "signup"),
+      (2L, "2024-03-01 11:00:00", 1L, "click"),
+      (3L, "2024-03-01 13:00:00", 1L, "purchase"),
+      // user 2: click BEFORE signup must not convert; purchase without
+      // a converting click must not either
+      (4L, "2024-03-01 09:00:00", 2L, "click"),
+      (5L, "2024-03-01 10:00:00", 2L, "signup"),
+      (6L, "2024-03-01 11:00:00", 2L, "purchase"),
+      // user 3: signup only
+      (7L, "2024-03-01 08:00:00", 3L, "signup")))
+    val got = graft.operators.EventOps.eventFunnel(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("1_signup", 3L, 0L, 0.0),
+      ("2_click", 1L, 3600000000L, 1.0),
+      ("3_purchase", 1L, 7200000000L, 2.0)))
+  }
+
+  test("q88 cohort triangle counts distinct users per epoch-week offset") {
+    // week boundaries are epoch-week multiples; 2024-03-01 ~ week 2826
+    val dir = writeEvents(Seq(
+      (1L, "2024-03-01 10:00:00", 1L, "click"),  // cohort w
+      (2L, "2024-03-08 10:00:00", 1L, "click"),  // w+1
+      (3L, "2024-03-01 11:00:00", 2L, "click"),  // cohort w, never again
+      (4L, "2024-03-08 09:00:00", 3L, "click"),  // cohort w+1
+      (5L, "2024-03-15 09:00:00", 3L, "click"))) // w+2 for its cohort -> offset 1
+    val got = graft.operators.EventOps.retentionCohorts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // session tz is UTC, so the fixture strings are UTC instants
+    val w = java.time.Instant.parse("2024-03-01T10:00:00Z").toEpochMilli * 1000L / 604800000000L
+    assert(got.toSeq === Seq(
+      (w, 0L, 2L), (w, 1L, 1L),
+      (w + 1, 0L, 1L), (w + 1, 1L, 1L)))
+  }
 }
