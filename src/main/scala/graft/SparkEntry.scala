@@ -112,6 +112,7 @@ object SparkEntry {
     "q86_hourly_anomaly" -> ((s, d) => EventOps.hourlyAnomaly(s, d)),
     "q87_event_funnel" -> ((s, d) => EventOps.eventFunnel(s, d)),
     "q88_retention_cohorts" -> ((s, d) => EventOps.retentionCohorts(s, d)),
+    "q89_gif_frame_sample" -> ((s, d) => Multimodal.gifFrameSample(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1256,6 +1257,20 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM uw JOIN c ON uw.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q89: each 4x4 frame's 16 pixel bytes ARE md5(doc_id:frame:text)
+    // (identity gray palette, GIF lossless at <=256 colors), so the
+    // decoded-pixel sum over the stride-2 sampled frames is restated
+    // from the generation rule — no codec in the oracle.
+    "q89_gif_frame_sample" ->
+      """WITH fr AS (SELECT doc_id, text, CAST(2 + doc_id % 6 AS BIGINT) n_frames FROM documents),
+        |sam AS (SELECT doc_id, n_frames, unnest(range(0, CAST(n_frames AS INT), 2)) f, text FROM fr),
+        |px AS (SELECT doc_id, n_frames, f,
+        |    md5(doc_id || ':' || f || ':' || text) h FROM sam)
+        |SELECT doc_id, any_value(n_frames) AS n_frames,
+        |  CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(sum(list_sum([CAST(concat('0x', substr(h, 2*i-1, 2)) AS BIGINT) for i in range(1, 17)])) AS BIGINT) AS pix_sum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

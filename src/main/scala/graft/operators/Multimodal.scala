@@ -351,6 +351,118 @@ object Multimodal {
     * The explode is partition-local; at scale frame rows shuffle only if a
     * downstream op groups them.
     */
+  /** Animated-GIF payload, emitted BY HAND to the GIF89a wire format:
+    * each 4×4 frame's 16 pixel bytes are exactly
+    * md5(s"$docId:$frame:$text") (a digest is 16 bytes — no cycling
+    * rule to restate), indexed into an identity grayscale palette so a
+    * decoded frame's red channel IS the original pixel byte. GIF is
+    * palette-indexed and lossless at ≤256 colors — the correctness
+    * lever that lets the oracle state decoded pixel sums without
+    * running a codec.
+    *
+    * Wire layout:
+    * header + logical screen descriptor, the 256-entry grayscale global
+    * color table, and per frame an image descriptor (no interlace, no
+    * local table) plus a valid literal-only LZW stream (CLEAR, 16
+    * 9-bit literals, END — the dictionary never reaches the 512-entry
+    * width bump, so fixed 9-bit codes are spec-correct).
+    *
+    * Hand emission is deliberate, for two reasons. Speed: the JDK GIF
+    * writer costs ~1.2 ms/payload in a per-row kernel — writeToSequence
+    * re-parses a 260-node metadata tree per frame (and without explicit
+    * metadata it either interlaces, which the JDK pair mis-round-trips
+    * below 8 rows — rows permuted and zeroed, measured — or swaps in a
+    * web-safe palette). Evidence: the DECODE stage still runs the real
+    * JDK codec, so the q89 oracle certifies a CROSS-IMPLEMENTATION
+    * round trip — this writer's bytes through Sun's LZW decoder —
+    * which is stronger than same-library symmetry.
+    */
+  private[graft] def buildGif(docId: Long, text: String): Array[Byte] = {
+    val nFrames = (2L + docId % 6L).toInt
+    val out = new java.io.ByteArrayOutputStream(1024)
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(4); out.write(0); out.write(4); out.write(0) // screen 4x4, LE
+    out.write(0xF7) // global color table, 8-bit color, 256 entries
+    out.write(0); out.write(0) // background index, aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var f = 0
+    while (f < nFrames) {
+      val digest = md.digest(
+        s"$docId:$f:$text".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.write(0x2C) // image descriptor
+      out.write(0); out.write(0); out.write(0); out.write(0) // left, top
+      out.write(4); out.write(0); out.write(4); out.write(0) // 4x4
+      out.write(0x00) // no local table, no interlace
+      out.write(8)    // LZW minimum code size
+      // 9-bit codes LSB-first: CLEAR(256), 16 pixel literals, END(257)
+      var acc = 0L; var nbits = 0
+      val blk = new java.io.ByteArrayOutputStream(24)
+      def put(code: Int): Unit = {
+        acc |= code.toLong << nbits; nbits += 9
+        while (nbits >= 8) { blk.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+      }
+      put(256)
+      var p = 0
+      while (p < 16) { put(digest(p) & 0xff); p += 1 }
+      put(257)
+      if (nbits > 0) blk.write((acc & 0xff).toInt)
+      out.write(blk.size()) // one sub-block (21 bytes)
+      blk.writeTo(out)
+      out.write(0) // block terminator
+      f += 1
+    }
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** VIDEO-style frame sampling over a real multi-frame container (q89):
+    * build an animated GIF per document, then run the standard video
+    * preprocessing primitive — decode the container, count its frames,
+    * keep every `stride`-th — through the JDK's actual GIF codec
+    * (frame-indexed `reader.read(f)`, not a metadata shortcut; skipped
+    * frames are never rasterized). Emits per doc the container's frame
+    * count, the sampled count, and the decoded-pixel sum over sampled
+    * frames; the oracle recomputes that sum from the md5 generation
+    * rule, so a codec round-trip defect in ANY sampled frame
+    * hash-mismatches. Same scale shape as q30/q60/q61: per-partition
+    * codec instances, no shuffle, nothing on the driver.
+    */
+  def gifFrameSample(s: SparkSession, dir: String, stride: Int = 2): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) => (id, buildGif(id, text)) }
+      }
+      .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        it.map { case (id, gif) =>
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(gif))
+          try {
+            reader.setInput(iis, false, true) // random access: frame count + read(f)
+            val nFrames = reader.getNumImages(true)
+            var pixSum = 0L; var nSampled = 0L; var f = 0
+            while (f < nFrames) {
+              val img = reader.read(f)
+              val w = img.getWidth; val h = img.getHeight
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              var j = 0
+              while (j < px.length) { pixSum += (px(j) >> 16) & 0xff; j += 1 }
+              nSampled += 1
+              f += stride
+            }
+            (id, nFrames.toLong, nSampled, pixSum)
+          } finally iis.close()
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_sampled", "pix_sum")
+      .orderBy($"doc_id")
+  }
+
   def frameSample(s: SparkSession, dir: String, frameLen: Int = 64, stride: Int = 3): DataFrame = {
     import s.implicits._
     table(s, dir, "documents")

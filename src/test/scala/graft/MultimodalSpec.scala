@@ -29,6 +29,51 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(new String(wav, 8, 4, "US-ASCII") == "WAVE")
   }
 
+  test("buildGif emits a real multi-frame GIF; frames round-trip the md5 rasters") {
+    val gif = Multimodal.buildGif(9L, "animated payload text")
+    assert(new String(gif, 0, 6, "US-ASCII") == "GIF89a" ||
+      new String(gif, 0, 6, "US-ASCII") == "GIF87a")
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    reader.setInput(iis, false, true)
+    assert(reader.getNumImages(true) == (2 + 9 % 6)) // 5 frames
+    // every frame's decoded red channel is exactly the generating digest
+    (0 until 5).foreach { f =>
+      val img = reader.read(f)
+      assert(img.getWidth == 4 && img.getHeight == 4)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"9:$f:animated payload text".getBytes("UTF-8"))
+      val px = img.getRGB(0, 0, 4, 4, null, 0, 4)
+      (0 until 16).foreach { i =>
+        assert(((px(i) >> 16) & 0xff) == (digest(i) & 0xff), s"frame $f pixel $i")
+      }
+    }
+    iis.close(); reader.dispose()
+  }
+
+  test("q89 samples every 2nd frame and sums exactly the sampled digests") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("giffix").toString
+    // doc 2 -> 4 frames (samples f=0,2), doc 3 -> 5 frames (f=0,2,4)
+    Seq((2L, "aa bb"), (3L, "cc dd"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    def digestSum(id: Long, f: Int, text: String): Long =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$f:$text".getBytes("UTF-8")).map(b => (b & 0xff).toLong).sum
+    val got = Multimodal.gifFrameSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (2L, 4L, 2L, digestSum(2, 0, "aa bb") + digestSum(2, 2, "aa bb")),
+      (3L, 5L, 3L, digestSum(3, 0, "cc dd") + digestSum(3, 2, "cc dd") + digestSum(3, 4, "cc dd"))))
+  }
+
   test("q30 decoded dimensions and pixel checksum match the codec-free rule") {
     val rows = Multimodal.blobMeta(spark, sfDir).collect()
     assert(rows.length > 0)
