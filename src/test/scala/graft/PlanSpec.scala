@@ -196,4 +196,33 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // codegen stages render as "*(n) Op" in the final plan
     assert(plan(df).contains("*(") && plan(df).contains("isFinalPlan=true"))
   }
+
+  test("q79/q80 never shuffle row data: gate is scan+project, manifest combines map-side") {
+    val pGate = plan(TextAnalysis.qualityGate(spark, sfDir))
+    // the only exchange is the output's doc_id range sort — no
+    // hash-partitioned shuffle anywhere in the gate itself
+    assert(!pGate.contains("hashpartitioning"),
+      s"quality gate must not hash-shuffle:\n$pGate")
+    val pMan = plan(graft.operators.Pipeline.splitManifest(spark, sfDir))
+    assert(pMan.contains("partial_count"),
+      s"split manifest must combine map-side before the exchange:\n$pMan")
+  }
+
+  test("q81/q85 pay the corpus explode once; later stages are vocab-bounded") {
+    Seq(
+      "q81" -> TextAnalysis.sourceTfidfProfile(spark, sfDir),
+      "q85" -> TextAnalysis.zipfProfile(spark, sfDir)).foreach { case (name, df) =>
+      val p = plan(df)
+      val generates = p.linesIterator.count(_.contains("Generate explode"))
+      assert(generates == 1,
+        s"$name must explode the corpus exactly once, found $generates:\n$p")
+    }
+  }
+
+  test("q87 funnel joins stay user-keyed equi-joins — no cartesian, no row multiplication") {
+    val p = plan(EventOps.eventFunnel(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the funnel:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"funnel joins must be equi-joins on user_id:\n$p")
+  }
 }
