@@ -113,6 +113,7 @@ object SparkEntry {
     "q87_event_funnel" -> ((s, d) => EventOps.eventFunnel(s, d)),
     "q88_retention_cohorts" -> ((s, d) => EventOps.retentionCohorts(s, d)),
     "q89_gif_frame_sample" -> ((s, d) => Multimodal.gifFrameSample(s, d)),
+    "q90_integrity_audit" -> ((s, d) => Relational.integrityAudit(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1271,6 +1272,47 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_sampled,
         |  CAST(sum(list_sum([CAST(concat('0x', substr(h, 2*i-1, 2)) AS BIGINT) for i in range(1, 17)])) AS BIGINT) AS pix_sum
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q90: per-edge anti-join orphan counts; the events edge is a soft
+    // edge whose non-zero count is the informative outcome.
+    "q90_integrity_audit" ->
+      """WITH e(edge_child, edge_parent, n_child_rows, n_orphans) AS (
+        |  SELECT 'orders.o_custkey', 'customer.c_custkey',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL SELECT 'lineitem.l_orderkey', 'orders.o_orderkey',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL SELECT 'lineitem.l_partkey', 'part.p_partkey',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |  UNION ALL SELECT 'lineitem.l_suppkey', 'supplier.s_suppkey',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |  UNION ALL SELECT 'customer.c_nationkey', 'nation.n_nationkey',
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        |  UNION ALL SELECT 'supplier.s_nationkey', 'nation.n_nationkey',
+        |    (SELECT count(*) FROM supplier),
+        |    (SELECT count(*) FROM supplier sp WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_nationkey = sp.s_nationkey))
+        |  UNION ALL SELECT 'nation.n_regionkey', 'region.r_regionkey',
+        |    (SELECT count(*) FROM nation),
+        |    (SELECT count(*) FROM nation n WHERE NOT EXISTS
+        |      (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+        |  UNION ALL SELECT 'events.user_id', 'customer.c_custkey',
+        |    (SELECT count(*) FROM events),
+        |    (SELECT count(*) FROM events ev WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = ev.user_id)))
+        |SELECT edge_child, edge_parent,
+        |  CAST(n_child_rows AS BIGINT) AS n_child_rows,
+        |  CAST(n_orphans AS BIGINT) AS n_orphans
+        |FROM e ORDER BY edge_child, edge_parent""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

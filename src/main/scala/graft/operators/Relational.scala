@@ -157,4 +157,45 @@ object Relational {
     val custOnly = custNations.except(suppNations).withColumn("presence", lit("customer_only"))
     both.unionByName(custOnly).orderBy($"presence", $"nationkey")
   }
+
+  /** Referential-integrity audit (q90): every foreign-key edge of the
+    * warehouse schema scored as (child rows, orphan rows) — the
+    * data-quality gate a pipeline runs before its joins are trusted,
+    * because an inner join silently DROPS orphaned children and an
+    * audit is the only place that loss becomes a number. The
+    * events.user_id → customer edge is intentionally included even
+    * though the synthetic feed violates it: a non-zero orphan count on
+    * a soft edge is the informative outcome, not an error.
+    *
+    * Shape: one left-anti join per edge against the DISTINCT parent
+    * keys (parent key sets are dimension-sized or collapse to the
+    * distinct set before the join, so AQE broadcasts them); counts
+    * combine map-side. Output is one row per schema edge at any SF.
+    */
+  def integrityAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def edge(child: String, childKey: String, parent: String,
+             parentKey: String): DataFrame = {
+      val c = table(s, dir, child).select(col(childKey).cast("long").as("k"))
+      val p = table(s, dir, parent).select(col(parentKey).cast("long").as("k")).distinct()
+      val orphans = c.join(p, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      c.agg(count(lit(1)).as("n_child_rows")).crossJoin(orphans)
+        .select(
+          lit(s"$child.$childKey").as("edge_child"),
+          lit(s"$parent.$parentKey").as("edge_parent"),
+          $"n_child_rows", $"n_orphans")
+    }
+    Seq(
+      edge("orders", "o_custkey", "customer", "c_custkey"),
+      edge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("supplier", "s_nationkey", "nation", "n_nationkey"),
+      edge("nation", "n_regionkey", "region", "r_regionkey"),
+      edge("events", "user_id", "customer", "c_custkey"))
+      .reduce(_ unionByName _)
+      .orderBy($"edge_child", $"edge_parent")
+  }
 }

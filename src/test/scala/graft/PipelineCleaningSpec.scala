@@ -426,4 +426,50 @@ class PipelineCleaningSpec extends AnyFunSuite with SparkFixture {
       (w, 0L, 2L), (w, 1L, 1L),
       (w + 1, 0L, 1L), (w + 1, 1L, 1L)))
   }
+
+  test("q90 counts orphans per edge on a warehouse with planted violations") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.{lit => slit, to_timestamp, col}
+    val dir = java.nio.file.Files.createTempDirectory("rifix").toString
+    def save(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.write.parquet(s"$dir/$name.parquet")
+    save(Seq((1L, "n", 10L, 0.0, "M")).toDF(
+      "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"), "customer")
+    // order 102 -> customer 9 does not exist (1 orphan of 2 rows)
+    save(Seq((101L, 1L, "O", 1.0, "1996-01-02", "1-URGENT"),
+      (102L, 9L, "O", 2.0, "1996-01-03", "5-LOW")).toDF(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"), "orders")
+    // line 2 -> order 999 missing; line 3 -> part 99 missing
+    save(Seq(
+      (101L, 7L, 5L, 1L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-02-01"),
+      (999L, 7L, 5L, 1L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-02-02"),
+      (101L, 99L, 5L, 2L, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-02-03")).toDF(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate"), "lineitem")
+    save(Seq((10L, "GERMANY", 3L)).toDF("n_nationkey", "n_name", "n_regionkey"), "nation")
+    save(Seq((3L, "EUROPE")).toDF("r_regionkey", "r_name"), "region")
+    save(Seq((5L, "s", 10L, 0.0)).toDF(
+      "s_suppkey", "s_name", "s_nationkey", "s_acctbal"), "supplier")
+    save(Seq((7L, "p", "B", "T", 1L, 1.0)).toDF(
+      "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"), "part")
+    // two events for the existing customer, one orphan user
+    save(Seq((1L, "2024-03-01 10:00:00", 1L, "click", 1.0),
+      (2L, "2024-03-01 11:00:00", 77L, "view", 1.0)).toDF(
+      "event_id", "t", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t"), "events")
+    val got = graft.operators.Relational.integrityAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      ("customer.c_nationkey", 1L, 0L),
+      ("events.user_id", 2L, 1L),
+      ("lineitem.l_orderkey", 3L, 1L),
+      ("lineitem.l_partkey", 3L, 1L),
+      ("lineitem.l_suppkey", 3L, 0L),
+      ("nation.n_regionkey", 1L, 0L),
+      ("orders.o_custkey", 2L, 1L),
+      ("supplier.s_nationkey", 1L, 0L)))
+  }
 }
