@@ -883,8 +883,13 @@ object Similarity {
       }.toDF("vec_a", "vec_b", "cosine")
     // a pair agreeing on k bands emits k identical rows (same doubles —
     // same kernel) — distinct is over surviving pairs only, never the
-    // candidate volume
-    pairs.distinct()
+    // candidate volume. The VERIFIED pair set memoizes like the
+    // text-side lshPairs frame: q42 and q57's component closure both
+    // consume it, and without the memo the band explode + bucket-local
+    // verify (the expensive stage) re-executes per caller — at 100 TB
+    // that doubles the heaviest embedding-side stage.
+    memoCache("cosLshPairs", s, s"$dir|$threshold|$blocks",
+      pairs.distinct().cache())
       .select($"vec_a", $"vec_b", graft.Tables.round6($"cosine").as("cosine"))
       .orderBy($"vec_a", $"vec_b")
   }
