@@ -482,26 +482,37 @@ object StreamOps {
         .writeStream
         .option("checkpointLocation", work.resolve("ckpt").toString)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // one gate evaluation per batch: persist before the two
           // filtered writes or the rule battery (and the upstream read)
-          // runs twice per micro-batch
+          // runs twice per micro-batch. Each batch OVERWRITES its own
+          // `batch=<id>` directory — the standard foreachBatch
+          // idempotence recipe: a retried micro-batch rewrites the same
+          // paths instead of appending duplicates, keeping the router
+          // exactly-once end to end (same guarantee class as the q47
+          // manifest sink; a bare mode("append") here would be
+          // at-least-once under task retry).
           val b = batch.persist()
-          b.where(col("pass")).write.mode("append").parquet(passDir)
-          b.where(!col("pass")).write.mode("append").parquet(failDir)
+          b.where(col("pass")).write.mode("overwrite")
+            .parquet(s"$passDir/batch=$batchId")
+          b.where(!col("pass")).write.mode("overwrite")
+            .parquet(s"$failDir/batch=$batchId")
           b.unpersist(); ()
         }
         .start()
       q.awaitTermination()
-      // a sink no batch wrote to has no parquet files (a corpus that
-      // passes or fails wholesale is legal) — substitute its empty frame
+      // a sink no batch wrote rows to has no parquet files (a corpus that
+      // passes or fails wholesale is legal) — substitute its empty frame.
+      // Populated sinks hold batch=<id> partition dirs; discovery turns
+      // the dir name into a `batch` column, dropped after read.
       def readSink(p: String, routed: Boolean): DataFrame = {
         val hasFiles = {
-          val f = new java.io.File(p)
-          f.exists && f.listFiles().exists(_.getName.endsWith(".parquet"))
+          val d = new java.io.File(p)
+          d.exists && d.listFiles().exists(sub => sub.isDirectory &&
+            Option(sub.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
         }
         val base =
-          if (hasFiles) s.read.parquet(p)
+          if (hasFiles) s.read.parquet(p).drop("batch")
           else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             graft.operators.TextAnalysis.gateFlags(raw).schema)
         base.withColumn("routed_pass", lit(routed))
