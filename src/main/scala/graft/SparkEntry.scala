@@ -114,6 +114,7 @@ object SparkEntry {
     "q88_retention_cohorts" -> ((s, d) => EventOps.retentionCohorts(s, d)),
     "q89_gif_frame_sample" -> ((s, d) => Multimodal.gifFrameSample(s, d)),
     "q90_integrity_audit" -> ((s, d) => Relational.integrityAudit(s, d)),
+    "q91_stream_running_counts" -> ((s, d) => graft.streaming.StreamOps.runningCountsStreamed(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1313,6 +1314,12 @@ object SparkEntry {
         |  CAST(n_child_rows AS BIGINT) AS n_child_rows,
         |  CAST(n_orphans AS BIGINT) AS n_orphans
         |FROM e ORDER BY edge_child, edge_parent""".stripMargin,
+
+    // q91: a monotone per-user counter's max across micro-batch
+    // emissions equals the batch count; last-seen is the batch max.
+    "q91_stream_running_counts" ->
+      """SELECT user_id, count(*) AS n_events, max(epoch_us(ts)) AS last_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

@@ -535,6 +535,65 @@ object StreamOps {
     } finally deleteRecursively(work.toFile)
   }
 
+  /** Spark 4 `transformWithState` under the BATCH oracle (q91): the
+    * successor stateful API — typed ValueState handles on the RocksDB
+    * state store — run as a real streaming query over the events file
+    * and drained to a parquet sink. [[runningUserCountsTws]] emits a
+    * running (count, last-seen) row per (user, micro-batch); the final
+    * per-user rollup (max of a monotone counter) must equal the batch
+    * truth `count(*) / max(ts)` per user under DuckDB. This closes the
+    * gate the MemoryStream unit cannot: the processor's state lives in
+    * the NATIVE RocksDB store across real micro-batch commits, and the
+    * per-user results are certified value-exact, not just shaped.
+    *
+    * The provider conf is query-start-scoped: set before `start()`,
+    * restored after the drain, so the rest of the suite keeps the
+    * default in-memory store (the measured winner at this state size —
+    * see the state-store probe in BENCH_NOTES).
+    */
+  def runningCountsStreamed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val tsIsNanosLong =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsIsNtz =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType
+    val stream0 = s.readStream.schema(raw.schema).parquet(s"$dir/[e]vents.parquet")
+    val tsUs =
+      if (tsIsNanosLong) expr("ts div 1000")
+      else if (tsIsNtz) unix_micros(col("ts").cast("timestamp"))
+      else unix_micros(col("ts"))
+    val ds = stream0.select(col("user_id").cast("long"), tsUs.cast("long"))
+      .as[(Long, Long)]
+    val work = java.nio.file.Files.createTempDirectory("q91_tws")
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(confKey)
+    try {
+      s.conf.set(confKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = runningUserCountsTws(s, ds).toDF("user_id", "n", "last_us")
+        .writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .format("parquet").option("path", work.resolve("out").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rolled = s.read.parquet(work.resolve("out").toString)
+        .groupBy($"user_id")
+        .agg(max($"n").as("n_events"), max($"last_us").as("last_us"))
+        .orderBy($"user_id")
+      val rows = rolled.collect().toSeq // bounded: one row per user
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), rolled.schema)
+        .orderBy($"user_id")
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set(confKey, p)
+        case None => s.conf.unset(confKey)
+      }
+      deleteRecursively(work.toFile)
+    }
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit

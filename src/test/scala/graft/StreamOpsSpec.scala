@@ -314,6 +314,29 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     assert(batch === Map(0L -> false, 1L -> true, 2L -> true, 3L -> false))
   }
 
+  test("q91 tws running counts over real micro-batches equal the batch rollup") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("q91fix").toString
+    Seq(
+      (1L, "2024-03-01 10:00:00", 7L, "click", 1.0),
+      (2L, "2024-03-01 11:00:00", 7L, "view", 1.0),
+      (3L, "2024-03-01 12:00:00", 7L, "click", 1.0),
+      (4L, "2024-03-01 10:30:00", 8L, "click", 1.0))
+      .toDF("event_id", "t", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+      .write.parquet(s"$dir/events.parquet")
+    val got = StreamOps.runningCountsStreamed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def us(t: String) = java.time.Instant.parse(t).toEpochMilli * 1000L
+    assert(got.toSeq === Seq(
+      (7L, 3L, us("2024-03-01T12:00:00Z")),
+      (8L, 1L, us("2024-03-01T10:30:00Z"))))
+    // the provider override must not leak into the session (getOption
+    // reports the conf's default after unset — assert RocksDB is gone)
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
   test("q83 routes a wholesale-failing corpus without a pass sink") {
     import spark.implicits._
     val dir = Files.createTempDirectory("q83all").toString
