@@ -115,6 +115,7 @@ object SparkEntry {
     "q89_gif_frame_sample" -> ((s, d) => Multimodal.gifFrameSample(s, d)),
     "q90_integrity_audit" -> ((s, d) => Relational.integrityAudit(s, d)),
     "q91_stream_running_counts" -> ((s, d) => graft.streaming.StreamOps.runningCountsStreamed(s, d)),
+    "q92_stream_stream_join" -> ((s, d) => graft.streaming.StreamOps.streamStreamJoin(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1320,6 +1321,19 @@ object SparkEntry {
     "q91_stream_running_counts" ->
       """SELECT user_id, count(*) AS n_events, max(epoch_us(ts)) AS last_us
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q92: the batch form of the attribution join — purchases within
+    // [click, click + 1h) per user; lags in integer microseconds.
+    "q92_stream_stream_join" ->
+      """SELECT c.user_id, count(*) AS n_pairs,
+        |  CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS sum_lag_us,
+        |  CAST(min(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS min_lag_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) < epoch_us(c.ts) + 3600000000
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

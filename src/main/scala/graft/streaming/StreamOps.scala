@@ -594,6 +594,60 @@ object StreamOps {
     }
   }
 
+  /** Stream-stream JOIN under the batch oracle (q92) — the last
+    * Structured Streaming operator class the registry lacked: state on
+    * BOTH sides. Two independent streaming reads of the events file
+    * (clicks and purchases), each watermarked, inner-joined on user
+    * with a one-hour event-time range — the attribution join ("which
+    * purchases followed a click within the hour") every event pipeline
+    * ships. Inner stream-stream joins emit on match; the watermark
+    * bounds both join-state buffers, which is what makes the operator
+    * runnable forever at scale. The per-user rollup (pair count, sum
+    * and min of the click→purchase lag in integer microseconds) must
+    * hash-equal the identical batch self-join in DuckDB.
+    */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val tsIsNanosLong =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsIsNtz =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType
+    def side(eventType: String, alias: String): DataFrame = {
+      val stream0 = s.readStream.schema(raw.schema).parquet(s"$dir/[e]vents.parquet")
+      val ts =
+        if (tsIsNanosLong) timestamp_micros(expr("ts div 1000"))
+        else if (tsIsNtz) col("ts").cast("timestamp")
+        else col("ts")
+      stream0.where(col("event_type") === eventType)
+        .select(col("user_id").cast("long").as(s"${alias}_user"),
+          ts.as(s"${alias}_ts"))
+        .withWatermark(s"${alias}_ts", "10 minutes")
+    }
+    val work = java.nio.file.Files.createTempDirectory("q92_ssj")
+    try {
+      val joined = side("click", "c").join(side("purchase", "p"),
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts < c_ts + interval 1 hour"))
+        .select($"c_user".as("user_id"),
+          (unix_micros($"p_ts") - unix_micros($"c_ts")).as("lag_us"))
+      val q = joined.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .format("parquet").option("path", work.resolve("out").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rolled = s.read.parquet(work.resolve("out").toString)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"lag_us").as("sum_lag_us"),
+          min($"lag_us").as("min_lag_us"))
+        .orderBy($"user_id")
+      val rows = rolled.collect().toSeq // bounded: one row per converting user
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), rolled.schema)
+        .orderBy($"user_id")
+    } finally deleteRecursively(work.toFile)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit

@@ -337,6 +337,24 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
       .exists(_.contains("RocksDB")))
   }
 
+  test("q92 stream-stream join pairs purchases inside the hour, drops the rest") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("q92fix").toString
+    Seq(
+      (1L, "2024-03-01 10:00:00", 7L, "click", 1.0),
+      (2L, "2024-03-01 10:30:00", 7L, "purchase", 1.0), // in window: lag 30 min
+      (3L, "2024-03-01 12:00:00", 7L, "purchase", 1.0), // 2 h after click: out
+      (4L, "2024-03-01 09:59:00", 7L, "purchase", 1.0), // before click: out
+      (5L, "2024-03-01 10:00:00", 8L, "click", 1.0),    // user 8: no purchase
+      (6L, "2024-03-01 10:10:00", 9L, "purchase", 1.0)) // user 9: no click
+      .toDF("event_id", "t", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+      .write.parquet(s"$dir/events.parquet")
+    val got = StreamOps.streamStreamJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((7L, 1L, 1800000000L, 1800000000L)))
+  }
+
   test("q83 routes a wholesale-failing corpus without a pass sink") {
     import spark.implicits._
     val dir = Files.createTempDirectory("q83all").toString
