@@ -613,8 +613,13 @@ object StreamOps {
       raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
     val tsIsNtz =
       raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType
+    // one streaming source, two filtered sides — a stream SELF-join:
+    // Spark still materializes join state for both sides, but file
+    // listing/offset tracking happens once instead of twice (identical
+    // output to two independent readStream handles; within box noise at
+    // this scale, strictly less source work at any scale)
+    val stream0 = s.readStream.schema(raw.schema).parquet(s"$dir/[e]vents.parquet")
     def side(eventType: String, alias: String): DataFrame = {
-      val stream0 = s.readStream.schema(raw.schema).parquet(s"$dir/[e]vents.parquet")
       val ts =
         if (tsIsNanosLong) timestamp_micros(expr("ts div 1000"))
         else if (tsIsNtz) col("ts").cast("timestamp")
