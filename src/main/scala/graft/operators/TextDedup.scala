@@ -632,10 +632,12 @@ object TextDedup {
     */
   def dupSubstringCoverage(s: SparkSession, dir: String, window: Int = 8,
                            minDf: Int = 2): DataFrame =
-    dupSubstringCoverageDf(table(s, dir, "documents"), window, minDf)
+    dupSubstringCoverageDf(table(s, dir, "documents"), window, minDf,
+      cacheKey = Some(s"$dir|$window"))
 
   private[graft] def dupSubstringCoverageDf(docs: DataFrame, window: Int,
-                                            minDf: Int): DataFrame = {
+                                            minDf: Int,
+                                            cacheKey: Option[String] = None): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val base = docs
@@ -652,13 +654,21 @@ object TextDedup {
     // 1-based window starts 1..ntok-window+1; docs shorter than one
     // window contribute nothing (sequence() would count DOWN on a
     // negative span, so the where-guard is load-bearing)
-    val wins = base.where($"ntok" >= window)
+    val wins0 = base.where($"ntok" >= window)
       .select($"doc_id", expr("transform(ts, t -> xxhash64(t))").as("th"),
         $"ntok")
       .select($"doc_id", posexplode(expr(
         s"transform(sequence(1, cast(ntok as int) - ${window - 1})," +
         s" i -> xxhash64(slice(th, i, $window)))")).as(Seq("p0", "wh")))
       .select($"doc_id", ($"p0" + 1L).as("pos"), $"wh")
+    // the window stream feeds BOTH the df aggregate and the join back —
+    // without a cache the whole tokenize+hash+explode pass (the
+    // operator's CPU bill) runs twice per action. Dir-keyed entries
+    // memoize the compact (doc_id, pos, wh) frame through OpCache,
+    // exactly the hashedShingles precedent: corpus-derived, two
+    // consumers, spill-backed storage at scale.
+    val wins = cacheKey.map(k => OpCache.memo("dupSubstrWins",
+      s.sparkContext.applicationId, k, wins0.cache())).getOrElse(wins0)
     val dupHashes = wins.groupBy($"wh").agg(count(lit(1)).as("c"))
       .where($"c" >= minDf).select($"wh")
     val dups = wins.join(dupHashes, Seq("wh")).select($"doc_id", $"pos")
