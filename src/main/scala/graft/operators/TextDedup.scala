@@ -539,19 +539,44 @@ object TextDedup {
     * dropping (not keeping-one-of) each duplicated line means no
     * per-key tie-break state is needed.
     */
-  def lineDedup(s: SparkSession, dir: String, window: Int = 4,
-                threshold: Int = 2): DataFrame = {
+  /** `doc_id -> array of `window`-token lines — the chunking both line
+    * pipelines and their reassembly stages share.
+    */
+  private def chunkedLines(df: DataFrame, window: Int): DataFrame = {
+    val s = df.sparkSession
     import s.implicits._
-    def chunked(df: DataFrame): DataFrame = df
-      .select($"doc_id", split($"text", " ").as("ts"))
+    df.select($"doc_id", split($"text", " ").as("ts"))
       .select($"doc_id", expr(
         s"transform(sequence(0, cast(ceil(size(ts) / $window.0) as int) - 1)," +
         s" i -> array_join(slice(ts, i * $window + 1, $window), ' '))").as("lines"))
+  }
+
+  /** The (doc_id, pos, line-hash) stream, memoized through [[OpCache]]:
+    * q64 and q69 build the IDENTICAL frame and each consumes it twice
+    * (frequency/first-occurrence aggregate + the join back), so without
+    * the memo the tokenize+chunk+hash+explode pass runs four times per
+    * suite — and twice per single action — for one frame's worth of
+    * information. Same precedent as hashedShingles/dupSubstrWins:
+    * corpus-derived, multiple consumers, spill-backed storage.
+    */
+  private def lineHashesCached(s: SparkSession, dir: String,
+                               window: Int): DataFrame = {
+    import s.implicits._
+    OpCache.memo("lineHashes", s.sparkContext.applicationId, s"$dir|$window", {
+      chunkedLines(table(s, dir, "documents"), window)
+        .select($"doc_id",
+          posexplode(expr("transform(lines, l -> xxhash64(l))")).as(Seq("pos", "lh")))
+        .cache()
+    })
+  }
+
+  def lineDedup(s: SparkSession, dir: String, window: Int = 4,
+                threshold: Int = 2): DataFrame = {
+    import s.implicits._
+    def chunked(df: DataFrame): DataFrame = chunkedLines(df, window)
     val docs = table(s, dir, "documents")
     // (doc_id, pos, line-hash): the only corpus-sized stream that shuffles
-    val hashed = chunked(docs)
-      .select($"doc_id",
-        posexplode(expr("transform(lines, l -> xxhash64(l))")).as(Seq("pos", "lh")))
+    val hashed = lineHashesCached(s, dir, window)
     val dupHashes = hashed.groupBy($"lh").agg(count(lit(1)).as("c"))
       .where($"c" >= threshold).select($"lh")
     val keptPos = hashed.join(dupHashes, Seq("lh"), "left_anti")
@@ -587,15 +612,9 @@ object TextDedup {
     */
   def lineDedupKeepFirst(s: SparkSession, dir: String, window: Int = 4): DataFrame = {
     import s.implicits._
-    def chunked(df: DataFrame): DataFrame = df
-      .select($"doc_id", split($"text", " ").as("ts"))
-      .select($"doc_id", expr(
-        s"transform(sequence(0, cast(ceil(size(ts) / $window.0) as int) - 1)," +
-        s" i -> array_join(slice(ts, i * $window + 1, $window), ' '))").as("lines"))
+    def chunked(df: DataFrame): DataFrame = chunkedLines(df, window)
     val docs = table(s, dir, "documents")
-    val hashed = chunked(docs)
-      .select($"doc_id",
-        posexplode(expr("transform(lines, l -> xxhash64(l))")).as(Seq("pos", "lh")))
+    val hashed = lineHashesCached(s, dir, window)
     val firstOcc = hashed.groupBy($"lh")
       .agg(min(struct($"doc_id", $"pos")).as("first"))
     val keptPos = hashed.join(firstOcc, "lh")
