@@ -421,10 +421,16 @@ object TextAnalysis {
     // exploded trigram stream — at sf10 this was the difference between a
     // 2 GB and a ~100 MB join shuffle for identical output. The one
     // corpus-sized shuffle left is the (source, gram) distinct, which is
-    // the operator's irreducible collapse.
-    val sg = TextDedup.hashedShinglesCached(s, dir)
-      .join(table(s, dir, "documents").select($"doc_id", $"source"), "doc_id")
-      .select($"source", explode($"hshs").as("h")).distinct()
+    // the operator's irreducible collapse — and it has THREE consumers
+    // below (the sizes aggregate plus both sides of the self-join), so
+    // the collapsed vocab×sources frame memoizes through OpCache: the
+    // collapse runs once per corpus, not three times per action.
+    val sg = graft.operators.OpCache.memo("xsrcGrams",
+      s.sparkContext.applicationId, dir, {
+        TextDedup.hashedShinglesCached(s, dir)
+          .join(table(s, dir, "documents").select($"doc_id", $"source"), "doc_id")
+          .select($"source", explode($"hshs").as("h")).distinct().cache()
+      })
     // size every source that EXISTS in the corpus, not every source that
     // produced a trigram: a source whose docs are all shorter than the
     // shingle width has an empty gram set, and deriving the pair frame
