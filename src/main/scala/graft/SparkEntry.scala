@@ -116,6 +116,7 @@ object SparkEntry {
     "q90_integrity_audit" -> ((s, d) => Relational.integrityAudit(s, d)),
     "q91_stream_running_counts" -> ((s, d) => graft.streaming.StreamOps.runningCountsStreamed(s, d)),
     "q92_stream_stream_join" -> ((s, d) => graft.streaming.StreamOps.streamStreamJoin(s, d)),
+    "q93_event_transitions" -> ((s, d) => EventOps.eventTransitions(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1334,6 +1335,18 @@ object SparkEntry {
         | AND epoch_us(p.ts) >= epoch_us(c.ts)
         | AND epoch_us(p.ts) < epoch_us(c.ts) + 3600000000
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
+    // q93: per-user order is (epoch_us, event_id) — the tie-break is
+    // part of the contract; top-k cuts on (n desc, path asc).
+    "q93_event_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT event_type AS e1, e2, e3, count(*) AS n
+        |FROM o WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
 
     "q41_event_pivot" ->
       """SELECT strftime(ts, '%Y%m%d') AS day,

@@ -471,6 +471,33 @@ object EventOps {
       .orderBy($"cohort_week", $"week_offset")
   }
 
+  /** Behavioral path analysis (q93): the top-k event-type TRIGRAMS over
+    * each user's time-ordered stream — the transition patterns a product
+    * or anomaly analysis reads ("view,click,purchase" vs
+    * "error,error,error"). Ordering inside a user is (ts_us, event_id):
+    * timestamps alone can collide, and an ambiguous sort order would be
+    * nondeterministic BETWEEN ENGINES, so the tie-break is part of the
+    * operator's contract. Top-k cuts on (n desc, path asc) — fully
+    * deterministic at the cut line.
+    *
+    * Shape: one user-keyed shuffle for the window (the stream's natural
+    * partitioning), then a map-side-combined aggregate over the
+    * types³-bounded path space; output is k rows at any corpus size.
+    */
+  def eventTransitions(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    events(s, dir)
+      .select($"user_id", $"ts_us", $"event_id", $"event_type")
+      .withColumn("e2", lead($"event_type", 1).over(w))
+      .withColumn("e3", lead($"event_type", 2).over(w))
+      .where($"e2".isNotNull && $"e3".isNotNull)
+      .groupBy($"event_type".as("e1"), $"e2", $"e3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"e1", $"e2", $"e3")
+      .limit(k)
+  }
+
   /** One pinned `.tri` archive per source dataset per JVM: the archive is
     * written on first use and reused by later invocations (the bench's
     * steady pass then times read+decode, not a repeated write), keyed by

@@ -427,6 +427,23 @@ class PipelineCleaningSpec extends AnyFunSuite with SparkFixture {
       (w + 1, 0L, 1L), (w + 1, 1L, 1L)))
   }
 
+  test("q93 trigrams follow per-user (ts, event_id) order and never cross users") {
+    val dir = writeEvents(Seq(
+      // user 1: a -> b -> c -> b gives trigrams (a,b,c) and (b,c,b);
+      // events 2 and 3 share a timestamp — event_id breaks the tie
+      (1L, "2024-03-01 10:00:00", 1L, "a"),
+      (2L, "2024-03-01 10:01:00", 1L, "b"),
+      (3L, "2024-03-01 10:01:00", 1L, "c"),
+      (4L, "2024-03-01 10:02:00", 1L, "b"),
+      // user 2: two events only -> no trigram, and nothing crosses into
+      // user 1's stream
+      (5L, "2024-03-01 10:00:30", 2L, "a"),
+      (6L, "2024-03-01 10:00:40", 2L, "b")))
+    val got = graft.operators.EventOps.eventTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("a", "b", "c", 1L), ("b", "c", "b", 1L)))
+  }
+
   test("q90 counts orphans per edge on a warehouse with planted violations") {
     val spark2 = spark
     import spark2.implicits._
