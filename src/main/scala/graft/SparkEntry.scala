@@ -1195,9 +1195,11 @@ object SparkEntry {
         |    CAST(sum(x * y) AS BIGINT) sxy, CAST(sum(x * x) AS BIGINT) sxx
         |  FROM q GROUP BY source)
         |SELECT source, vocab, n_tokens,
-        |  floor((CAST(vocab AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
-        |        (CAST(vocab AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-        |        * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope
+        |  CASE WHEN vocab > 1 THEN
+        |    floor((CAST(vocab AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |          (CAST(vocab AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |          * 1000000.0 + 0.5) / 1000000.0
+        |  ELSE 0.0 END AS zipf_slope
         |FROM agg ORDER BY source""".stripMargin,
 
     // q86: integer hourly counts, integer trailing moment sums, one

@@ -331,6 +331,14 @@ object EventOps {
     *
     * The cutoff derives from min(ts_us) via one 1-row action — the same
     * bounded-driver pattern as q47's sentinel.
+    *
+    * Shared-filesystem assumption: the scratch archive lives under a
+    * driver-local `Files.createTempDirectory` that executors write and
+    * read — valid on local / local-cluster (one host) where this bench
+    * fixture runs, NOT on a multi-node master. A production compaction
+    * points [[graft.sources.Archive.compact]] at a shared root (HDFS /
+    * s3a) instead; only this self-contained fixture derives its root
+    * from the driver's temp dir.
     */
   def archiveCompact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -373,12 +381,18 @@ object EventOps {
   }
 
   /** Hourly anomaly detection per event type (q86): each (event_type,
-    * hour) count scored as a z-score against its own trailing 24 full
-    * hours — the monitoring query an event pipeline runs over exactly
-    * this data to page on traffic spikes and silent drops. Hours without
-    * a complete 24-row baseline (the warmup edge) or a zero-variance
-    * baseline emit z = 0 with `has_baseline` false, so every hour is in
-    * the report and the oracle never compares NULL-vs-NaN conventions.
+    * hour) count scored as a z-score against its own trailing 24
+    * OBSERVED hourly buckets — hours with zero events emit no row, so
+    * across a traffic gap the 24-row frame spans more than 24 wall-clock
+    * hours (to score against strict wall-clock hours, densify the hour
+    * axis first; the registered query deliberately scores observed
+    * buckets, which also means a total outage never poisons the
+    * baseline with zeros). This is the monitoring query an event
+    * pipeline runs over exactly this data to page on traffic spikes and
+    * silent drops. Hours without a complete 24-row baseline (the warmup
+    * edge) or a zero-variance baseline emit z = 0 with `has_baseline`
+    * false, so every hour is in the report and the oracle never
+    * compares NULL-vs-NaN conventions.
     *
     * Exactness: counts are integers, the trailing moment sums (Σn, Σn²)
     * are integer window aggregates, and mean/variance/sqrt/z run in

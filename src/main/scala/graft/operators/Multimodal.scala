@@ -439,7 +439,7 @@ object Multimodal {
       }
       .mapPartitions { it =>
         val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-        it.map { case (id, gif) =>
+        val mapped = it.map { case (id, gif) =>
           val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(gif))
           try {
@@ -457,6 +457,17 @@ object Multimodal {
             }
             (id, nFrames.toLong, nSampled, pixSum)
           } finally iis.close()
+        }
+        // ImageReader holds codec/metadata state until dispose(); release
+        // it when the partition iterator is exhausted rather than at GC.
+        new Iterator[(Long, Long, Long, Long)] {
+          private var disposed = false
+          def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h && !disposed) { disposed = true; reader.dispose() }
+            h
+          }
+          def next(): (Long, Long, Long, Long) = mapped.next()
         }
       }
       .toDF("doc_id", "n_frames", "n_sampled", "pix_sum")

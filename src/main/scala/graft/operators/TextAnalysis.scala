@@ -730,9 +730,14 @@ object TextAnalysis {
         sum($"x").as("sx"), sum($"y").as("sy"),
         sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
       .select($"source", $"vocab", $"n_tokens",
-        graft.Tables.round6(
-          ($"vocab".cast("double") * $"sxy" - $"sx".cast("double") * $"sy") /
-          ($"vocab".cast("double") * $"sxx" - $"sx".cast("double") * $"sx"))
+        // vocab=1 makes the OLS denominator 0 (0/0 NaN, and the two
+        // engines disagree on floor(NaN)); a one-term vocabulary has no
+        // rank-frequency curve, so the slope is pinned to 0.0.
+        when($"vocab" > 1,
+          graft.Tables.round6(
+            ($"vocab".cast("double") * $"sxy" - $"sx".cast("double") * $"sy") /
+            ($"vocab".cast("double") * $"sxx" - $"sx".cast("double") * $"sx")))
+          .otherwise(lit(0.0))
           .as("zipf_slope"))
       .orderBy($"source")
   }

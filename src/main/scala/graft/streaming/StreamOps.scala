@@ -627,7 +627,13 @@ object StreamOps {
       stream0.where(col("event_type") === eventType)
         .select(col("user_id").cast("long").as(s"${alias}_user"),
           ts.as(s"${alias}_ts"))
-        .withWatermark(s"${alias}_ts", "10 minutes")
+        // watermark must COVER the 1-hour join range: with a narrower
+        // delay (say 10 min), a multi-batch run (maxFilesPerTrigger,
+        // many input files under AvailableNow) could evict click state
+        // before a next-batch purchase arrives and silently drop
+        // cross-batch matches — breaking batch-oracle equality
+        // nondeterministically. 70 min = range + 10 min disorder slack.
+        .withWatermark(s"${alias}_ts", "70 minutes")
     }
     val work = java.nio.file.Files.createTempDirectory("q92_ssj")
     try {
