@@ -137,13 +137,16 @@ object Bench {
         "BENCH_LAST.json")), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     // self-limiting: the line + sbt's trailing "[success] Total time"
-    // (~70 chars) must fit the 2000-char window together, and the full map
-    // already brushes it at 72 queries — so fill a 1800-char budget with
-    // the SLOWEST queries first (the ones perf grading needs) and say how
-    // many fast ones were cut; BENCH_LAST.json always has all of them
+    // (~70 chars) must fit the 2000-char window together. Full names for
+    // 90+ queries don't (r09 cut 30 entries — exactly where a fast-tail
+    // regression would hide), so the compact line keys each entry by its
+    // unambiguous "qNN" prefix — 1:1 with the registry name — which fits
+    // the ENTIRE map; BENCH_LAST.json keeps the full-name map. If the
+    // registry ever outgrows even short keys, the slowest-first fill +
+    // queries_omitted count below degrades gracefully.
     val base = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","detail":"BENCH_LAST.json""""
     val entries = stats.sortBy(-_._2._1)
-      .map { case (k, (m, _, _)) => "\"" + k + "\":" + f"$m%.1f" }
+      .map { case (k, (m, _, _)) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$m%.1f" }
     val buf = new StringBuilder
     var omitted = 0
     entries.foreach { e =>

@@ -21,6 +21,51 @@ private[graft] object OpCache {
   private val liveCaches =
     new java.util.concurrent.ConcurrentHashMap[String, Dataset[_]]()
 
+  /** Cheap content fingerprint of an input directory: regular-file count,
+    * total bytes, max mtime (millis). Memo keys that embed an input dir
+    * also embed its stamp (via [[memoDir]]), so a MUTATED dir — a
+    * compaction, a re-generated corpus, an appended partition — misses
+    * the memo and rebuilds instead of silently serving frames derived
+    * from the old contents. The walk is driver-side file listing, the
+    * same cost class planners already pay per query; bounded at 100k
+    * entries (a corpus dir here is a handful of parquet files). Paths
+    * the local filesystem can't resolve (remote URIs) stamp as
+    * "unstamped" — behavior degrades to the round-9 convention (caller
+    * guarantees immutability), never to an error.
+    */
+  def dirStamp(dir: String): String =
+    try {
+      val p = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(p)) "absent"
+      else {
+        var n = 0L; var bytes = 0L; var maxM = 0L
+        val st = java.nio.file.Files.walk(p)
+        try {
+          val it = st.iterator()
+          while (it.hasNext && n < 100000) {
+            val f = it.next()
+            try {
+              val a = java.nio.file.Files.readAttributes(
+                f, classOf[java.nio.file.attribute.BasicFileAttributes])
+              if (a.isRegularFile) {
+                n += 1; bytes += a.size()
+                maxM = math.max(maxM, a.lastModifiedTime().toMillis)
+              }
+            } catch { case _: java.io.IOException => () } // racing delete
+          }
+        } finally st.close()
+        s"$n:$bytes:$maxM"
+      }
+    } catch { case scala.util.control.NonFatal(_) => "unstamped" }
+
+  /** [[memo]] for caches derived from an input directory: the dir's
+    * [[dirStamp]] joins the key, so mutated inputs invalidate (the
+    * family-eviction in memo releases the stale entry on the next call).
+    */
+  def memoDir[T](family: String, appId: String, dir: String, subKey: String,
+                 build: => Dataset[T]): Dataset[T] =
+    memo(family, appId, s"$dir|${dirStamp(dir)}|$subKey", build)
+
   def memo[T](family: String, appId: String, key: String,
               build: => Dataset[T]): Dataset[T] =
     liveCaches.synchronized {

@@ -167,10 +167,18 @@ object Relational {
     * though the synthetic feed violates it: a non-zero orphan count on
     * a soft edge is the informative outcome, not an error.
     *
-    * Shape: one left-anti join per edge against the DISTINCT parent
-    * keys (parent key sets are dimension-sized or collapse to the
-    * distinct set before the join, so AQE broadcasts them); counts
-    * combine map-side. Output is one row per schema edge at any SF.
+    * Shape: per-edge left-anti joins against DISTINCT parent keys for
+    * the small children — EXCEPT the fact table: lineitem carries THREE
+    * of the schema's FK edges, and auditing them as independent edges
+    * scans the fact table three times (round 9 measured 3 scans +
+    * 183 MB spill at sf10). The three edges fuse into ONE projection of
+    * (l_orderkey, l_partkey, l_suppkey) flowing through three left
+    * joins on deduplicated parent keys (null parent = orphan flag),
+    * one 1-row aggregate, and a stack() unpivot back to edge rows —
+    * at 100 TB that is one fact scan instead of three for identical
+    * counts. Parent sides stay plain joins so AQE broadcasts the
+    * dimension-sized ones and shuffles the fact-sized orders keys.
+    * Output is one row per schema edge at any SF.
     */
   def integrityAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -186,11 +194,32 @@ object Relational {
           lit(s"$parent.$parentKey").as("edge_parent"),
           $"n_child_rows", $"n_orphans")
     }
+    // fused fact-side audit: one lineitem scan scores all three edges
+    val li = table(s, dir, "lineitem").select(
+      $"l_orderkey".cast("long").as("ok"),
+      $"l_partkey".cast("long").as("pk"),
+      $"l_suppkey".cast("long").as("sk"))
+    def keys(t: String, k: String, as: String) =
+      table(s, dir, t).select(col(k).cast("long").as(as)).distinct()
+        .withColumn(s"hit_$as", lit(1))
+    val liAgg = li
+      .join(keys("orders", "o_orderkey", "ok"), Seq("ok"), "left")
+      .join(keys("part", "p_partkey", "pk"), Seq("pk"), "left")
+      .join(keys("supplier", "s_suppkey", "sk"), Seq("sk"), "left")
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when($"hit_ok".isNull, 1L)), lit(0L)).as("orph_ok"),
+        coalesce(sum(when($"hit_pk".isNull, 1L)), lit(0L)).as("orph_pk"),
+        coalesce(sum(when($"hit_sk".isNull, 1L)), lit(0L)).as("orph_sk"))
+    val liEdges = liAgg.select(expr(
+      "stack(3, " +
+        "'lineitem.l_orderkey', 'orders.o_orderkey', n, orph_ok, " +
+        "'lineitem.l_partkey', 'part.p_partkey', n, orph_pk, " +
+        "'lineitem.l_suppkey', 'supplier.s_suppkey', n, orph_sk) " +
+        "as (edge_child, edge_parent, n_child_rows, n_orphans)"))
     Seq(
       edge("orders", "o_custkey", "customer", "c_custkey"),
-      edge("lineitem", "l_orderkey", "orders", "o_orderkey"),
-      edge("lineitem", "l_partkey", "part", "p_partkey"),
-      edge("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      liEdges,
       edge("customer", "c_nationkey", "nation", "n_nationkey"),
       edge("supplier", "s_nationkey", "nation", "n_nationkey"),
       edge("nation", "n_regionkey", "region", "r_regionkey"),

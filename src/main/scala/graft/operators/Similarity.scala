@@ -26,9 +26,13 @@ object Similarity {
     * its doc for the lifetime/leak rationale. `releaseCaches()` drops
     * everything, for session teardown or tests.
     */
-  private def memoCache[T](family: String, s: SparkSession, key: String,
+  private def memoCache[T](family: String, s: SparkSession, dir: String,
                            build: => Dataset[T]): Dataset[T] =
-    OpCache.memo(family, s.sparkContext.applicationId, key, build)
+    memoCacheSub(family, s, dir, "", build)
+
+  private def memoCacheSub[T](family: String, s: SparkSession, dir: String,
+                              subKey: String, build: => Dataset[T]): Dataset[T] =
+    OpCache.memoDir(family, s.sparkContext.applicationId, dir, subKey, build)
 
   def releaseCaches(): Unit = {
     OpCache.releaseAll()
@@ -543,7 +547,7 @@ object Similarity {
     // the inverted file (cell assignments) is as deterministic as the
     // codebook — cache it alongside so steady-state queries pay probe +
     // in-cell search only, the IVF contract
-    val assigned = memoCache("annIvfKmeansIdx", s, s"$dir|$nCells|$iters",
+    val assigned = memoCacheSub("annIvfKmeansIdx", s, dir, s"$nCells|$iters",
       assignCells(s, vecs, cents).cache()).toDF("cell", "vec_id", "v", "nrm")
     val centsDf = cents.toSeq.toDF("cell", "cv", "cn")
     ivfSearch(s, assigned, centsDf,
@@ -587,8 +591,8 @@ object Similarity {
     // so a pair splits only when the two memberships are fully disjoint —
     // the recall knob (cost scales ~probes^2, guarded by the same budget).
     // rk = 0 is the primary cell (assignCells' argmax-ties-smaller rule).
-    val assigned = memoCache("semanticDedupIdx", s,
-      s"$dir|$nCells|$iters|$probes",
+    val assigned = memoCacheSub("semanticDedupIdx", s, dir,
+      s"$nCells|$iters|$probes",
       assignCellsTopP(s, vecs, cents, probes).cache())
       .toDF("cell", "vec_id", "v", "nrm", "rk")
     val pairBound = assigned.groupBy($"cell").agg(count(lit(1)).as("n"))
@@ -690,7 +694,7 @@ object Similarity {
     * many queries run in the session.
     */
   private def annLshSigs(s: SparkSession, dir: String, nPlanes: Int): DataFrame =
-    memoCache("annLsh", s, s"$dir|$nPlanes", {
+    memoCacheSub("annLsh", s, dir, s"$nPlanes", {
       import s.implicits._
       val bPlanes = s.sparkContext.broadcast(lshPlanesN(nPlanes))
       vecDs(s, dir).mapPartitions { it =>
@@ -888,7 +892,7 @@ object Similarity {
     // consume it, and without the memo the band explode + bucket-local
     // verify (the expensive stage) re-executes per caller — at 100 TB
     // that doubles the heaviest embedding-side stage.
-    memoCache("cosLshPairs", s, s"$dir|$threshold|$blocks",
+    memoCacheSub("cosLshPairs", s, dir, s"$threshold|$blocks",
       pairs.distinct().cache())
       .select($"vec_a", $"vec_b", graft.Tables.round6($"cosine").as("cosine"))
       .orderBy($"vec_a", $"vec_b")

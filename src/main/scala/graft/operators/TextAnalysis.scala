@@ -273,8 +273,8 @@ object TextAnalysis {
     import s.implicits._
     val sh = TextDedup.hashedShinglesCached(s, dir)
     // cached: read once for sizing, once for the BF build, once exact-side
-    val bench = OpCache.memo("benchHashes", s.sparkContext.applicationId,
-      s"$dir|$benchMod",
+    val bench = OpCache.memoDir("benchHashes", s.sparkContext.applicationId,
+      dir, s"$benchMod",
       sh.where($"doc_id" % benchMod === 0)
         .select(explode($"hshs").as("h")).distinct().cache())
     val nBench = math.max(bench.count(), 64L)
@@ -425,8 +425,8 @@ object TextAnalysis {
     // below (the sizes aggregate plus both sides of the self-join), so
     // the collapsed vocab×sources frame memoizes through OpCache: the
     // collapse runs once per corpus, not three times per action.
-    val sg = graft.operators.OpCache.memo("xsrcGrams",
-      s.sparkContext.applicationId, dir, {
+    val sg = graft.operators.OpCache.memoDir("xsrcGrams",
+      s.sparkContext.applicationId, dir, "", {
         TextDedup.hashedShinglesCached(s, dir)
           .join(table(s, dir, "documents").select($"doc_id", $"source"), "doc_id")
           .select($"source", explode($"hshs").as("h")).distinct().cache()

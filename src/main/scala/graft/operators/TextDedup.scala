@@ -94,7 +94,7 @@ object TextDedup {
     */
   private[operators] def hashedShinglesCached(s: SparkSession, dir: String,
                                               width: Int = ShingleWidth): DataFrame =
-    OpCache.memo("hashedShingles", s.sparkContext.applicationId, s"$dir|$width",
+    OpCache.memoDir("hashedShingles", s.sparkContext.applicationId, dir, s"$width",
       hashedShingles(s, dir, width).cache())
 
   /** doc_id + distinct word n-gram shingle set hashed to sorted 60-bit
@@ -187,8 +187,8 @@ object TextDedup {
     // a fresh frequency-sketch broadcast per call, so a bare per-call
     // .cache() would leak one entry per invocation (plan-identity dedup
     // can't see closure equality)
-    val ranked = OpCache.memo("ppjoinRanked", s.sparkContext.applicationId,
-      s"$dir|$threshold|$freqSketchSize",
+    val ranked = OpCache.memoDir("ppjoinRanked", s.sparkContext.applicationId,
+      dir, s"$threshold|$freqSketchSize",
       prefixRankedFrom(s, sh, threshold, freqSketchSize).cache())
     // SATURATION GUARD — the one measured way this operator dies at scale
     // (bounded shingle vocabulary => prefix groups grow with the corpus,
@@ -346,7 +346,7 @@ object TextDedup {
     * threshold); a new corpus or threshold releases the previous cache.
     */
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
-    OpCache.memo("lshPairs", s.sparkContext.applicationId, s"$dir|$threshold",
+    OpCache.memoDir("lshPairs", s.sparkContext.applicationId, dir, s"$threshold",
       minhashLshPairsFrom(s, hashedShinglesCached(s, dir), threshold).cache())
 
   /** (doc_id, band, bkey) LSH band rows from a hashed-shingle set — the
@@ -562,7 +562,7 @@ object TextDedup {
   private def lineHashesCached(s: SparkSession, dir: String,
                                window: Int): DataFrame = {
     import s.implicits._
-    OpCache.memo("lineHashes", s.sparkContext.applicationId, s"$dir|$window", {
+    OpCache.memoDir("lineHashes", s.sparkContext.applicationId, dir, s"$window", {
       chunkedLines(table(s, dir, "documents"), window)
         .select($"doc_id",
           posexplode(expr("transform(lines, l -> xxhash64(l))")).as(Seq("pos", "lh")))
@@ -652,11 +652,11 @@ object TextDedup {
   def dupSubstringCoverage(s: SparkSession, dir: String, window: Int = 8,
                            minDf: Int = 2): DataFrame =
     dupSubstringCoverageDf(table(s, dir, "documents"), window, minDf,
-      cacheKey = Some(s"$dir|$window"))
+      cacheKey = Some((dir, s"$window")))
 
   private[graft] def dupSubstringCoverageDf(docs: DataFrame, window: Int,
                                             minDf: Int,
-                                            cacheKey: Option[String] = None): DataFrame = {
+                                            cacheKey: Option[(String, String)] = None): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val base = docs
@@ -686,8 +686,8 @@ object TextDedup {
     // memoize the compact (doc_id, pos, wh) frame through OpCache,
     // exactly the hashedShingles precedent: corpus-derived, two
     // consumers, spill-backed storage at scale.
-    val wins = cacheKey.map(k => OpCache.memo("dupSubstrWins",
-      s.sparkContext.applicationId, k, wins0.cache())).getOrElse(wins0)
+    val wins = cacheKey.map { case (d, k) => OpCache.memoDir("dupSubstrWins",
+      s.sparkContext.applicationId, d, k, wins0.cache()) }.getOrElse(wins0)
     val dupHashes = wins.groupBy($"wh").agg(count(lit(1)).as("c"))
       .where($"c" >= minDf).select($"wh")
     val dups = wins.join(dupHashes, Seq("wh")).select($"doc_id", $"pos")
