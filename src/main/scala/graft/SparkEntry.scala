@@ -117,6 +117,10 @@ object SparkEntry {
     "q91_stream_running_counts" -> ((s, d) => graft.streaming.StreamOps.runningCountsStreamed(s, d)),
     "q92_stream_stream_join" -> ((s, d) => graft.streaming.StreamOps.streamStreamJoin(s, d)),
     "q93_event_transitions" -> ((s, d) => EventOps.eventTransitions(s, d)),
+    // rows-only BY DESIGN (like q25/q53): IVF neighbor sets are
+    // engine-specific; SimilarityRecallSpec gates probe-all exactness
+    // and bounded-probe label agreement vs q71's exact vote
+    "q94_knn_classify_ivf" -> ((s, d) => Similarity.knnClassifyIvf(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -189,6 +189,25 @@ object Similarity {
                   queryChunk: Int = 512): DataFrame =
     knnClassifyFrom(s, dir, annBruteForce(s, dir, k, queryChunk))
 
+  /** ANN-fed kNN classification (q94): the same vote tail fed by
+    * [[annIvfKmeans]]'s probe-bounded neighbors instead of the exact
+    * O(N·Q) scan — the registered 100 TB path for label lookup. With
+    * the default 8-of-64 learned cells each query compares against
+    * ~12.5% of the corpus (the IVF contract; codebook + inverted file
+    * are memoized, so steady-state cost is probe + in-cell search
+    * only). Exactness is the traded dimension, so this is rows-only
+    * under the driver and spec-gated instead (`SimilarityRecallSpec`:
+    * probe-all reproduces q71's exact vote bit-for-bit; the bounded
+    * default's label agreement is gated with margin above the random
+    * floor). Probe-bounded IVF covers every query, so the output keys
+    * q71's exactly.
+    */
+  def knnClassifyIvf(s: SparkSession, dir: String, k: Int = 5,
+                     nCells: Int = 64, nProbe: Int = 8,
+                     iters: Int = 5): DataFrame =
+    knnClassifyFrom(s, dir, annIvfKmeans(s, dir, harnessQueries(s, dir),
+      k, nCells, nProbe, iters))
+
   /** The vote tail of [[knnClassify]] over ANY neighbor frame with
     * `(query_id, neighbor_id)` columns — the pluggable seam that makes
     * the classifier scale: the default feeds it [[annBruteForce]]'s exact

@@ -160,6 +160,22 @@ class SimilarityRecallSpec extends AnyFunSuite with SparkFixture {
     info(f"q71 IVF-fed label agreement: $rate%.3f over ${exact.size} queries")
   }
 
+  test("q94 registered query IS the IVF-fed vote and covers every harness query") {
+    val dir = "/root/testdata/sf0.01"
+    // the registry entry must run the bounded path, not drift back to
+    // brute force: bit-identical to the explicit composition…
+    val registered = SparkEntry.queries("q94_knn_classify_ivf")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val composed = Similarity.knnClassifyFrom(spark, dir,
+      Similarity.annIvfKmeans(spark, dir, nProbe = 8))
+      .collect().map(_.toSeq).toSeq
+    assert(registered === composed)
+    // …and probe-bounded IVF covers every query, so q94 keys = q71 keys
+    val exactKeys = Similarity.knnClassify(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(registered.map(_.head.asInstanceOf[Long]).toSet === exactKeys)
+  }
+
   test("ANN operators accept an arbitrary query frame, including external vectors") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
