@@ -121,6 +121,7 @@ object SparkEntry {
     // engine-specific; SimilarityRecallSpec gates probe-all exactness
     // and bounded-probe label agreement vs q71's exact vote
     "q94_knn_classify_ivf" -> ((s, d) => Similarity.knnClassifyIvf(s, d)),
+    "q96_stream_abandonment" -> ((s, d) => graft.streaming.StreamOps.streamAbandonment(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1340,6 +1341,23 @@ object SparkEntry {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND epoch_us(p.ts) >= epoch_us(c.ts)
         | AND epoch_us(p.ts) < epoch_us(c.ts) + 3600000000
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
+    // q96: batch left-anti twin of the streamed left-outer join — NO
+    // time cutoff: the stream's far-future sentinel record makes every
+    // click decidable (see streamAbandonment's doc), so both engines
+    // score the full click set.
+    "q96_stream_abandonment" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS t FROM events
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS t FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT c.user_id, count(*) AS n_abandoned,
+        |  CAST(min(c.t) AS BIGINT) AS min_click_us,
+        |  CAST(max(c.t) AS BIGINT) AS max_click_us
+        |FROM c WHERE NOT EXISTS (SELECT 1 FROM p
+        |  WHERE p.user_id = c.user_id AND p.t >= c.t
+        |    AND p.t < c.t + 3600000000)
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
 
     // q93: per-user order is (epoch_us, event_id) — the tie-break is

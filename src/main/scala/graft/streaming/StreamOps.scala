@@ -659,6 +659,125 @@ object StreamOps {
     } finally deleteRecursively(work.toFile)
   }
 
+  /** LEFT-OUTER stream-stream join under the batch oracle (q96) — the
+    * abandonment twin of q92: clicks WITHOUT a purchase by the same user
+    * within the following hour. Outer stream-stream joins exercise the
+    * state machinery inner joins never touch: an unmatched left row
+    * emits (with a null right side) only when the WATERMARK proves no
+    * future purchase can match it — i.e. on state EVICTION, in the
+    * final no-data micro-batch — not on arrival.
+    *
+    * Determinism vs the batch left-anti twin requires EVERY click to
+    * be decidable by end-of-stream — otherwise the result depends on
+    * exactly where Spark's final watermark lands relative to the last
+    * hour of clicks (measured: each side's watermark tracked only its
+    * own event type — Catalyst pushes the type filter BELOW the
+    * watermark node, so writing `withWatermark` before the filter does
+    * not make the watermark global — leaving the final watermark at
+    * max(purchase ts) − delay and the last ~2.7 h of clicks stuck in
+    * state). Instead the stream reads a scratch copy of the events
+    * file plus a SENTINEL PAIR — one click and one purchase for the
+    * impossible user −1 — whose event time sits 30 days past the data.
+    * The sentinels pass both type filters, so BOTH watermark nodes
+    * observe the far-future time and the closing no-data batch
+    * provably evicts-and-emits every real unmatched click, whatever
+    * slack the eviction pass applies. The sentinel click itself is
+    * never decidable (nothing can outrun it) so it never emits
+    * unmatched; its same-timestamp purchase match is dropped by the
+    * rollup's user_id ≥ 0 ∧ abandoned filter. Per abandoned-user
+    * rollup: abandoned-click count, min and max abandoned-click epoch
+    * — hash-equal to DuckDB's NOT EXISTS anti-join with NO time cutoff
+    * at all.
+    *
+    * Shared-filesystem note: like q84's fixture, the scratch dir is
+    * driver-local — fine on local/local-cluster (one host); a
+    * multi-node deployment would point the copy at a shared path. At
+    * scale the sentinel pattern is exactly how a production feed closes
+    * its books: one end-of-day marker record per shard.
+    */
+  def streamAbandonment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val maxUs = graft.Tables.events(s, dir).agg(max($"ts_us")).head.getLong(0)
+    val sentUs = maxUs + 30L * 86400L * 1000000L
+    val tsIsNanosLong =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsIsNtz =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType
+    val work = java.nio.file.Files.createTempDirectory("q96_abandon")
+    try {
+      // scratch input = the original file(s) + the sentinel part file
+      val srcDir = work.resolve("src")
+      java.nio.file.Files.createDirectory(srcDir)
+      val evPath = java.nio.file.Paths.get(s"$dir/events.parquet")
+      if (java.nio.file.Files.isDirectory(evPath)) {
+        val st = java.nio.file.Files.list(evPath)
+        try st.forEach { p =>
+          val n = p.getFileName.toString
+          if (n.endsWith(".parquet") || n.startsWith("part-"))
+            java.nio.file.Files.copy(p, srcDir.resolve(s"a_$n")): Unit
+        } finally st.close()
+      } else java.nio.file.Files.copy(evPath, srcDir.resolve("a_events.parquet"))
+      val sentTs = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => lit(sentUs * 1000L) // nanos convention
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          timestamp_micros(lit(sentUs)).cast(org.apache.spark.sql.types.TimestampNTZType)
+        case _ => timestamp_micros(lit(sentUs))
+      }
+      val sentStage = work.resolve("sent")
+      val sentBase = raw.limit(1)
+        .withColumn("ts", sentTs)
+        .withColumn("user_id", lit(-1L).cast(raw.schema("user_id").dataType))
+      sentBase.withColumn("event_type", lit("click"))
+        .unionByName(sentBase.withColumn("event_type", lit("purchase")))
+        .coalesce(1).write.parquet(sentStage.toString)
+      val partSt = java.nio.file.Files.list(sentStage)
+      try partSt.forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.move(p, srcDir.resolve("z_sentinel.parquet")): Unit
+      } finally partSt.close()
+      val stream0 = s.readStream.schema(raw.schema).parquet(srcDir.toString)
+      def side(eventType: String, alias: String): DataFrame = {
+        val ts =
+          if (tsIsNanosLong) timestamp_micros(expr("ts div 1000"))
+          else if (tsIsNtz) col("ts").cast("timestamp")
+          else col("ts")
+        stream0
+          .select(col("user_id").cast("long").as(s"${alias}_user"),
+            ts.as(s"${alias}_ts"), col("event_type"))
+          // note: Catalyst pushes the type filter BELOW this watermark
+          // node, so each side's watermark tracks its own type only —
+          // which is exactly why the sentinel pair carries both types
+          .withWatermark(s"${alias}_ts", "70 minutes")
+          .where(col("event_type") === eventType)
+          .drop("event_type")
+      }
+      val clicks = side("click", "c")
+      val purchases = side("purchase", "p")
+      val joined = clicks.join(purchases,
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts < c_ts + interval 1 hour"),
+        "left_outer")
+        .select($"c_user".as("user_id"), unix_micros($"c_ts").as("click_us"),
+          $"p_ts".isNull.as("abandoned"))
+      val q = joined.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .format("parquet").option("path", work.resolve("out").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rolled = s.read.parquet(work.resolve("out").toString)
+        .where($"abandoned" && $"user_id" >= 0) // drop the sentinel pair
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_abandoned"),
+          min($"click_us").as("min_click_us"),
+          max($"click_us").as("max_click_us"))
+        .orderBy($"user_id")
+      val rows = rolled.collect().toSeq // bounded: one row per abandoning user
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), rolled.schema)
+        .orderBy($"user_id")
+    } finally deleteRecursively(work.toFile)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
