@@ -121,6 +121,10 @@ object SparkEntry {
     // engine-specific; SimilarityRecallSpec gates probe-all exactness
     // and bounded-probe label agreement vs q71's exact vote
     "q94_knn_classify_ivf" -> ((s, d) => Similarity.knnClassifyIvf(s, d)),
+    // rows-only BY DESIGN: the BPE merge recursion is not expressible in
+    // one SQL query; PipelineCleaningSpec pins merges/encode on a hand
+    // fixture + round-trip/determinism invariants
+    "q95_subword_bpe" -> ((s, d) => TextAnalysis.subwordProfile(s, d)),
     "q96_stream_abandonment" -> ((s, d) => graft.streaming.StreamOps.streamAbandonment(s, d)),
   )
 

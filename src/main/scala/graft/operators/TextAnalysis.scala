@@ -741,4 +741,68 @@ object TextAnalysis {
           .as("zipf_slope"))
       .orderBy($"source")
   }
+
+  /** Per-source subword (byte-level BPE) profile (q95): every
+    * token-denominated stage so far (q28/q40/q58/q67/q78/q81) budgets in
+    * whitespace tokens; real pipelines budget in SUBWORD tokens. Trains
+    * a deterministic byte-level BPE on the corpus itself and reports,
+    * per source: docs, UTF-8 bytes, subword pieces, and bytes-per-piece
+    * (the compression ratio — the number that converts a byte budget
+    * into a token budget for THIS corpus).
+    *
+    * Scale shape (the reason this is Spark-shaped and not a UDF around
+    * a library): ONE vocab-bounded word-count aggregate (map-side
+    * combined — the q81/q85 cost class), a deterministic top-`vocabCap`
+    * cut on (count desc, word asc), driver-local merge training on that
+    * bounded table ([[graft.functions.Bpe]]), one broadcast of the rank
+    * map, and a per-row encode kernel with a per-partition word→pieces
+    * memo (vocabulary-bounded, self-clearing) — no shuffle after the
+    * count, nothing corpus-sized on the driver. Engine-specific
+    * recursion (the merge loop) puts this rows-only under the driver;
+    * PipelineCleaningSpec pins the merge/encode semantics on a
+    * hand-computed fixture plus round-trip and determinism invariants.
+    */
+  def subwordProfile(s: SparkSession, dir: String, nMerges: Int = 64,
+                     vocabCap: Int = 65536): DataFrame = {
+    import s.implicits._
+    val wc = table(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .where(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"w".asc).limit(vocabCap)
+      .as[(String, Long)].collect()
+    val ranks = graft.functions.Bpe.train(wc, nMerges)
+      .zipWithIndex.toMap
+    val bRanks = s.sparkContext.broadcast(ranks)
+    table(s, dir, "documents")
+      .select($"source", $"text").as[(String, String)]
+      .mapPartitions { it =>
+        val rk = bRanks.value
+        val memo = new java.util.HashMap[String, Long]()
+        it.map { case (src, text) =>
+          var pieces = 0L; var bytes = 0L
+          text.split(' ').foreach { w =>
+            if (w.nonEmpty) {
+              var n = memo.getOrDefault(w, 0L)
+              if (n == 0L) { // 0 is impossible for a non-empty word
+                n = graft.functions.Bpe.encode(w, rk).length.toLong
+                if (memo.size > (1 << 20)) memo.clear() // vocab blowup guard
+                memo.put(w, n)
+              }
+              pieces += n
+              bytes += w.getBytes("UTF-8").length
+            }
+          }
+          (src, pieces, bytes)
+        }
+      }.toDF("source", "n_pieces", "n_bytes")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_bytes").as("sum_bytes"),
+        sum($"n_pieces").as("sum_pieces"))
+      .select($"source", $"n_docs", $"sum_bytes", $"sum_pieces",
+        graft.Tables.round6($"sum_bytes".cast("double") / $"sum_pieces")
+          .as("bytes_per_piece"))
+      .orderBy($"source")
+  }
 }

@@ -29,6 +29,57 @@ class PipelineCleaningSpec extends AnyFunSuite with SparkFixture {
     dir
   }
 
+  test("q95 BPE train/encode match the hand-computed fixture") {
+    import graft.functions.Bpe
+    // corpus: "aaab" x3, "aab" x2. Hand-derived rounds:
+    //   r1: pairs (a,a)=2*3+1*2=8, (a,b)=3+2=5          -> merge (a,a)
+    //       words: [aa,a,b]x3, [aa,b]x2
+    //   r2: (aa,a)=3, (a,b)=3, (aa,b)=2; tie 3: ("a","b") < ("aa","a")
+    //       lexicographically                            -> merge (a,b)
+    //       words: [aa,ab]x3, [aa,b]x2
+    //   r3: (aa,ab)=3, (aa,b)=2                          -> merge (aa,ab)
+    val wc = Seq("aaab" -> 3L, "aab" -> 2L)
+    val merges = Bpe.train(wc, 3)
+    assert(merges === Vector(("a", "a"), ("a", "b"), ("aa", "ab")))
+    val ranks = merges.zipWithIndex.toMap
+    assert(Bpe.encode("aaab", ranks) === Vector("aaab"))
+    assert(Bpe.encode("aab", ranks) === Vector("aa", "b"))
+    assert(Bpe.encode("ba", ranks) === Vector("b", "a")) // no applicable merge
+    assert(Bpe.encode("aaaab", ranks) === Vector("aa", "aa", "b"))
+    // determinism + early stop: re-train identical; merge budget past
+    // full fusion stops rather than inventing pairs
+    assert(Bpe.train(wc, 3) === merges)
+    assert(Bpe.train(Seq("ab" -> 1L), 10) === Vector(("a", "b")))
+  }
+
+  test("q95 profile: round-trip invariant and fixture arithmetic") {
+    import graft.functions.Bpe
+    // round-trip: pieces concatenate back to the word's bytes, for every
+    // corpus word under the corpus-trained merges
+    val docs = Seq(0L -> "aaab aab aaab", 1L -> "ba aab", 2L -> "aaab")
+    val dir = writeDocs(docs)
+    val words = docs.flatMap(_._2.split(' '))
+    val wc = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      .toSeq.sortBy { case (w, c) => (-c, w) }
+    val ranks = Bpe.train(wc, 8).zipWithIndex.toMap
+    words.distinct.foreach { w =>
+      assert(Bpe.encode(w, ranks).mkString === w, s"round-trip of $w")
+    }
+    // operator output vs hand counts: corpus counts aaab=4, aab=2, ba=1
+    //   -> merges fuse aaab fully and aab fully within 8 rounds, so
+    // recompute expected pieces directly from the pinned encode
+    val pieces = words.map(w => Bpe.encode(w, ranks).length.toLong).sum
+    val bytes = words.map(_.length.toLong).sum
+    val got = TextAnalysis.subwordProfile(spark, dir, nMerges = 8).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getString(0) === "t")
+    assert(r.getLong(1) === 3L) // n_docs
+    assert(r.getLong(2) === bytes)
+    assert(r.getLong(3) === pieces)
+    assert(r.getDouble(4) === math.floor(bytes.toDouble / pieces * 1e6 + 0.5) / 1e6)
+  }
+
   test("q63 counts and redacted checksum match the injection rule") {
     val docs = Seq(0L -> "alpha beta", 1L -> "gamma", 5L -> "t one two")
     val dir = writeDocs(docs)
