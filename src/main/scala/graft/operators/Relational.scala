@@ -61,14 +61,25 @@ object Relational {
   }
 
   /** Fact-fact join: orders ⋈ lineitem on orderkey. Both sides large → a
-    * shuffle (sort-merge/shuffled-hash picked by Catalyst+AQE). Filters are
-    * applied before the join so they push into the parquet scan.
+    * shuffle. Filters are applied before the join so they push into the
+    * parquet scan.
+    *
+    * Join strategy is pinned to SHUFFLED-HASH with the build on the
+    * smaller (filtered-orders) side: the Catalyst default (sort-merge)
+    * sorted both sides and spilled 129-617 MB at sf10 ("known since
+    * round 6"); `Q03Probe` measured SMJ 3.9-7.2 s / 129 MB spill vs SHJ
+    * 3.5-3.9 s / ZERO spill on identical output (bucketed tables also
+    * measured: zero shuffle but a 11 s one-time write + residual sort —
+    * right only when the key is reused across many queries). The hash
+    * build is per-partition orders rows — the side a deployment sizes
+    * shuffle partitions for; hinting the lineitem side instead OOMs the
+    * hashed relation (measured).
     */
   def revenueByPriority(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val orders = table(s, dir, "orders").where($"o_orderstatus" =!= "F")
     val lineitem = table(s, dir, "lineitem").where($"l_discount" > 0.0)
-    orders.join(lineitem, $"o_orderkey" === $"l_orderkey")
+    orders.hint("shuffle_hash").join(lineitem, $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderpriority")
       .agg(
         sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(12, 2)) - dec($"l_discount"))).cast("double").as("revenue"),
@@ -167,18 +178,25 @@ object Relational {
     * though the synthetic feed violates it: a non-zero orphan count on
     * a soft edge is the informative outcome, not an error.
     *
-    * Shape: per-edge left-anti joins against DISTINCT parent keys for
-    * the small children — EXCEPT the fact table: lineitem carries THREE
-    * of the schema's FK edges, and auditing them as independent edges
-    * scans the fact table three times (round 9 measured 3 scans +
-    * 183 MB spill at sf10). The three edges fuse into ONE projection of
-    * (l_orderkey, l_partkey, l_suppkey) flowing through three left
-    * joins on deduplicated parent keys (null parent = orphan flag),
-    * one 1-row aggregate, and a stack() unpivot back to edge rows —
-    * at 100 TB that is one fact scan instead of three for identical
-    * counts. Parent sides stay plain joins so AQE broadcasts the
-    * dimension-sized ones and shuffles the fact-sized orders keys.
-    * Output is one row per schema edge at any SF.
+    * Shape: one left-anti join per edge against the DISTINCT parent
+    * keys (parent key sets are dimension-sized or collapse to the
+    * distinct set before the join, so AQE broadcasts them); counts
+    * combine map-side. Output is one row per schema edge at any SF.
+    *
+    * The per-edge shape survived a measured challenge (round 10,
+    * `Q90Probe` at sf10): the "lineitem is scanned once per FK edge"
+    * criticism is ILLUSORY under columnar storage — each edge's scan
+    * prunes to a DIFFERENT single key column, so three 1-column scans
+    * read the same bytes as one 3-column scan. The fused alternatives
+    * measured strictly worse: 3 sequential left joins over the wide
+    * stream = 906 MB sort spill (SMJ) or 2.0 GB shuffle (SHJ hint) vs
+    * per-edge's 203 MB shuffle (sorted key runs compress ~4x better
+    * than wide rows); an explode-to-(edge,key) single-anti-join variant
+    * spilled 604 MB in partial aggregation. Per-edge's own 183 MB
+    * anti-join sort spill can be traded away with a shuffle_hash hint
+    * (0 spill, but 818 MB shuffle) — on a real cluster network bytes
+    * dominate local spill, so the unhinted form stays. Full numbers in
+    * BENCH_NOTES round 10.
     */
   def integrityAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -194,32 +212,11 @@ object Relational {
           lit(s"$parent.$parentKey").as("edge_parent"),
           $"n_child_rows", $"n_orphans")
     }
-    // fused fact-side audit: one lineitem scan scores all three edges
-    val li = table(s, dir, "lineitem").select(
-      $"l_orderkey".cast("long").as("ok"),
-      $"l_partkey".cast("long").as("pk"),
-      $"l_suppkey".cast("long").as("sk"))
-    def keys(t: String, k: String, as: String) =
-      table(s, dir, t).select(col(k).cast("long").as(as)).distinct()
-        .withColumn(s"hit_$as", lit(1))
-    val liAgg = li
-      .join(keys("orders", "o_orderkey", "ok"), Seq("ok"), "left")
-      .join(keys("part", "p_partkey", "pk"), Seq("pk"), "left")
-      .join(keys("supplier", "s_suppkey", "sk"), Seq("sk"), "left")
-      .agg(
-        count(lit(1)).as("n"),
-        coalesce(sum(when($"hit_ok".isNull, 1L)), lit(0L)).as("orph_ok"),
-        coalesce(sum(when($"hit_pk".isNull, 1L)), lit(0L)).as("orph_pk"),
-        coalesce(sum(when($"hit_sk".isNull, 1L)), lit(0L)).as("orph_sk"))
-    val liEdges = liAgg.select(expr(
-      "stack(3, " +
-        "'lineitem.l_orderkey', 'orders.o_orderkey', n, orph_ok, " +
-        "'lineitem.l_partkey', 'part.p_partkey', n, orph_pk, " +
-        "'lineitem.l_suppkey', 'supplier.s_suppkey', n, orph_sk) " +
-        "as (edge_child, edge_parent, n_child_rows, n_orphans)"))
     Seq(
       edge("orders", "o_custkey", "customer", "c_custkey"),
-      liEdges,
+      edge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem", "l_suppkey", "supplier", "s_suppkey"),
       edge("customer", "c_nationkey", "nation", "n_nationkey"),
       edge("supplier", "s_nationkey", "nation", "n_nationkey"),
       edge("nation", "n_regionkey", "region", "r_regionkey"),
