@@ -126,6 +126,7 @@ object SparkEntry {
     // fixture + round-trip/determinism invariants
     "q95_subword_bpe" -> ((s, d) => TextAnalysis.subwordProfile(s, d)),
     "q96_stream_abandonment" -> ((s, d) => graft.streaming.StreamOps.streamAbandonment(s, d)),
+    "q97_bigram_entropy" -> ((s, d) => TextAnalysis.bigramCrossEntropy(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1363,6 +1364,32 @@ object SparkEntry {
         |  WHERE p.user_id = c.user_id AND p.t >= c.t
         |    AND p.t < c.t + 3600000000)
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
+    // q97: ML bigram LM over the corpus itself — integer counts, qln
+    // quantization (the q85 discipline), one final double division
+    // chain identical in both engines. range(1, len) is empty for
+    // 1-token docs, which stay via the LEFT JOIN with entropy 0.0.
+    "q97_bigram_entropy" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |       FROM t, UNNEST(range(1, len(ts))) AS u(i)),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        |       FROM bg GROUP BY 1, 2),
+        |m AS (SELECT w1, w2,
+        |        CAST(floor(ln(CAST(sum(c2) OVER (PARTITION BY w1) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |      - CAST(floor(ln(CAST(c2 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS score
+        |      FROM c2),
+        |sc AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS nb,
+        |         CAST(sum(score) AS BIGINT) AS ss
+        |       FROM bg JOIN m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+        |       GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(sc.nb, 0) AS n_bigrams,
+        |  CASE WHEN sc.nb IS NULL THEN 0.0
+        |    ELSE floor(((CAST(sc.ss AS DOUBLE) / 1000000.0) / sc.nb) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS cross_entropy
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // q93: per-user order is (epoch_us, event_id) — the tie-break is
     // part of the contract; top-k cuts on (n desc, path asc).

@@ -742,6 +742,58 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** Per-document bigram cross-entropy under the corpus's own bigram LM
+    * (q97) — the perplexity-style quality filter of a training-data
+    * pipeline: documents whose token transitions are improbable under
+    * the corpus distribution (boilerplate, shuffled text, wrong-language
+    * slices) score high and get gated. Model: maximum-likelihood bigram
+    * LM trained on the corpus itself, p(w2|w1) = c(w1,w2) / c(w1·)
+    * (prefix counts), so every scored bigram has corpus support and no
+    * smoothing convention has to match across engines.
+    *
+    * Cross-engine exactness: the q85 discipline — ln of exact integer
+    * counts quantized to BIGINT (floor(ln·1e6 + 0.5)), per-bigram score
+    * = qln(c1) − qln(c2) ≥ 0 summed as integers, ONE double division
+    * chain at the end, then round6. Docs with fewer than two tokens stay
+    * in the report with n_bigrams = 0 and entropy 0.0.
+    *
+    * Shape: one corpus explode into the map-side-combined bigram count
+    * (vocab²-bounded — the irreducible LM collapse), a vocab-bounded
+    * prefix-count join inside the model frame, one stream-to-model join
+    * keyed on the bigram (AQE broadcasts the model while it fits; at
+    * open-web vocab it degrades to a hash join on the same key), one
+    * per-doc aggregate. The sequence() guard keeps 1-token docs out of
+    * the generator (it would count DOWN — the q76 lesson).
+    */
+  def bigramCrossEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def qln(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+    val docs = table(s, dir, "documents")
+    val bg = docs
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .where(size($"ts") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] as w1, ts[i+1] as w2))"))
+        .as("b"))
+      .select($"doc_id", $"b.w1", $"b.w2")
+    val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val model = c2.join(
+        c2.groupBy($"w1").agg(sum($"c2").as("c1")), "w1")
+      .select($"w1", $"w2", (qln($"c1") - qln($"c2")).as("score"))
+    val scored = bg.join(model, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"score").as("score_sum"))
+    docs.select($"doc_id").join(scored, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        when($"n_bigrams".isNull, lit(0.0))
+          .otherwise(graft.Tables.round6(
+            ($"score_sum".cast("double") / lit(1000000.0)) / $"n_bigrams"))
+          .as("cross_entropy"))
+      .orderBy($"doc_id")
+  }
+
   /** Per-source subword (byte-level BPE) profile (q95): every
     * token-denominated stage so far (q28/q40/q58/q67/q78/q81) budgets in
     * whitespace tokens; real pipelines budget in SUBWORD tokens. Trains

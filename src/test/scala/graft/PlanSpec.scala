@@ -219,6 +219,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q97 LM scoring: equi-joins only, and the doc stream never carries text past the explode") {
+    val p = plan(TextAnalysis.bigramCrossEntropy(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"model and doc joins must be (w1,w2)-keyed equi-joins:\n$p")
+    // the per-doc aggregate ships only (doc_id, n, score) — no Exchange
+    // row should carry the raw text column
+    val badExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("text#"))
+    assert(!badExchange, s"no shuffle may carry raw document text:\n$p")
+  }
+
   test("q87 funnel joins stay user-keyed equi-joins — no cartesian, no row multiplication") {
     val p = plan(EventOps.eventFunnel(spark, sfDir))
     assert(!p.contains("CartesianProduct"), s"no cartesian in the funnel:\n$p")
