@@ -127,6 +127,7 @@ object SparkEntry {
     "q95_subword_bpe" -> ((s, d) => TextAnalysis.subwordProfile(s, d)),
     "q96_stream_abandonment" -> ((s, d) => graft.streaming.StreamOps.streamAbandonment(s, d)),
     "q97_bigram_entropy" -> ((s, d) => TextAnalysis.bigramCrossEntropy(s, d)),
+    "q98_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1390,6 +1391,18 @@ object SparkEntry {
         |  END AS cross_entropy
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q98: the Misra-Gries pass only PROPOSES candidates; the exact
+    // recheck disposes — so the sketch-side nondeterminism (partition
+    // layout) never reaches the output and the full-groupBy oracle
+    // hash-matches. Threshold is integer: c*k > N.
+    "q98_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |n AS (SELECT count(*) AS c FROM t),
+        |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1)
+        |SELECT cnt.w AS token, cnt.c AS n FROM cnt, n
+        |WHERE cnt.c * 32 > n.c
+        |ORDER BY cnt.c DESC, cnt.w ASC""".stripMargin,
 
     // q93: per-user order is (epoch_us, event_id) — the tie-break is
     // part of the contract; top-k cuts on (n desc, path asc).

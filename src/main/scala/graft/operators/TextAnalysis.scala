@@ -742,6 +742,63 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** EXACT corpus heavy hitters via a Misra–Gries candidate pass (q98):
+    * every token whose count strictly exceeds N/k, with its exact count
+    * — the frequent-item report (stopword discovery, template
+    * detection, vocabulary pruning) computed WITHOUT a full-vocabulary
+    * shuffle. Two phases:
+    *   1. per-partition Misra–Gries summaries of size `m` (classic
+    *      guarantee: any item with partition frequency > n_p/m survives
+    *      its partition's summary, so the union over partitions is a
+    *      SUPERSET of every global >N/m item; m ≥ k makes it a superset
+    *      of the >N/k report). Only ≤ partitions·m candidate tokens
+    *      leave the executors — no vocabulary-sized shuffle;
+    *   2. one exact count pass restricted to the broadcast candidate
+    *      set, thresholded as c·k > N in INTEGER arithmetic.
+    * The sketch only proposes; the recheck disposes — so the output is
+    * exact and engine-independent (hash-checked against DuckDB's full
+    * groupBy), while the scale cost stays two scans + a candidate-set
+    * aggregate. `HeavyHitterSpec`-style superset behavior is pinned in
+    * OperatorEquivalenceSpec on an adversarial skew fixture.
+    */
+  def heavyHitters(s: SparkSession, dir: String, k: Int = 32,
+                   m: Int = 256): DataFrame =
+    heavyHittersDf(table(s, dir, "documents"), k, m)
+
+  private[graft] def heavyHittersDf(docs: DataFrame, k: Int, m: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs.select(explode(split($"text", " ")).as("w")).as[String]
+    // pass 1: Misra–Gries per partition; ≤ m survivors each
+    val cands = toks.mapPartitions { it =>
+      val mg = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        mg.get(w) match {
+          case Some(c) => mg(w) = c + 1
+          case None if mg.size < m => mg(w) = 1L
+          case None => // decrement-all step; drop zeros
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            mg.keysIterator.foreach { kk =>
+              val nv = mg(kk) - 1
+              if (nv == 0L) dead += kk else mg(kk) = nv
+            }
+            dead.foreach(mg.remove)
+        }
+      }
+      mg.keysIterator
+    }.distinct().collect() // bounded: ≤ partitions · m tokens
+    val bCands = s.sparkContext.broadcast(cands.toSet)
+    val n = docs.agg(coalesce(sum(size(split($"text", " "))), lit(0L)))
+      .head.getLong(0)
+    toks.filter(w => bCands.value.contains(w))
+      .toDF("w")
+      .groupBy($"w".as("token"))
+      .agg(count(lit(1)).as("n"))
+      .where($"n" * k > n)
+      .select($"token", $"n")
+      .orderBy($"n".desc, $"token".asc)
+  }
+
   /** Per-document bigram cross-entropy under the corpus's own bigram LM
     * (q97) — the perplexity-style quality filter of a training-data
     * pipeline: documents whose token transitions are improbable under

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{EventOps, Similarity, TextDedup}
+import graft.operators.{EventOps, Similarity, TextAnalysis, TextDedup}
 
 /** The bounded-state operators take tuning knobs (sketch size, block
   * count, query chunk) whose non-default paths the oracle harness never
@@ -316,6 +316,41 @@ class OperatorEquivalenceSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(r.getDouble(3) - p50) <= 1.0)
       assert(math.abs(r.getDouble(4) - p75) <= 1.0)
     }
+  }
+
+  test("q98 MG candidate pass is a superset of every >N/m item under adversarial skew") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{explode, split}
+    // vocabulary (1000 one-off fillers) far exceeds the sketch size
+    // (m = 4); the hot token's 400 occurrences are interleaved so every
+    // partition sees mostly fillers. Guarantee under test: any token
+    // with count > N/m survives the per-partition summaries, so the
+    // exact recheck emits exactly the true >N/k report.
+    val fillers = (0 until 50).map(i => s"f$i") // each recurs ~20 times
+    val words = scala.collection.mutable.ArrayBuffer.empty[String]
+    var fi = 0
+    (0 until 1400).foreach { i =>
+      if (i % 7 < 2) words += "hot" // 400 hot
+      else { words += fillers(fi % 50); fi += 1 }
+    }
+    val docs = words.grouped(20).map(_.mkString(" ")).toSeq
+      .toDF("text").repartition(8)
+    // N = 1400, k = 4 -> threshold 350; hot = 400 qualifies, nothing else
+    val got = TextAnalysis.heavyHittersDf(docs, k = 4, m = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("hot", 400L)))
+    // cross-check vs the exact full groupBy at a looser threshold that
+    // admits the ~20-count fillers too. m >= k is the guarantee's
+    // precondition: every token > N/m = 10.9 survives the sketch, so
+    // the > N/k = 14 report is complete.
+    val exact = docs.select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").count()
+      .where($"count" * 100 > 1400)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(exact.size > 10, "fixture must admit many tokens at the loose threshold")
+    val gotLoose = TextAnalysis.heavyHittersDf(docs, k = 100, m = 128)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotLoose === exact)
   }
 
   test("q49 contamination: benchmark-held-out docs score overlap 1 when duplicated") {
