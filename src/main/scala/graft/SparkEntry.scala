@@ -128,6 +128,7 @@ object SparkEntry {
     "q96_stream_abandonment" -> ((s, d) => graft.streaming.StreamOps.streamAbandonment(s, d)),
     "q97_bigram_entropy" -> ((s, d) => TextAnalysis.bigramCrossEntropy(s, d)),
     "q98_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
+    "q99_asof_nearest" -> ((s, d) => EventOps.asOfNearestClick(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1403,6 +1404,37 @@ object SparkEntry {
         |SELECT cnt.w AS token, cnt.c AS n FROM cnt, n
         |WHERE cnt.c * 32 > n.c
         |ORDER BY cnt.c DESC, cnt.w ASC""".stripMargin,
+
+    // q99: identical window formulation on both engines — the
+    // (ts, event_id) order and the 1-row frame exclusions make the
+    // backward/forward candidates deterministic, and the nearest/
+    // tolerance selection is integer CASE arithmetic. 2h tolerance
+    // = 7200000000 us.
+    "q99_asof_nearest" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |w AS (SELECT *,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER wb AS prev_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN t END IGNORE NULLS) OVER wb AS prev_us,
+        |    first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER wf AS next_id,
+        |    first_value(CASE WHEN event_type = 'click' THEN t END IGNORE NULLS) OVER wf AS next_us
+        |  FROM ev
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY t, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         wf AS (PARTITION BY user_id ORDER BY t, event_id
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        |p AS (SELECT *,
+        |    (prev_us IS NOT NULL AND t - prev_us <= 7200000000) AS back_ok,
+        |    (next_us IS NOT NULL AND next_us - t <= 7200000000) AS fwd_ok
+        |  FROM w WHERE event_type = 'purchase'),
+        |sel AS (SELECT *,
+        |    (back_ok AND (NOT fwd_ok OR t - prev_us <= next_us - t)) AS take_back
+        |  FROM p)
+        |SELECT user_id, event_id AS purchase_id, t AS purchase_us,
+        |  CASE WHEN take_back THEN prev_id WHEN fwd_ok THEN next_id END AS click_id,
+        |  CASE WHEN take_back THEN prev_us WHEN fwd_ok THEN next_us END AS click_us,
+        |  CASE WHEN take_back THEN t - prev_us WHEN fwd_ok THEN next_us - t END AS delta_us
+        |FROM sel ORDER BY purchase_id""".stripMargin,
 
     // q93: per-user order is (epoch_us, event_id) — the tie-break is
     // part of the contract; top-k cuts on (n desc, path asc).

@@ -174,6 +174,53 @@ object EventOps {
       .orderBy($"purchase_id")
   }
 
+  /** As-of join with TOLERANCE and NEAREST direction (q99) — the full
+    * merge_asof parity point ([[asOfLastClick]] is the backward-only
+    * half): for every purchase, the nearest click of the same user
+    * within ±`tolUs`, ties to the BACKWARD candidate (a click at the
+    * purchase instant counts as backward via the (ts, event_id) window
+    * order). Purchases with no click in tolerance keep NULL click
+    * columns — the "no attribution" marker callers filter or keep.
+    *
+    * Same scale shape as q16: union the two event kinds, ONE
+    * (user, time)-windowed pass carrying last-preceding and
+    * first-following click via ignoreNulls window aggregates — a single
+    * user-keyed shuffle, linear work, no range join, no row
+    * multiplication. The direction/tolerance logic is pure per-row
+    * CASE arithmetic on the two candidates.
+    */
+  def asOfNearestClick(s: SparkSession, dir: String,
+                       tolUs: Long = 2L * 3600L * 1000000L): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts_us")
+      .where($"event_type".isin("purchase", "click"))
+    val wb = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wf = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val isClick = $"event_type" === "click"
+    val base = ev
+      .withColumn("prev_id", last(when(isClick, $"event_id"), ignoreNulls = true).over(wb))
+      .withColumn("prev_us", last(when(isClick, $"ts_us"), ignoreNulls = true).over(wb))
+      .withColumn("next_id", first(when(isClick, $"event_id"), ignoreNulls = true).over(wf))
+      .withColumn("next_us", first(when(isClick, $"ts_us"), ignoreNulls = true).over(wf))
+      .where($"event_type" === "purchase")
+    val backOk = $"prev_us".isNotNull && ($"ts_us" - $"prev_us") <= tolUs
+    val fwdOk = $"next_us".isNotNull && ($"next_us" - $"ts_us") <= tolUs
+    val takeBack = backOk &&
+      (!fwdOk || ($"ts_us" - $"prev_us") <= ($"next_us" - $"ts_us"))
+    base.select(
+        $"user_id",
+        $"event_id".as("purchase_id"),
+        $"ts_us".as("purchase_us"),
+        when(takeBack, $"prev_id").when(fwdOk, $"next_id").as("click_id"),
+        when(takeBack, $"prev_us").when(fwdOk, $"next_us").as("click_us"),
+        when(takeBack, $"ts_us" - $"prev_us")
+          .when(fwdOk, $"next_us" - $"ts_us").as("delta_us"))
+      .orderBy($"purchase_id")
+  }
+
   /** Archive key naming + parse round-trip
     * (`/root/reference/triton/archive.go:45-81`,
     * `/root/reference/triton/store.go:91-104`): build

@@ -440,6 +440,32 @@ class PipelineCleaningSpec extends AnyFunSuite with SparkFixture {
     dir
   }
 
+  test("q99 as-of nearest: tie goes backward, tolerance excludes, no-match is NULL") {
+    val dir = writeEvents(Seq(
+      // user 1: clicks 1 h before and 1 h after → tie → BACKWARD (id 10)
+      (10L, "2024-03-01 09:00:00", 1L, "click"),
+      (11L, "2024-03-01 10:00:00", 1L, "purchase"),
+      (12L, "2024-03-01 11:00:00", 1L, "click"),
+      // user 2: only a FORWARD click, 90 min out (inside 2 h tolerance)
+      (20L, "2024-03-01 10:00:00", 2L, "purchase"),
+      (21L, "2024-03-01 11:30:00", 2L, "click"),
+      // user 3: nearest click 3 h back — OUTSIDE tolerance → NULL
+      (30L, "2024-03-01 07:00:00", 3L, "click"),
+      (31L, "2024-03-01 10:00:00", 3L, "purchase"),
+      // user 4: back 100 min vs forward 10 min → FORWARD wins (nearer)
+      (40L, "2024-03-01 08:20:00", 4L, "click"),
+      (41L, "2024-03-01 10:00:00", 4L, "purchase"),
+      (42L, "2024-03-01 10:10:00", 4L, "click")))
+    val got = graft.operators.EventOps.asOfNearestClick(spark, dir).collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(3)) None
+        else Some((r.getLong(3), r.getLong(5))))).toMap
+    assert(got === Map(
+      11L -> Some((10L, 3600000000L)),
+      20L -> Some((21L, 5400000000L)),
+      31L -> None,
+      41L -> Some((42L, 600000000L))))
+  }
+
   test("q87 funnel only counts strictly-ordered stage entries") {
     val dir = writeEvents(Seq(
       // user 1: full ordered funnel, 1 h then 2 h lags
