@@ -129,6 +129,7 @@ object SparkEntry {
     "q97_bigram_entropy" -> ((s, d) => TextAnalysis.bigramCrossEntropy(s, d)),
     "q98_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "q99_asof_nearest" -> ((s, d) => EventOps.asOfNearestClick(s, d)),
+    "q100_jsonl_ingest" -> ((s, d) => EventOps.jsonlDeadLetter(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1404,6 +1405,20 @@ object SparkEntry {
         |SELECT cnt.w AS token, cnt.c AS n FROM cnt, n
         |WHERE cnt.c * 32 > n.c
         |ORDER BY cnt.c DESC, cnt.w ASC""".stripMargin,
+
+    // q100: the oracle replays the deterministic mod-37 corruption rule
+    // on the ORIGINAL parquet — dead letters never parse, so their
+    // aggregate columns are NULL in both engines.
+    "q100_jsonl_ingest" ->
+      """WITH g AS (SELECT event_type AS kind, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |    CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        |  FROM events WHERE event_id % 37 != 0 GROUP BY 1),
+        |d AS (SELECT '_dead' AS kind, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(NULL AS BIGINT) AS sum_user, CAST(NULL AS BIGINT) AS max_ts_us
+        |  FROM events WHERE event_id % 37 = 0)
+        |SELECT * FROM (SELECT * FROM g UNION ALL SELECT * FROM d)
+        |ORDER BY kind""".stripMargin,
 
     // q99: identical window formulation on both engines — the
     // (ts, event_id) order and the 1-row frame exclusions make the

@@ -221,6 +221,68 @@ object EventOps {
       .orderBy($"purchase_id")
   }
 
+  /** JSONL ingest with dead-letter accounting (q100): the schema-on-read
+    * text ingest every pipeline runs next to its binary feeds (S4's
+    * msgpack decode covers the binary half). The events slice round-trips
+    * through newline-delimited JSON with a DETERMINISTIC corruption rule
+    * (every event_id ≡ 0 mod 37 is truncated mid-record — invalid JSON),
+    * then reads back under PERMISSIVE mode with a corrupt-record column:
+    * good rows parse typed, bad rows land intact in `_corrupt` instead
+    * of killing the job — Spark's native dead-letter seam. The report
+    * (per-type good counts/sums + one `_dead` row) is oracled from the
+    * original parquet by replaying the mod-37 rule, so a row lost,
+    * double-counted, or mis-parsed on either leg hash-mismatches.
+    *
+    * Scale shape: the write is one partition-parallel text sink, the
+    * read one schema-projected JSON scan, the report a types-bounded
+    * aggregate. Like q84, the fixture is the operator's own temp dir
+    * (driver-local scratch — the q84 shared-filesystem note applies).
+    */
+  def jsonlDeadLetter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val ev = events(s, dir)
+      .select($"event_id", $"ts_us", $"user_id", $"event_type")
+    val work = java.nio.file.Files.createTempDirectory("q100_jsonl")
+    try {
+      val lines = ev
+        .select($"event_id",
+          to_json(struct($"event_id", $"ts_us", $"user_id", $"event_type")).as("line"))
+        .select(when($"event_id" % 37 === 0, substring($"line", 1, 10))
+          .otherwise($"line").as("value"))
+      lines.write.text(work.resolve("jsonl").toString)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts_us", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("_corrupt", StringType)))
+      val parsed = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(work.resolve("jsonl").toString)
+      val rolled = parsed
+        .withColumn("kind",
+          when($"_corrupt".isNotNull, lit("_dead")).otherwise($"event_type"))
+        .groupBy($"kind")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"_corrupt".isNull, $"user_id")).as("sum_user"),
+          max(when($"_corrupt".isNull, $"ts_us")).as("max_ts_us"))
+        .orderBy($"kind")
+      // bounded: one row per event type + the dead-letter row; collect
+      // so the returned plan does not reference the deleted temp dir
+      val rows = rolled.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), rolled.schema)
+        .orderBy($"kind")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(work.toFile)
+    }
+  }
+
   /** Archive key naming + parse round-trip
     * (`/root/reference/triton/archive.go:45-81`,
     * `/root/reference/triton/store.go:91-104`): build
