@@ -130,6 +130,8 @@ object SparkEntry {
     "q98_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "q99_asof_nearest" -> ((s, d) => EventOps.asOfNearestClick(s, d)),
     "q100_jsonl_ingest" -> ((s, d) => EventOps.jsonlDeadLetter(s, d)),
+    "q101_above_avg_orders" -> ((s, d) => Relational.aboveCustomerAvgOrders(s, d)),
+    "q105_order_histogram" -> ((s, d) => Relational.orderValueHistogram(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1471,5 +1473,36 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // q101: the 1.5x-average screen in integer cents — avg() is a
+    // DOUBLE whose summation order differs between engines, so the
+    // comparison is cross-multiplied: cents * 2 * cnt > 3 * sum_cents.
+    // DuckDB runs the correlated form as written; Spark decorrelates
+    // the same text (PlanSpec pins that).
+    "q101_above_avg_orders" ->
+      """SELECT o.o_orderpriority,
+        |  count(*) AS n_big,
+        |  CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_big_cents
+        |FROM orders o
+        |WHERE CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 2 *
+        |      (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |    > 3 * (SELECT sum(CAST(CAST(o2.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
+
+    // q105: bin ids are pure integer arithmetic ((cents-mn)*16 // span)
+    // so edge rows can't straddle engines; bin_lo is one int-to-double
+    // conversion + one divide — IEEE-identical — then round6.
+    "q105_order_histogram" ->
+      """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM c)
+        |SELECT least((c.cents - b.mn) * 16 // (b.mx - b.mn + 1), 15) AS bin,
+        |  floor((b.mn + least((c.cents - b.mn) * 16 // (b.mx - b.mn + 1), 15) * (b.mx - b.mn + 1) / 16.0) * 1000000 + 0.5) / 1000000 AS bin_lo,
+        |  count(*) AS n_orders,
+        |  CAST(sum(c.cents) AS BIGINT) AS sum_cents
+        |FROM c, b
+        |GROUP BY 1, 2
+        |ORDER BY bin""".stripMargin,
   )
 }

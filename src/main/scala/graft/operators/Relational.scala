@@ -198,6 +198,61 @@ object Relational {
     * dominate local spill, so the unhinted form stays. Full numbers in
     * BENCH_NOTES round 10.
     */
+  /** Correlated-subquery surface (q101): orders priced above 1.5x their
+    * own customer's average, summarized per priority — the "whale order"
+    * screen written the way an analyst writes it, as a correlated scalar
+    * subquery through `spark.sql`. The engine contract being exercised is
+    * DECORRELATION: Catalyst rewrites the per-row subquery into one
+    * aggregate + join (PlanSpec asserts the optimized plan carries no
+    * subquery expression), so at 100 TB this runs as two scans + one
+    * shuffle, never N executions of an inner query.
+    *
+    * Determinism: the 1.5x-average comparison is done in integer cents —
+    * `price_cents * 2 * cnt > 3 * sum_cents` — because avg() is a DOUBLE
+    * whose summation order differs between engines; a boundary row must
+    * not flip on an ULP.
+    */
+  def aboveCustomerAvgOrders(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "orders").createOrReplaceTempView("graft_q101_orders")
+    s.sql(
+      """SELECT o.o_orderpriority,
+        |  count(*) AS n_big,
+        |  CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_big_cents
+        |FROM graft_q101_orders o
+        |WHERE CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 2 *
+        |      (SELECT count(*) FROM graft_q101_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |    > 3 * (SELECT sum(CAST(CAST(o2.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |           FROM graft_q101_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin)
+  }
+
+  /** Equi-width histogram (q105): 16 fixed-width bins over order value —
+    * the distribution profile every ingest audit prints. Two passes by
+    * design: a 1-row global (min, max) aggregate (map-side combine, bytes
+    * of output at any SF) broadcast back via crossJoin, then one scan
+    * binning rows with pure integer arithmetic — `(cents - mn) * 16 div
+    * (mx - mn + 1)` is exact in both engines, where a double-width bin
+    * edge would put boundary rows in different bins per engine. Output is
+    * 16 rows at any SF.
+    */
+  def orderValueHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = (dec($"o_totalprice") * 100).cast("long")
+    val orders = table(s, dir, "orders").select(cents.as("cents"))
+    val bounds = orders.agg(min($"cents").as("mn"), max($"cents").as("mx"))
+    orders.crossJoin(broadcast(bounds))
+      .select(least(expr("(cents - mn) * 16 div (mx - mn + 1)"), lit(15L)).as("bin"),
+        $"cents", $"mn", $"mx")
+      .groupBy($"bin")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum($"cents").as("sum_cents"),
+        (first($"mn") + $"bin" * (first($"mx") - first($"mn") + 1) / lit(16.0)).as("bin_lo"))
+      .select($"bin", graft.Tables.round6($"bin_lo").as("bin_lo"), $"n_orders", $"sum_cents")
+      .orderBy($"bin")
+  }
+
   def integrityAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def edge(child: String, childKey: String, parent: String,

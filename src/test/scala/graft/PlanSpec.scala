@@ -230,6 +230,33 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!badExchange, s"no shuffle may carry raw document text:\n$p")
   }
 
+  test("q101 correlated subqueries decorrelate to aggregate+join — no per-row subquery") {
+    val df = Relational.aboveCustomerAvgOrders(spark, sfDir)
+    // optimized plan: RewriteCorrelatedScalarSubquery must have replaced
+    // both scalar subqueries with joins against per-custkey aggregates —
+    // a surviving subquery expression would execute once per order row
+    val opt = df.queryExecution.optimizedPlan
+    val survivors = opt.expressions.flatMap(_.collect {
+      case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => sq
+    })
+    assert(opt.collectWithSubqueries { case p => p }.nonEmpty)
+    assert(!opt.toString.contains("scalar-subquery"),
+      s"correlated scalar subqueries must decorrelate:\n$opt")
+    assert(survivors.isEmpty || !df.queryExecution.executedPlan.toString.contains("Subquery"),
+      s"no per-row subquery execution allowed:\n${df.queryExecution.executedPlan}")
+    val phys = plan(df)
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"decorrelated joins must be custkey equi-joins:\n$phys")
+  }
+
+  test("q105 histogram: bounds aggregate is partial and broadcast back — one wide scan, bytes exchanged") {
+    val p = plan(Relational.orderValueHistogram(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row (mn,mx) frame must broadcast, not shuffle:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial"),
+      s"bounds must combine map-side:\n$p")
+  }
+
   test("q87 funnel joins stay user-keyed equi-joins — no cartesian, no row multiplication") {
     val p = plan(EventOps.eventFunnel(spark, sfDir))
     assert(!p.contains("CartesianProduct"), s"no cartesian in the funnel:\n$p")
