@@ -131,7 +131,9 @@ object SparkEntry {
     "q99_asof_nearest" -> ((s, d) => EventOps.asOfNearestClick(s, d)),
     "q100_jsonl_ingest" -> ((s, d) => EventOps.jsonlDeadLetter(s, d)),
     "q101_above_avg_orders" -> ((s, d) => Relational.aboveCustomerAvgOrders(s, d)),
+    "q102_curriculum_bins" -> ((s, d) => Pipeline.curriculumBins(s, d)),
     "q105_order_histogram" -> ((s, d) => Relational.orderValueHistogram(s, d)),
+    "q106_stickiness" -> ((s, d) => EventOps.stickiness(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1504,5 +1506,32 @@ object SparkEntry {
         |FROM c, b
         |GROUP BY 1, 2
         |ORDER BY bin""".stripMargin,
+
+    // q102: the oracle runs REAL ntile() over the global (dkey, doc_id)
+    // order; the Spark side reproduces the SQL-standard split from a
+    // distributed rank (per-key offsets + partitioned row_number) —
+    // hash equality IS the proof the two formulations agree.
+    "q102_curriculum_bins" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT) AS sumlen
+        |  FROM documents),
+        |k AS (SELECT doc_id, ntok, sumlen * 1000000 // ntok AS dkey FROM d),
+        |r AS (SELECT *, CAST(ntile(10) OVER (ORDER BY dkey, doc_id) AS BIGINT) AS bin FROM k)
+        |SELECT bin, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS sum_ntok,
+        |  min(dkey) AS min_dkey, max(dkey) AS max_dkey
+        |FROM r GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // q106: days are integer epoch days; the trailing-7-day distinct
+    // count is the same 7x explode in both engines.
+    "q106_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |w AS (SELECT DISTINCT user_id, ud.day + t.g AS day
+        |  FROM ud, generate_series(0, 6) AS t(g)),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM w GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  floor(dau.dau / wau.wau * 1000000.0 + 0.5) / 1000000 AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
   )
 }

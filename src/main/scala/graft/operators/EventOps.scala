@@ -705,4 +705,32 @@ object EventOps {
       .agg(count(lit(1)).as("n_users_exact"))
       .orderBy($"event_type")
   }
+
+  /** DAU/WAU stickiness (q106): per day, distinct active users that day
+    * over distinct users in the trailing 7 days — the engagement ratio
+    * every product dashboard carries. COUNT(DISTINCT) over a SLIDING
+    * window is the trap here: a range self-join multiplies rows, and a
+    * window frame can't dedup. Instead each (user, day) contributes
+    * itself to the 7 report-days it can retain into — a bounded 7x
+    * explode of the already-deduped user-day frame — and one groupBy
+    * counts distinct users per report day. Days are integer epoch days;
+    * report days are restricted to days that actually have activity
+    * (trailing windows at the range start simply cover fewer days).
+    */
+  def stickiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val userDay = events(s, dir)
+      .select($"user_id", expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val dau = userDay.groupBy($"day")
+      .agg(count(lit(1)).as("dau"))
+    val wau = userDay
+      .select($"user_id", explode(expr("sequence(day, day + 6)")).as("day"))
+      .distinct()
+      .groupBy($"day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select($"day", $"dau", $"wau",
+        graft.Tables.round6($"dau" / $"wau").as("stickiness"))
+      .orderBy($"day")
+  }
 }

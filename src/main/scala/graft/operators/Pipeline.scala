@@ -303,6 +303,55 @@ object Pipeline {
       .orderBy($"split", $"source")
   }
 
+  /** Curriculum binning (q102): every doc assigned to one of `nBins`
+    * difficulty deciles — the ordering stage of curriculum training — with
+    * per-bin doc/token budgets out. Difficulty is integer-scaled mean word
+    * length (`sumlen * 1e6 div ntok`), tie-broken by doc_id.
+    *
+    * The contract is exact ntile() semantics WITHOUT the global
+    * single-partition window ntile() plans (a no-PARTITION window pulls
+    * 100 TB through one task). Distributed rank instead: per-key counts
+    * (the key grid is (sumlen, ntok) combinations — vocab-bounded, NOT
+    * corpus-bounded), a tiny ordered window over that grid for cumulative
+    * offsets, broadcast back, then a dkey-PARTITIONED row_number. The
+    * SQL-standard ntile split (first N mod b buckets take one extra row)
+    * is then integer arithmetic on the global rank, and the oracle's real
+    * ntile() hash-matches it.
+    */
+  def curriculumBins(s: SparkSession, dir: String, nBins: Int = 10): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(s, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("ntok"),
+        (length($"text") - size(split($"text", " ")) + 1).cast("long").as("sumlen"))
+      .withColumn("dkey", expr("sumlen * 1000000 div ntok"))
+    val wOff = Window.orderBy($"dkey").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy($"dkey").agg(count(lit(1)).as("kn"))
+      .withColumn("off", coalesce(sum($"kn").over(wOff), lit(0L)))
+      .select($"dkey", $"off")
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val wLoc = Window.partitionBy($"dkey").orderBy($"doc_id")
+    val ranked = docs.join(broadcast(offsets), "dkey")
+      .withColumn("rk", $"off" + row_number().over(wLoc))
+      .crossJoin(broadcast(total))
+    // SQL ntile from global rank rk (1-based): with q = N div b,
+    // rem = N mod b, the first rem buckets hold q+1 rows. greatest(q,1)
+    // keeps the never-taken else-branch division defined when N < b.
+    val bin = expr(
+      s"""CASE WHEN rk <= (n_total % $nBins) * (n_total div $nBins + 1)
+         |  THEN (rk - 1) div (n_total div $nBins + 1) + 1
+         |  ELSE n_total % $nBins +
+         |    (rk - (n_total % $nBins) * (n_total div $nBins + 1) - 1)
+         |      div greatest(n_total div $nBins, 1L) + 1
+         |END""".stripMargin)
+    ranked.withColumn("bin", bin)
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("sum_ntok"),
+        min($"dkey").as("min_dkey"), max($"dkey").as("max_dkey"))
+      .orderBy($"bin")
+  }
+
   def tokenBudgetMix(s: SparkSession, dir: String, budget: Long = 800L,
                      nBuckets: Int = 64): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{EventOps, Relational, Similarity, TextAnalysis}
+import graft.operators.{EventOps, Pipeline, Relational, Similarity, TextAnalysis}
 
 /** Physical-plan assertions: the judge-facing scale properties — broadcast
   * joins where a side is small, pushed filters at the parquet scan, top-k
@@ -255,6 +255,32 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"the 1-row (mn,mx) frame must broadcast, not shuffle:\n$p")
     assert(p.contains("partial_min") || p.contains("partial"),
       s"bounds must combine map-side:\n$p")
+  }
+
+  test("q102 global ntile without a global window: the corpus pass is dkey-partitioned") {
+    val p = plan(Pipeline.curriculumBins(spark, sfDir))
+    // the per-row rank must come from a PARTITIONED window (scalable);
+    // ntile() itself (single-partition over the corpus) must not appear
+    assert(p.contains("hashpartitioning(dkey"), s"corpus window must partition by dkey:\n$p")
+    assert(!p.contains("ntile("), s"no global ntile window allowed:\n$p")
+    // single-partition stages are only the vocab-bounded key grid and the
+    // 1-row total — both post-aggregate, never the raw corpus
+    val sp = p.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(sp <= 2, s"at most the key-grid offsets + total may single-partition, got $sp:\n$p")
+  }
+
+  test("q106 stickiness: explode is bounded 7x AFTER the user-day dedup, not on raw events") {
+    val p = plan(EventOps.stickiness(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dau-wau join must be a day equi-join:\n$p")
+    // the explode (Generate) must sit above an aggregate (the distinct),
+    // so each (user, day) — not each raw event — fans out 7x
+    val lines = p.linesIterator.toVector
+    val gen = lines.indexWhere(_.contains("Generate explode"))
+    assert(gen >= 0, s"expected a sequence explode:\n$p")
+    val below = lines.drop(gen)
+    assert(below.exists(l => l.contains("HashAggregate") || l.contains("Aggregate")),
+      s"explode must consume the deduped user-day frame:\n$p")
   }
 
   test("q87 funnel joins stay user-keyed equi-joins — no cartesian, no row multiplication") {
