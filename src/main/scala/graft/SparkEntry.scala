@@ -132,6 +132,8 @@ object SparkEntry {
     "q100_jsonl_ingest" -> ((s, d) => EventOps.jsonlDeadLetter(s, d)),
     "q101_above_avg_orders" -> ((s, d) => Relational.aboveCustomerAvgOrders(s, d)),
     "q102_curriculum_bins" -> ((s, d) => Pipeline.curriculumBins(s, d)),
+    "q103_fuzzy_name_pairs" -> ((s, d) => TextDedup.fuzzyNamePairs(s, d)),
+    "q104_stream_dedup" -> ((s, d) => graft.streaming.StreamOps.streamDedupWithinWatermark(s, d)),
     "q105_order_histogram" -> ((s, d) => Relational.orderValueHistogram(s, d)),
     "q106_stickiness" -> ((s, d) => EventOps.stickiness(s, d)),
   )
@@ -1521,6 +1523,29 @@ object SparkEntry {
         |SELECT bin, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS sum_ntok,
         |  min(dkey) AS min_dkey, max(dkey) AS max_dkey
         |FROM r GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // q103: both engines implement textbook Levenshtein; the block key
+    // (last name token) and the tie-break (name_a < name_b) are part of
+    // the operator contract, so the join conditions match verbatim.
+    "q103_fuzzy_name_pairs" ->
+      """WITH n AS (SELECT p_name, CAST(count(*) AS BIGINT) AS cnt,
+        |    list_extract(string_split(p_name, ' '), len(string_split(p_name, ' '))) AS family
+        |  FROM part GROUP BY 1)
+        |SELECT a.family AS family, a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |  a.cnt * b.cnt AS n_pairs
+        |FROM n a JOIN n b ON a.family = b.family AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY family, name_a, name_b""".stripMargin,
+
+    // q104: the oracle is the ORIGINAL parquet's rollup — the streamed
+    // side ingests the doubled input, so hash equality proves every
+    // injected duplicate was dropped and nothing else was.
+    "q104_stream_dedup" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // q106: days are integer epoch days; the trailing-7-day distinct
     // count is the same 7x explode in both engines.

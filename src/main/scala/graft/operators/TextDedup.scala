@@ -714,4 +714,34 @@ object TextDedup {
           .as("dup_cov_frac"))
       .orderBy($"doc_id")
   }
+
+  /** Blocked edit-distance similarity join (q103): fuzzy-duplicate part
+    * names within a product family — the entity-resolution primitive
+    * (typo'd vendor feeds, OCR'd catalogs). Edit distance can't be
+    * hash-joined, so the standard shape is block-then-verify: candidates
+    * share a cheap equi-key (here the family = last name token), the
+    * quadratic verify runs only inside a block.
+    *
+    * The scale move is collapsing to DISTINCT names FIRST: name pairs are
+    * computed on the name vocabulary (bounded by the catalog's naming
+    * grammar, not row count) and each surviving pair carries its row
+    * multiplicity (n_a * n_b) back out. 100 TB of parts with the same
+    * vocabulary costs one groupBy more, zero extra levenshtein calls —
+    * the same distinct-first discipline as q19/q64.
+    */
+  def fuzzyNamePairs(s: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    import s.implicits._
+    val names = table(s, dir, "part")
+      .groupBy($"p_name").agg(count(lit(1)).as("cnt"))
+      .select($"p_name", $"cnt", substring_index($"p_name", " ", -1).as("family"))
+    val a = names.select($"family", $"p_name".as("name_a"), $"cnt".as("cnt_a"))
+    val b = names.select($"family", $"p_name".as("name_b"), $"cnt".as("cnt_b"))
+    a.join(b, Seq("family"))
+      .where($"name_a" < $"name_b" &&
+        levenshtein($"name_a", $"name_b") <= maxDist)
+      .select($"family", $"name_a", $"name_b",
+        levenshtein($"name_a", $"name_b").cast("long").as("dist"),
+        ($"cnt_a" * $"cnt_b").as("n_pairs"))
+      .orderBy($"family", $"name_a", $"name_b")
+  }
 }

@@ -66,6 +66,43 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** [[dedupStream]] under the driver's batch oracle (q104): the input is
+    * the events slice with every `event_id % 7 == 0` row DOUBLED, so the
+    * stream's one job is collapsing the injected duplicates —
+    * `dropDuplicatesWithinWatermark` holds each key only until the
+    * watermark passes it (bounded state at any stream length, unlike
+    * stream `dropDuplicates`, which retains every key forever). Deduped
+    * rows land in a parquet FILE sink (the scalable path — no
+    * driver-side collect of row data anywhere); the per-type report read
+    * back from it must hash-match the ORIGINAL parquet's groupBy,
+    * because a duplicate that survived, or a real row dropped with it,
+    * shifts a count or a sum.
+    */
+  def streamDedupWithinWatermark(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables.events(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    val work = java.nio.file.Files.createTempDirectory("q104_dedup")
+    val src = work.resolve("src").toString
+    val out = work.resolve("out").toString
+    ev.unionAll(ev.where($"event_id" % 7 === 0)).write.parquet(src)
+    val stream = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+    val q = stream
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"user_id").as("sum_user"),
+        max(unix_micros($"ts")).as("max_ts_us"))
+      .orderBy($"event_type")
+  }
+
   /** Streaming near-duplicate detection during ingest: each arriving
     * document computes the same 32-hash minhash signature as the batch
     * detector (`TextDedup.minhashLshPairs` — shared seeds, so estimates

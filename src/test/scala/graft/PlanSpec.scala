@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{EventOps, Pipeline, Relational, Similarity, TextAnalysis}
+import graft.operators.{EventOps, Pipeline, Relational, Similarity, TextAnalysis, TextDedup}
 
 /** Physical-plan assertions: the judge-facing scale properties — broadcast
   * joins where a side is small, pushed filters at the parquet scan, top-k
@@ -281,6 +281,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val below = lines.drop(gen)
     assert(below.exists(l => l.contains("HashAggregate") || l.contains("Aggregate")),
       s"explode must consume the deduped user-day frame:\n$p")
+  }
+
+  test("q103 fuzzy join is family-blocked over DISTINCT names — equi-join above aggregates") {
+    val p = plan(TextDedup.fuzzyNamePairs(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the verify step must be blocked by the family equi-key:\n$p")
+    // both join inputs are the name-vocabulary aggregate: levenshtein
+    // cost is bounded by the naming grammar, not the part row count
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"fuzzy join must consume the distinct-name rollup, not raw part rows:\n$p")
   }
 
   test("q87 funnel joins stay user-keyed equi-joins — no cartesian, no row multiplication") {
