@@ -136,6 +136,11 @@ object SparkEntry {
     "q104_stream_dedup" -> ((s, d) => graft.streaming.StreamOps.streamDedupWithinWatermark(s, d)),
     "q105_order_histogram" -> ((s, d) => Relational.orderValueHistogram(s, d)),
     "q106_stickiness" -> ((s, d) => EventOps.stickiness(s, d)),
+    // rows-only BY DESIGN (like q25/q53): float-sum order makes the
+    // covariance's low bits engine-specific and the eigen recursion has
+    // no SQL oracle; SimilarityRecallSpec gates axis recovery, Rayleigh
+    // residual, orthogonality and determinism
+    "q107_embedding_pca" -> ((s, d) => Similarity.embeddingPca(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

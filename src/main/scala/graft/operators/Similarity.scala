@@ -998,4 +998,138 @@ object Similarity {
           ($"n_vecs" * lit(1e12))).as("mean_energy"))
       .orderBy($"label")
   }
+
+  /** Principal components of the embedding cloud (q107): top-2 eigenpairs
+    * of the covariance, plus per-label mean projections — the
+    * class-separation / collapsed-embedding diagnostic a pipeline runs
+    * before trusting its vectors (a near-1 top explained-variance
+    * fraction means the encoder collapsed).
+    *
+    * Scale shape: ONE corpus pass accumulates the exact sufficient
+    * statistics (n, Σx, Σxxᵀ) per partition — a d²-sized buffer, d=dim,
+    * combined on the driver from #partitions bounded rows (the
+    * RowMatrix-Gramian design: data never shuffles, statistics do).
+    * Eigenpairs come from power iteration + one deflation on the d×d
+    * driver-local covariance — O(d² · iters), independent of corpus
+    * size. A second pass projects rows onto the two fixed axes and
+    * label-aggregates (map-side combine, labels-bounded output).
+    *
+    * Rows-only by design (like q25/q53): float-sum order makes the low
+    * bits engine-specific, and the eigen recursion has no SQL oracle.
+    * `SimilarityRecallSpec` gates it: known-axis fixture recovery,
+    * Rayleigh residual ‖Cv−λv‖/λ on the exact driver-recomputed
+    * covariance, orthogonality of the two axes, and sign/determinism.
+    */
+  /** Driver-local PCA sufficient statistics + top-2 eigenpairs (the
+    * spec-gated seam behind [[embeddingPca]]).
+    */
+  private[graft] case class PcaModel(n: Long, mu: Array[Double],
+                                     cov: Array[Array[Double]], trace: Double,
+                                     lam1: Double, v1: Array[Double],
+                                     lam2: Double, v2: Array[Double])
+
+  private[graft] def pcaModel(emb: Dataset[(Int, Array[Float])]): PcaModel = {
+    import emb.sparkSession.implicits._
+    // pass 1: per-partition (n, sum, gram) — gram kept upper-triangular
+    val partials = emb.mapPartitions { it =>
+      var n = 0L; var sum: Array[Double] = null; var gram: Array[Double] = null
+      it.foreach { case (_, x) =>
+        val d = x.length
+        if (sum == null) { sum = new Array[Double](d); gram = new Array[Double](d * (d + 1) / 2) }
+        var i = 0; var t = 0
+        while (i < d) {
+          val xi = x(i).toDouble
+          sum(i) += xi
+          var j = i
+          while (j < d) { gram(t) += xi * x(j).toDouble; j += 1; t += 1 }
+          i += 1
+        }
+        n += 1L
+      }
+      if (n == 0L) Iterator.empty
+      else Iterator.single((n, sum.toSeq, gram.toSeq))
+    }.collect() // bounded: one row per non-empty partition
+    require(partials.nonEmpty, "embeddings table is empty")
+    val d = partials.head._2.length
+    val n = partials.map(_._1).sum
+    val sum = new Array[Double](d)
+    val gram = new Array[Double](d * (d + 1) / 2)
+    partials.foreach { case (_, ps, pg) =>
+      var i = 0
+      while (i < d) { sum(i) += ps(i); i += 1 }
+      i = 0
+      while (i < gram.length) { gram(i) += pg(i); i += 1 }
+    }
+    // covariance C = G/n - μμᵀ (dense symmetric from the triangle)
+    val cov = Array.ofDim[Double](d, d)
+    var i = 0; var t = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = gram(t) / n - (sum(i) / n) * (sum(j) / n)
+        cov(i)(j) = c; cov(j)(i) = c; j += 1; t += 1
+      }
+      i += 1
+    }
+    val trace = (0 until d).map(k => cov(k)(k)).sum
+    def powerIter(m: Array[Array[Double]]): (Double, Array[Double]) = {
+      var v = Array.fill(d)(1.0 / math.sqrt(d))
+      var lam = 0.0
+      var it = 0
+      while (it < 200) {
+        val w = new Array[Double](d)
+        var a = 0
+        while (a < d) {
+          var s0 = 0.0; var b = 0
+          while (b < d) { s0 += m(a)(b) * v(b); b += 1 }
+          w(a) = s0; a += 1
+        }
+        val nw = math.sqrt(w.map(x => x * x).sum)
+        val vNew = w.map(_ / nw)
+        lam = nw
+        val delta = v.zip(vNew).map { case (x, y) => math.abs(x - y) }.max
+        v = vNew
+        if (delta < 1e-13) it = 200 else it += 1
+      }
+      // sign convention: the largest-|loading| coordinate is positive
+      val k = v.indices.maxBy(a => (math.abs(v(a)), -a))
+      if (v(k) < 0) (lam, v.map(-_)) else (lam, v)
+    }
+    val (lam1, v1) = powerIter(cov)
+    val defl = Array.tabulate(d, d)((a, b) => cov(a)(b) - lam1 * v1(a) * v1(b))
+    val (lam2, v2) = powerIter(defl)
+    PcaModel(n, sum.map(_ / n), cov, trace, lam1, v1, lam2, v2)
+  }
+
+  def embeddingPca(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = graft.Tables.table(s, dir, "embeddings")
+      .select($"label", $"embedding").as[(Int, Array[Float])]
+    val m = pcaModel(emb)
+    val (lam1, lam2, trace) = (m.lam1, m.lam2, m.trace)
+    val b1 = s.sparkContext.broadcast((m.v1, m.v2, m.mu))
+    // pass 2: project each row on the two fixed axes, label rollup
+    emb.mapPartitions { it =>
+      val (a1, a2, m0) = b1.value
+      it.map { case (label, x) =>
+        var p1 = 0.0; var p2 = 0.0; var k = 0
+        while (k < x.length) {
+          val c = x(k).toDouble - m0(k)
+          p1 += c * a1(k); p2 += c * a2(k); k += 1
+        }
+        (label, p1, p2)
+      }
+    }.toDF("label", "p1", "p2")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        avg($"p1").as("m1"), avg($"p2").as("m2"))
+      .select($"label", $"n_vecs",
+        graft.Tables.round6($"m1").as("proj1_mean"),
+        graft.Tables.round6($"m2").as("proj2_mean"),
+        graft.Tables.round6(lit(lam1)).as("eig1"),
+        graft.Tables.round6(lit(lam2)).as("eig2"),
+        graft.Tables.round6(lit(lam1 / trace)).as("var1_frac"),
+        graft.Tables.round6(lit(lam2 / trace)).as("var2_frac"))
+      .orderBy($"label")
+  }
 }

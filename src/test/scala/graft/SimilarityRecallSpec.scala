@@ -283,6 +283,38 @@ class SimilarityRecallSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("pair bound"))
   }
 
+  test("q107 PCA: planted axis recovered, Rayleigh residual tiny, axes orthogonal, output deterministic") {
+    import spark.implicits._
+    // fixture: points along a planted dominant axis (dim 3) with small
+    // noise on dim 7 — the top component must find the plant
+    val d = 16
+    val rows = (0 until 400).map { i =>
+      val x = new Array[Float](d)
+      val t = (i % 21 - 10).toFloat // deterministic spread, mean 0-ish
+      x(3) = 5f * t
+      x(7) = ((i * 7919) % 13 - 6).toFloat * 0.1f
+      (i % 4, x)
+    }
+    val m = graft.operators.Similarity.pcaModel(rows.toDS())
+    val cosAxis = math.abs(m.v1(3))
+    assert(cosAxis > 0.999, s"planted axis not recovered: |v1(3)| = $cosAxis")
+    // Rayleigh residual on the exact driver-side covariance
+    val cv = m.cov.map(row => row.zip(m.v1).map { case (a, b) => a * b }.sum)
+    val resid = math.sqrt(cv.zip(m.v1).map { case (a, b) =>
+      val r = a - m.lam1 * b; r * r }.sum) / m.lam1
+    assert(resid < 1e-6, s"Rayleigh residual $resid")
+    val dot12 = m.v1.zip(m.v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot12) < 1e-6, s"components not orthogonal: $dot12")
+    assert(m.lam1 >= m.lam2 && m.lam2 >= -1e-9, s"eig order: ${m.lam1} < ${m.lam2}")
+    // determinism + sanity on the real table: two runs, equal rows
+    val dir = "/root/testdata/sf0.001"
+    val r1 = graft.operators.Similarity.embeddingPca(spark, dir).collect().toSeq
+    val r2 = graft.operators.Similarity.embeddingPca(spark, dir).collect().toSeq
+    assert(r1 == r2, "embeddingPca must be run-to-run deterministic")
+    assert(r1.nonEmpty && r1.forall(_.getDouble(6) <= 1.0 + 1e-9),
+      "explained-variance fraction must be <= 1")
+  }
+
   test("repeat ANN queries hold at most one live corpus cache per operator") {
     val dir = "/root/testdata/sf0.001"
     Similarity.annLsh(spark, dir).count()
