@@ -141,6 +141,9 @@ object SparkEntry {
     // no SQL oracle; SimilarityRecallSpec gates axis recovery, Rayleigh
     // residual, orthogonality and determinism
     "q107_embedding_pca" -> ((s, d) => Similarity.embeddingPca(s, d)),
+    "q108_bm25_topdocs" -> ((s, d) => TextAnalysis.bm25TopDocs(s, d)),
+    "q109_cdc_merge" -> ((s, d) => Relational.cdcMerge(s, d)),
+    "q110_grouping_sets" -> ((s, d) => Relational.groupingSetsReport(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1563,5 +1566,66 @@ object SparkEntry {
         |SELECT dau.day, dau.dau, wau.wau,
         |  floor(dau.dau / wau.wau * 1000000.0 + 0.5) / 1000000 AS stickiness
         |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+
+    // q108: idf arguments are exact integers (the BM25+ rewrite
+    // ln((N+1)/(df+0.5)) = ln(2(N+1)) - ln(2df+1)), the tf saturation is
+    // one integer rational, and the per-term doubles add in fixed pivot
+    // order — so the whole score is one identical IEEE chain per engine.
+    "q108_bm25_topdocs" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    string_split(text, ' ') AS ts FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS s_tok FROM d),
+        |h AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ts) AS t FROM d)
+        |  WHERE t IN ('scan', 'filter', 'vector') GROUP BY 1, 2, 3),
+        |f AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM h GROUP BY 1),
+        |sc AS (SELECT h.doc_id, h.dl, h.t,
+        |    ((floor(ln(CAST(2 * (st.n_docs + 1) AS DOUBLE)) * 1000000.0 + 0.5)
+        |      - floor(ln(CAST(2 * f.df + 1 AS DOUBLE)) * 1000000.0 + 0.5)) / 1000000.0)
+        |    * CAST(22 * h.tf * st.s_tok AS DOUBLE)
+        |    / CAST(10 * h.tf * st.s_tok + 3 * st.s_tok + 9 * h.dl * st.n_docs AS DOUBLE) AS ts_score
+        |  FROM h JOIN f ON h.t = f.t CROSS JOIN st),
+        |p AS (SELECT doc_id, dl,
+        |    coalesce(max(CASE WHEN t = 'scan' THEN ts_score END), 0.0) AS s_scan,
+        |    coalesce(max(CASE WHEN t = 'filter' THEN ts_score END), 0.0) AS s_filter,
+        |    coalesce(max(CASE WHEN t = 'vector' THEN ts_score END), 0.0) AS s_vector
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT doc_id, dl,
+        |  floor((s_scan + s_filter + s_vector) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+        |FROM p ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q109: the oracle applies the same deterministic change feed with
+    // CASE arithmetic instead of the join — semantics, not plan shape,
+    // is what hash equality certifies.
+    "q109_cdc_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM orders),
+        |mk AS (SELECT max(o_orderkey) AS mk FROM base),
+        |merged AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN cents * 11 // 10 ELSE cents END AS cents
+        |  FROM base WHERE o_orderkey % 10 != 7),
+        |ins AS (SELECT b.o_orderkey + mk.mk + 1 AS o_orderkey,
+        |    'N' AS o_orderstatus, b.cents
+        |  FROM base b, mk WHERE b.o_orderkey % 10 = 1),
+        |allr AS (SELECT * FROM merged UNION ALL SELECT * FROM ins)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM allr GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    // q110: gid recomputed from grouping() bits — engine-neutral, unlike
+    // grouping_id()'s engine-specific bit order guarantees.
+    "q110_grouping_sets" ->
+      """SELECT
+        |  CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+        |  (o_orderpriority, o_orderstatus), ())
+        |ORDER BY gid, priority, status""".stripMargin,
   )
 }

@@ -253,6 +253,69 @@ object Relational {
       .orderBy($"bin")
   }
 
+  /** CDC merge apply (q109): a deterministic change feed (derived from the
+    * base table itself: orderkey mod 10 = 3 → UPDATE status/price, 7 →
+    * DELETE, 1 → INSERT under a shifted key) applied with MERGE semantics
+    * — the upsert every warehouse ingest runs. Spark 4's MERGE INTO needs
+    * a v2 catalog table, so the engine expresses the same semantics as
+    * the join form a MERGE plans to anyway: changes are key-joined onto
+    * base (one shuffle on the merge key, AQE-broadcast while the feed is
+    * small), deletes filter, updates coalesce column-wise, inserts union.
+    * The post-merge per-status rollup is integer-cents exact, so one
+    * misapplied row hash-mismatches.
+    */
+  def cdcMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = dec($"o_totalprice") * 100
+    val base = table(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", cents.cast("long").as("cents"))
+    val maxKey = base.agg(max($"o_orderkey").as("mk"))
+    val updates = base.where($"o_orderkey" % 10 === 3)
+      .select($"o_orderkey", lit("U").as("new_status"),
+        // +10% in integer cents, floor — exact in both engines
+        expr("cents * 11 div 10").as("new_cents"), lit("update").as("op"))
+    val deletes = base.where($"o_orderkey" % 10 === 7)
+      .select($"o_orderkey", lit(null).cast("string").as("new_status"),
+        lit(null).cast("long").as("new_cents"), lit("delete").as("op"))
+    val changes = updates.unionByName(deletes)
+    val merged = base.join(changes, Seq("o_orderkey"), "left")
+      .where($"op".isNull || $"op" =!= "delete")
+      .select($"o_orderkey",
+        coalesce($"new_status", $"o_orderstatus").as("o_orderstatus"),
+        coalesce($"new_cents", $"cents").as("cents"))
+    val inserts = base.where($"o_orderkey" % 10 === 1)
+      .crossJoin(broadcast(maxKey))
+      .select(($"o_orderkey" + $"mk" + 1).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), $"cents")
+    merged.unionByName(inserts)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("sum_cents"),
+        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Arbitrary GROUPING SETS with an explicit grouping id (q110) — the
+    * general form between q08's rollup and q36's cube: exactly the four
+    * groupings a reporting layer asks for, one aggregate pass (Spark
+    * plans one Expand + one shuffle, not four scans). The gid is
+    * recomputed from grouping() bits so it is engine-neutral, and
+    * grouped-out columns surface as 'ALL' instead of NULL.
+    */
+  def groupingSetsReport(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "orders").createOrReplaceTempView("graft_q110_orders")
+    s.sql(
+      """SELECT
+        |  CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM graft_q110_orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+        |  (o_orderpriority, o_orderstatus), ())
+        |ORDER BY gid, priority, status""".stripMargin)
+  }
+
   def integrityAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def edge(child: String, childKey: String, parent: String,

@@ -851,6 +851,66 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** BM25 retrieval scoring (q108): rank the corpus against a fixed term
+    * query with the classic Okapi BM25 (k1 = 1.2, b = 0.75) — the
+    * retrieval primitive behind retrieval-based decontamination and
+    * quality mining. Everything reduces to exact integers until one
+    * double chain per term:
+    *
+    *   - idf: ln((N−df+0.5)/(df+0.5) + 1) rewrites to
+    *     ln(2(N+1)) − ln(2df+1) — INTEGER ln arguments, so the q85/q97
+    *     qln quantization applies verbatim;
+    *   - tf saturation: tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)) with
+    *     avgdl = S/N cross-multiplies to 22·tf·S / (10·tf·S + 3·S +
+    *     9·dl·N) — one exact integer numerator/denominator pair;
+    *   - per-doc score: the ≤3 per-term doubles are added in FIXED term
+    *     order (pivoted columns, not an agg over rows), so both engines
+    *     run the identical IEEE chain.
+    *
+    * Scale shape: the corpus explode filters to the query terms AT THE
+    * SCAN (everything downstream is query-bounded); df/N/S are bytes of
+    * broadcast state; top-k is TakeOrderedAndProject, never a full sort.
+    */
+  def bm25TopDocs(s: SparkSession, dir: String,
+                  terms: Seq[String] = Seq("scan", "filter", "vector"),
+                  k: Int = 20): DataFrame = {
+    import s.implicits._
+    def qln(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+    val docs = table(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .select($"doc_id", size($"ts").cast("long").as("dl"), $"ts")
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum($"dl").as("s_tok"))
+    val hits = docs
+      .select($"doc_id", $"dl", explode($"ts").as("t"))
+      .where($"t".isin(terms: _*))
+      .groupBy($"doc_id", $"dl", $"t")
+      .agg(count(lit(1)).as("tf"))
+    val df_ = hits.groupBy($"t").agg(count(lit(1)).as("df"))
+    val scoredTerms = hits
+      .join(broadcast(df_), "t")
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", $"dl", $"t", $"tf",
+        // idf_q/1e6 * 22·tf·S / (10·tf·S + 3·S + 9·dl·N), one double chain
+        (((qln(lit(2) * ($"n_docs" + 1)) - qln(lit(2) * $"df" + 1))
+          .cast("double") / lit(1000000.0)) *
+          (lit(22) * $"tf" * $"s_tok").cast("double") /
+          (lit(10) * $"tf" * $"s_tok" + lit(3) * $"s_tok" +
+            lit(9) * $"dl" * $"n_docs").cast("double")).as("ts_score"))
+    // fixed-order pivot: term scores land in per-term columns so the
+    // final addition order is part of the contract, not the partitioning
+    val perDoc = scoredTerms.groupBy($"doc_id", $"dl")
+      .agg(terms.map(t =>
+        coalesce(max(when($"t" === t, $"ts_score")), lit(0.0)).as(s"s_$t")).head,
+        terms.map(t =>
+          coalesce(max(when($"t" === t, $"ts_score")), lit(0.0)).as(s"s_$t")).tail: _*)
+    val total = terms.map(t => col(s"s_$t")).reduce(_ + _)
+    perDoc
+      .select($"doc_id", $"dl", graft.Tables.round6(total).as("bm25"))
+      .orderBy($"bm25".desc, $"doc_id".asc)
+      .limit(k)
+  }
+
   /** Per-source subword (byte-level BPE) profile (q95): every
     * token-denominated stage so far (q28/q40/q58/q67/q78/q81) budgets in
     * whitespace tokens; real pipelines budget in SUBWORD tokens. Trains

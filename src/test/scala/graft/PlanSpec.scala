@@ -293,6 +293,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"fuzzy join must consume the distinct-name rollup, not raw part rows:\n$p")
   }
 
+  test("q108 BM25: top-k is TakeOrderedAndProject and the score path is query-term-bounded") {
+    val p = plan(TextAnalysis.bm25TopDocs(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not plan a full sort:\n$p")
+    // the only shuffles are the per-(doc, term) hit aggregate and the
+    // tiny df frame — no Exchange may carry the raw text column
+    val badExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("text#"))
+    assert(!badExchange, s"no shuffle may carry raw document text:\n$p")
+  }
+
+  test("q110 grouping sets run as ONE aggregate pass: single scan + Expand, not four scans") {
+    val p = plan(Relational.groupingSetsReport(spark, sfDir))
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"grouping sets must expand one scan, not re-scan per grouping:\n$p")
+    assert(p.contains("Expand"), s"expected an Expand node:\n$p")
+  }
+
   test("q87 funnel joins stay user-keyed equi-joins — no cartesian, no row multiplication") {
     val p = plan(EventOps.eventFunnel(spark, sfDir))
     assert(!p.contains("CartesianProduct"), s"no cartesian in the funnel:\n$p")
