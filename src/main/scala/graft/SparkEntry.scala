@@ -144,6 +144,9 @@ object SparkEntry {
     "q108_bm25_topdocs" -> ((s, d) => TextAnalysis.bm25TopDocs(s, d)),
     "q109_cdc_merge" -> ((s, d) => Relational.cdcMerge(s, d)),
     "q110_grouping_sets" -> ((s, d) => Relational.groupingSetsReport(s, d)),
+    "q111_incremental_view" -> ((s, d) => graft.streaming.StreamOps.incrementalViewMaintenance(s, d)),
+    "q112_orc_roundtrip" -> ((s, d) => EventOps.orcRoundtrip(s, d)),
+    "q113_csv_ingest" -> ((s, d) => EventOps.csvDeadLetter(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1613,6 +1616,32 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM allr GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    // q111: the oracle is the one-shot rollup; the streamed side built
+    // it incrementally across 4 real micro-batches, so hash equality
+    // certifies the merge (no double-count, no lost batch).
+    "q111_incremental_view" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_user
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // q112: rollup oracled from the ORIGINAL parquet — a row or a
+    // timestamp micro lost in either ORC leg hash-mismatches.
+    "q112_orc_roundtrip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |  CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+        |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // q113: replay of the mod-41 type-corruption rule; the dead group's
+    // typed aggregates are NULL in both engines.
+    "q113_csv_ingest" ->
+      """SELECT CASE WHEN event_id % 41 = 0 THEN '_dead' ELSE event_type END AS kind,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN event_id % 41 != 0 THEN user_id END) AS BIGINT) AS sum_user,
+        |  CAST(max(CASE WHEN event_id % 41 != 0 THEN epoch_us(ts) END) AS BIGINT) AS max_ts_us
+        |FROM events GROUP BY 1 ORDER BY kind""".stripMargin,
 
     // q110: gid recomputed from grouping() bits — engine-neutral, unlike
     // grouping_id()'s engine-specific bit order guarantees.

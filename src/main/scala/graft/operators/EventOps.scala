@@ -706,6 +706,69 @@ object EventOps {
       .orderBy($"event_type")
   }
 
+  /** ORC round-trip (q112): the events slice written as ORC and read back
+    * — the second columnar format every Spark deployment meets (Hive
+    * estates are ORC). The per-type rollup is oracled from the ORIGINAL
+    * parquet, so a row or a timestamp micro lost in either leg of the
+    * format conversion hash-mismatches. Write is partition-parallel, read
+    * is a schema-projected columnar scan; the report aggregate combines
+    * map-side.
+    */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"event_id", $"ts_us", $"user_id", $"event_type")
+    val work = java.nio.file.Files.createTempDirectory("q112_orc")
+    val out = work.resolve("orc").toString
+    ev.write.orc(out)
+    s.read.orc(out)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"user_id").as("sum_user"),
+        min($"ts_us").as("min_ts_us"), max($"ts_us").as("max_ts_us"))
+      .orderBy($"event_type")
+  }
+
+  /** CSV ingest with TYPE-level dead-lettering (q113): next to q100's
+    * structurally-corrupt JSONL, the other ingest failure mode — rows
+    * that parse as CSV but carry an untypeable field. Every
+    * `event_id % 41 == 0` row ships `user_id` as a non-numeric token;
+    * under PERMISSIVE mode the typed column nulls and the whole raw line
+    * lands in the corrupt-record column, so the pipeline keeps the row
+    * for forensics without poisoning the typed stream. Good rows
+    * aggregate per type; dead rows produce the one `_dead` accounting
+    * row. Oracled by replaying the mod-41 rule on the original parquet.
+    */
+  def csvDeadLetter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val ev = events(s, dir).select($"event_id", $"ts_us", $"user_id", $"event_type")
+    val work = java.nio.file.Files.createTempDirectory("q113_csv")
+    val out = work.resolve("csv").toString
+    ev.select(concat_ws(",", $"event_id", $"ts_us",
+        when($"event_id" % 41 === 0, lit("not_a_number"))
+          .otherwise($"user_id".cast("string")),
+        $"event_type").as("value"))
+      .write.text(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("_corrupt", StringType)))
+    val parsed = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(out)
+    // ONE pass: routing good/dead inside the grouping key sidesteps
+    // Spark's only-the-corrupt-column-referenced pruning restriction and
+    // reads the files once; the dead group's typed aggregates are
+    // all-NULL by construction, matching the oracle's NULL row
+    parsed
+      .groupBy(when($"_corrupt".isNull, $"event_type")
+        .otherwise(lit("_dead")).as("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"_corrupt".isNull, $"user_id")).as("sum_user"),
+        max(when($"_corrupt".isNull, $"ts_us")).as("max_ts_us"))
+      .orderBy($"kind")
+  }
+
   /** DAU/WAU stickiness (q106): per day, distinct active users that day
     * over distinct users in the trailing 7 days — the engagement ratio
     * every product dashboard carries. COUNT(DISTINCT) over a SLIDING

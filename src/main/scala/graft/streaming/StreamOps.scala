@@ -103,6 +103,70 @@ object StreamOps {
       .orderBy($"event_type")
   }
 
+  /** Incremental materialized-view maintenance (q111): the rollup every
+    * serving layer keeps warm, maintained ACROSS REAL MICRO-BATCHES
+    * instead of recomputed — the source is split into 4 files and
+    * `maxFilesPerTrigger=1` forces a genuine multi-batch run (unlike the
+    * single-AvailableNow-batch harness queries), so the merge logic is
+    * exercised where it matters. Each `foreachBatch` aggregates its
+    * batch, merges into the previous view version with a sum-combine
+    * (commutative, so file arrival order can't change the result), and
+    * writes a batch-id-VERSIONED directory — a replayed batch overwrites
+    * its own version instead of double-counting, the same exactly-once
+    * discipline as the q83 router. The final view must hash-match the
+    * one-shot batch rollup of the original parquet.
+    *
+    * The in-memory current-version pointer is harness-local; production
+    * would commit it to a catalog/manifest inside the same transaction
+    * as the version write (the q84 rename-swap shows that shape).
+    */
+  def incrementalViewMaintenance(s: SparkSession, dir: String): DataFrame =
+    incrementalViewMaintenanceCounted(s, dir)._1
+
+  /** [[incrementalViewMaintenance]] plus the number of micro-batches that
+    * actually ran — the spec pins it > 1, otherwise the merge path this
+    * operator exists for would be dead code under a single-batch run.
+    */
+  private[graft] def incrementalViewMaintenanceCounted(
+      s: SparkSession, dir: String): (DataFrame, Int) = {
+    import s.implicits._
+    val ev = graft.Tables.events(s, dir)
+      .select($"ts", $"event_type", $"user_id")
+    val work = java.nio.file.Files.createTempDirectory("q111_view")
+    val src = work.resolve("src").toString
+    ev.repartition(4).write.parquet(src)
+    val stream = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val viewRoot = work.resolve("view")
+    @volatile var current: Option[String] = None
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = stream.writeStream
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val part = batch.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("user_id").as("sum_user"))
+        val merged = current match {
+          case None => part
+          case Some(prev) =>
+            s.read.parquet(prev).unionByName(part)
+              .groupBy("event_type")
+              .agg(sum("n").as("n"), sum("sum_user").as("sum_user"))
+        }
+        val out = viewRoot.resolve(s"v$id").toString
+        merged.write.mode("overwrite").parquet(out)
+        current = Some(out)
+        nBatches.incrementAndGet()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val path = current.getOrElse(sys.error("q111: stream produced no batches"))
+    (s.read.parquet(path)
+      .select($"event_type", $"n", $"sum_user")
+      .orderBy($"event_type"), nBatches.get())
+  }
+
   /** Streaming near-duplicate detection during ingest: each arriving
     * document computes the same 32-hash minhash signature as the batch
     * detector (`TextDedup.minhashLshPairs` — shared seeds, so estimates

@@ -355,6 +355,22 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq === Seq((7L, 1L, 1800000000L, 1800000000L)))
   }
 
+  test("q111 view maintenance really runs multi-batch and matches the one-shot rollup") {
+    val dir = "/root/testdata/sf0.001"
+    val (viewDf, nBatches) =
+      StreamOps.incrementalViewMaintenanceCounted(spark, dir)
+    // maxFilesPerTrigger=1 over a 4-file source: a single-batch run would
+    // leave the merge path (the operator's reason to exist) dead
+    assert(nBatches >= 4, s"expected >= 4 micro-batches, got $nBatches")
+    val view = viewDf.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_user"))
+      .orderBy(col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(view === batch)
+  }
+
   test("q83 routes a wholesale-failing corpus without a pass sink") {
     import spark.implicits._
     val dir = Files.createTempDirectory("q83all").toString
