@@ -147,6 +147,8 @@ object SparkEntry {
     "q111_incremental_view" -> ((s, d) => graft.streaming.StreamOps.incrementalViewMaintenance(s, d)),
     "q112_orc_roundtrip" -> ((s, d) => EventOps.orcRoundtrip(s, d)),
     "q113_csv_ingest" -> ((s, d) => EventOps.csvDeadLetter(s, d)),
+    "q114_latest_state" -> ((s, d) => EventOps.latestStateSnapshot(s, d)),
+    "q115_schema_evolution" -> ((s, d) => EventOps.schemaEvolutionRead(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1642,6 +1644,30 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_id % 41 != 0 THEN user_id END) AS BIGINT) AS sum_user,
         |  CAST(max(CASE WHEN event_id % 41 != 0 THEN epoch_us(ts) END) AS BIGINT) AS max_ts_us
         |FROM events GROUP BY 1 ORDER BY kind""".stripMargin,
+
+    // q114: the oracle is the textbook row_number window; the Spark side
+    // is the map-side-combinable max_by form — hash equality certifies
+    // the two formulations pick the same (unique-keyed) latest row.
+    "q114_latest_state" ->
+      """WITH st AS (SELECT user_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(max(ts_us) AS BIGINT) AS max_ts_us
+        |FROM st WHERE rn = 1 GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // q115: replay of the deterministic v1/v2 split — v1 rows must read
+    // back with a NULL new column, nothing more and nothing less.
+    "q115_schema_evolution" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_value,
+        |  CAST(sum(CASE WHEN event_id % 2 = 1
+        |    THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // q110: gid recomputed from grouping() bits — engine-neutral, unlike
     // grouping_id()'s engine-specific bit order guarantees.

@@ -769,6 +769,62 @@ object EventOps {
       .orderBy($"kind")
   }
 
+  /** Latest-state snapshot from the event log (q114): the CDC-read
+    * primitive — each user's current state is their last event by
+    * (ts, event_id). The Spark side uses `max_by` over a packed ordering
+    * struct, which COMBINES MAP-SIDE: each partition reduces to one row
+    * per user before the exchange, where the textbook row_number window
+    * ships every event through the shuffle first. The oracle is written
+    * as that window formulation — hash equality proves the two shapes
+    * agree (the (ts_us, event_id) key is unique per user, so "max" and
+    * "rn = 1 DESC" pick the same row). Report is a types-bounded rollup
+    * of the state table; values quantize to integer cents.
+    */
+  def latestStateSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .select($"user_id", $"ts_us", $"event_id", $"event_type",
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+      .groupBy($"user_id")
+      .agg(max_by(struct($"event_type", $"cents", $"ts_us"),
+        struct($"ts_us", $"event_id")).as("st"))
+      .select($"user_id", $"st.event_type", $"st.cents", $"st.ts_us")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_users"), sum($"cents").as("sum_cents"),
+        max($"ts_us").as("max_ts_us"))
+      .orderBy($"event_type")
+  }
+
+  /** Schema-evolution read (q115): the v2 feed adds a column; half the
+    * archive is old files without it. `mergeSchema` unions the file
+    * schemas and back-fills NULL for v1 rows — the drift every long-lived
+    * pipeline must absorb without a backfill rewrite. The accounting
+    * (rows vs rows-with-value, value sum) is oracled by replaying the
+    * deterministic v1/v2 split on the original parquet, so a row whose
+    * new column leaked a value (or lost one) hash-mismatches.
+    */
+  def schemaEvolutionRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    val work = java.nio.file.Files.createTempDirectory("q115_evo")
+    val root = work.resolve("data")
+    ev.where($"event_id" % 2 === 0)
+      .select($"event_id", $"user_id", $"event_type")
+      .write.parquet(root.resolve("v1").toString)
+    ev.where($"event_id" % 2 === 1)
+      .write.parquet(root.resolve("v2").toString)
+    s.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true")
+      .parquet(root.toString)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"cents").as("n_with_value"),
+        sum($"cents").as("sum_cents"))
+      .orderBy($"event_type")
+  }
+
   /** DAU/WAU stickiness (q106): per day, distinct active users that day
     * over distinct users in the trailing 7 days — the engagement ratio
     * every product dashboard carries. COUNT(DISTINCT) over a SLIDING

@@ -310,6 +310,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("Expand"), s"expected an Expand node:\n$p")
   }
 
+  test("q114 latest-state combines map-side via max_by — no row_number window, partial agg before the exchange") {
+    val p = plan(EventOps.latestStateSnapshot(spark, sfDir))
+    assert(!p.contains("Window"), s"the state table must not ship every event through a window:\n$p")
+    assert(p.contains("partial_max_by") || p.contains("partial"),
+      s"per-user state must reduce before the shuffle:\n$p")
+  }
+
   test("q87 funnel joins stay user-keyed equi-joins — no cartesian, no row multiplication") {
     val p = plan(EventOps.eventFunnel(spark, sfDir))
     assert(!p.contains("CartesianProduct"), s"no cartesian in the funnel:\n$p")

@@ -27,8 +27,11 @@ VOCAB = ("the batch data column order a vector part scan slow agg key window "
          "table merge join line small group query row stream sort value hash "
          "filter big dup spark fast customer").split()
 LANGS = ["en", "de", "es", "fr", "zh"]
-P_ADJ = ["large", "hot", "blue", "red", "small", "green", "dark", "pale"]
-P_NOUN = ["ring", "bolt", "screw", "gear", "cog", "pin", "cap", "rod"]
+# the driver's measured inventories (sf0.01): keeping them verbatim makes
+# the name-similarity surface (q103's edit-distance pairs, e.g. red/old at
+# distance 2) non-vacuous at stress SFs too
+P_ADJ = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+P_NOUN = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
 
 DAY = 86400
 
