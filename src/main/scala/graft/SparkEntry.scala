@@ -149,6 +149,11 @@ object SparkEntry {
     "q113_csv_ingest" -> ((s, d) => EventOps.csvDeadLetter(s, d)),
     "q114_latest_state" -> ((s, d) => EventOps.latestStateSnapshot(s, d)),
     "q115_schema_evolution" -> ((s, d) => EventOps.schemaEvolutionRead(s, d)),
+    "q116_pivot_roundtrip" -> ((s, d) => EventOps.eventPivotRoundtrip(s, d)),
+    "q117_observed_metrics" -> ((s, d) => EventOps.observedMetricsRollup(s, d)),
+    // rows-only BY DESIGN (like q25/q53): cell ids are engine-specific;
+    // SimilarityRecallSpec gates coverage/quota/membership/determinism
+    "q118_diversity_sample" -> ((s, d) => Similarity.diversitySample(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1668,6 +1673,35 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_id % 2 = 1
         |    THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // q116: the oracle builds the dense day x type grid directly —
+    // hash equality proves the pivot's zero-fill survives the melt.
+    "q116_pivot_roundtrip" ->
+      """WITH d AS (SELECT DISTINCT strftime(ts, '%Y%m%d') AS day FROM events),
+        |t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+        |c AS (SELECT strftime(ts, '%Y%m%d') AS day, event_type,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)
+        |SELECT d.day AS day, t.event_type AS event_type,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM d CROSS JOIN t
+        |LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+        |ORDER BY day, event_type""".stripMargin,
+
+    // q117: the observation row and the query row come from ONE Spark
+    // scan; the oracle recomputes both — the metrics path is held to
+    // the same hash standard as the query path.
+    "q117_observed_metrics" ->
+      """WITH p AS (SELECT 'purchase' AS kind, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents_all,
+        |    CAST(NULL AS BIGINT) AS day_span
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT '_metrics' AS kind, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents_all,
+        |    CAST(max(epoch_us(ts) // 86400000000)
+        |      - min(epoch_us(ts) // 86400000000) + 1 AS BIGINT) AS day_span
+        |  FROM events)
+        |SELECT * FROM (SELECT * FROM p UNION ALL SELECT * FROM m)
+        |ORDER BY kind""".stripMargin,
 
     // q110: gid recomputed from grouping() bits — engine-neutral, unlike
     // grouping_id()'s engine-specific bit order guarantees.

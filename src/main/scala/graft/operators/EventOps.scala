@@ -386,6 +386,65 @@ object EventOps {
       .orderBy($"day")
   }
 
+  /** Pivot → UNPIVOT round trip (q116): q41's wide per-day matrix melted
+    * back to long form with Spark's native `unpivot` (the reshape layer
+    * between storage and reporting). The contract is DENSITY: the
+    * pivot's zero-fill survives the melt, so every (day, type) cell —
+    * including empty ones — lands as an explicit row; the oracle builds
+    * the same dense grid from a day x type cross join, so a dropped or
+    * fabricated cell on either leg hash-mismatches. Everything after the
+    * q41 aggregate is width-bounded (days x 5 types).
+    */
+  def eventPivotRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    eventTypePivot(s, dir)
+      .unpivot(Array($"day"), types.map(t => col(s"n_$t")).toArray,
+        "type_col", "n")
+      .select($"day", substring($"type_col", 3, 100).as("event_type"), $"n")
+      .orderBy($"day", $"event_type")
+  }
+
+  /** Observed-metrics telemetry (q117): `Dataset.observe` computes
+    * pipeline health counters ON THE SAME SCAN as the query — the
+    * Spark-native form of the reference's stats plumbing
+    * (`/root/reference/triton.go:241-265` prints stream stats from a
+    * separate pass; here the metrics ride the query's one pass). The
+    * query proper is the purchase rollup; the observation records
+    * pre-filter totals (rows, distinct-day span, value sum in cents)
+    * that a separate aggregate would need a second scan for. Both the
+    * rollup and the metrics row are oracle-checked, so the observation
+    * path is held to the same hash standard as the query path.
+    */
+  def observedMetricsRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = new org.apache.spark.sql.Observation(
+      s"q117_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val rollup = events(s, dir)
+      .select($"event_type", $"user_id", $"ts_us",
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum($"cents").as("sum_cents_all"),
+        (max(expr("ts_us div 86400000000")) -
+          min(expr("ts_us div 86400000000")) + 1).as("day_span"))
+      .where($"event_type" === "purchase")
+      .groupBy($"event_type".as("kind"))
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents_all"),
+        lit(null).cast("long").as("day_span"))
+      .collect() // bounded: one row; completes the action so obs resolves
+    val m = obs.get
+    val rows = rollup.toSeq :+ org.apache.spark.sql.Row(
+      "_metrics", m("n_rows").asInstanceOf[Long],
+      m("sum_cents_all").asInstanceOf[Long], m("day_span").asInstanceOf[Long])
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("kind", StringType), StructField("n_rows", LongType),
+      StructField("sum_cents_all", LongType), StructField("day_span", LongType)))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      .orderBy($"kind")
+  }
+
   /** Custom typed UDAF in action: exact top-k (value desc, id asc) per
     * event_type through `graft.functions.TopKAggregator` — a bounded
     * buffer that combines map-side, so only k rows per group per partition

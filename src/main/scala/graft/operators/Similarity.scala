@@ -1020,6 +1020,43 @@ object Similarity {
     * Rayleigh residual ‖Cv−λv‖/λ on the exact driver-recomputed
     * covariance, orthogonality of the two axes, and sign/determinism.
     */
+  /** Cell-coverage diversity sample (q118): k vectors per k-means cell of
+    * the SHARED q53 codebook — the coverage-first sampling a training
+    * pipeline runs when it wants the embedding space represented, not
+    * just the data distribution (uniform sampling over-draws dense
+    * regions; per-cell quotas guarantee every region survives the cut).
+    * Within a cell the draw is the deterministic seedless min-hash60
+    * choice (the q44 discipline), via the bounded MinK aggregator — k
+    * rows per cell per partition reach the shuffle, nothing corpus-sized
+    * moves. Rows-only by design (cells are engine-specific);
+    * SimilarityRecallSpec gates coverage (every non-empty cell
+    * represented), quota, membership and determinism.
+    */
+  def diversitySample(s: SparkSession, dir: String, k: Int = 4,
+                      nCells: Int = 64, iters: Int = 5): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Encoders
+    val vecs = memoCache("annIvfKmeans", s, dir, vecDs(s, dir).cache())
+      .toDF("vec_id", "v", "nrm")
+    if (vecs.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("cell", "n_in_cell", "rank", "vec_id")
+    val cents = kmeansCodebook(s, dir, nCells, iters)
+    val assigned = memoCacheSub("annIvfKmeansIdx", s, dir, s"$nCells|$iters",
+      assignCells(s, vecs, cents).cache()).toDF("cell", "vec_id", "v", "nrm")
+    val mink = udaf(new graft.functions.MinKAggregator(k),
+      Encoders.product[(Long, Long)])
+    assigned
+      .select($"cell", $"vec_id", expr("hash60(cast(vec_id as string))").as("h"))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_in_cell"), mink($"h", $"vec_id").as("sample"))
+      .select($"cell", $"n_in_cell",
+        posexplode(expr("transform(sample, x -> x._2)")).as(Seq("r0", "vec_id")))
+      .select($"cell".cast("long").as("cell"), $"n_in_cell",
+        ($"r0" + 1L).as("rank"), $"vec_id")
+      .orderBy($"cell", $"rank")
+  }
+
   /** Driver-local PCA sufficient statistics + top-2 eigenpairs (the
     * spec-gated seam behind [[embeddingPca]]).
     */

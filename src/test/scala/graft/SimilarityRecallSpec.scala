@@ -315,6 +315,33 @@ class SimilarityRecallSpec extends AnyFunSuite with SparkFixture {
       "explained-variance fraction must be <= 1")
   }
 
+  test("q118 diversity sample: every non-empty cell covered, quota held, members only, deterministic") {
+    val dir = "/root/testdata/sf0.01"
+    val k = 4
+    val out = Similarity.diversitySample(spark, dir, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // quota: at most k per cell, n_in_cell-consistent
+    val perCell = out.groupBy(_._1)
+    perCell.foreach { case (cell, rows) =>
+      assert(rows.length <= k, s"cell $cell over quota: ${rows.length}")
+      assert(rows.length == math.min(k, rows.head._2),
+        s"cell $cell sampled ${rows.length} of ${rows.head._2}")
+    }
+    // coverage + membership vs the shared inverted file
+    import spark.implicits._
+    val vecs = graft.Tables.table(spark, dir, "embeddings")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(out.map(_._4).toSet.subsetOf(vecs), "sampled ids must be corpus members")
+    val nInCells = perCell.view.mapValues(_.head._2).values.sum
+    assert(nInCells == vecs.size,
+      s"cells must partition the corpus: ${nInCells} vs ${vecs.size}")
+    // determinism
+    val out2 = Similarity.diversitySample(spark, dir, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == out2.toSeq)
+  }
+
   test("repeat ANN queries hold at most one live corpus cache per operator") {
     val dir = "/root/testdata/sf0.001"
     Similarity.annLsh(spark, dir).count()
