@@ -154,6 +154,7 @@ object SparkEntry {
     // rows-only BY DESIGN (like q25/q53): cell ids are engine-specific;
     // SimilarityRecallSpec gates coverage/quota/membership/determinism
     "q118_diversity_sample" -> ((s, d) => Similarity.diversitySample(s, d)),
+    "q119_stream_static_join" -> ((s, d) => graft.streaming.StreamOps.streamStaticEnrich(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1702,6 +1703,14 @@ object SparkEntry {
         |  FROM events)
         |SELECT * FROM (SELECT * FROM p UNION ALL SELECT * FROM m)
         |ORDER BY kind""".stripMargin,
+
+    // q119: the inner stream-static join drops customer-less events
+    // deterministically; the oracle replays the same join in batch.
+    "q119_stream_static_join" ->
+      """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
     // q110: gid recomputed from grouping() bits — engine-neutral, unlike
     // grouping_id()'s engine-specific bit order guarantees.

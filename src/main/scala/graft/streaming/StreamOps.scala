@@ -167,6 +167,50 @@ object StreamOps {
       .orderBy($"event_type"), nBatches.get())
   }
 
+  /** Stream-STATIC join under the batch oracle (q119): the enrichment
+    * join every ingest runs — events stream against the customer
+    * dimension (static side re-read per micro-batch, so a slowly-changing
+    * dimension is picked up on file change; no state store involved,
+    * unlike the q92/q96 stream-stream forms). Spark broadcasts the
+    * dimension side per batch while it fits — the same plan a batch
+    * enrichment gets. The inner join drops events whose user has no
+    * customer row (the q90 soft-edge orphans) — deterministically, which
+    * is what lets the batch oracle replay it. Per-segment rollup through
+    * a memory sink; the collect is segments-bounded.
+    */
+  def streamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"$dir/events.parquet"
+    val raw = s.read.parquet(path)
+    val stream0 = s.readStream.schema(raw.schema).parquet(s"$dir/[e]vents.parquet")
+    val stream = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream0.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => stream0
+    }
+    val dim = graft.Tables.table(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    val name = s"q119_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = stream
+      .select($"user_id", floor($"value" * 100 + 0.5).cast("long").as("cents"))
+      .join(dim, $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sink = s.table(name).select($"c_mktsegment", $"n", $"sum_cents")
+    val rows = sink.collect().toSeq
+    s.catalog.dropTempView(name)
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), sink.schema)
+      .orderBy($"c_mktsegment")
+  }
+
   /** Streaming near-duplicate detection during ingest: each arriving
     * document computes the same 32-hash minhash signature as the batch
     * detector (`TextDedup.minhashLshPairs` — shared seeds, so estimates
