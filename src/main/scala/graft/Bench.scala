@@ -13,7 +13,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches the harness contract (local[32], shuffle.partitions=32);
+    // the original stub's default of 4 silently under-parallelized any run
+    // that forgot to export SPARK_GRAFT_CPUS — see BENCH_NOTES round-10
+    // core-count correction
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -20,7 +20,7 @@ object Cli {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println("usage: store|cat|shards|stats ..."); sys.exit(2) }
     val o = opts(args)
-    lazy val spark = Tables.session("graft-cli", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    lazy val spark = Tables.session("graft-cli", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     args(0) match {
       case "store" =>
         val ev = Tables.events(spark, o("sf-dir"))

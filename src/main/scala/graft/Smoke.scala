@@ -12,7 +12,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = Tables.session("graft-smoke", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    val spark = Tables.session("graft-smoke", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     import spark.implicits._
 
     // 1. streaming: fake sharded stream -> kinesis-graft source -> decode -> memory sink

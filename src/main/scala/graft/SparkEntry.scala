@@ -155,6 +155,8 @@ object SparkEntry {
     // SimilarityRecallSpec gates coverage/quota/membership/determinism
     "q118_diversity_sample" -> ((s, d) => Similarity.diversitySample(s, d)),
     "q119_stream_static_join" -> ((s, d) => graft.streaming.StreamOps.streamStaticEnrich(s, d)),
+    "q120_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
+    "q121_zorder_pruning" -> ((s, d) => EventOps.zorderPruning(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1725,5 +1727,83 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
         |  (o_orderpriority, o_orderstatus), ())
         |ORDER BY gid, priority, status""".stripMargin,
+
+    // q120: both legs replay already-certified chains (q108's BM25, q24's
+    // cosine order for one query); the fusion is two fixed-order doubles,
+    // round6-quantized, doc_id tiebreak.
+    "q120_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    string_split(text, ' ') AS ts FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS s_tok FROM d),
+        |h AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ts) AS t FROM d)
+        |  WHERE t IN ('scan', 'filter', 'vector') GROUP BY 1, 2, 3),
+        |f AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM h GROUP BY 1),
+        |sc AS (SELECT h.doc_id, h.dl, h.t,
+        |    ((floor(ln(CAST(2 * (st.n_docs + 1) AS DOUBLE)) * 1000000.0 + 0.5)
+        |      - floor(ln(CAST(2 * f.df + 1 AS DOUBLE)) * 1000000.0 + 0.5)) / 1000000.0)
+        |    * CAST(22 * h.tf * st.s_tok AS DOUBLE)
+        |    / CAST(10 * h.tf * st.s_tok + 3 * st.s_tok + 9 * h.dl * st.n_docs AS DOUBLE) AS ts_score
+        |  FROM h JOIN f ON h.t = f.t CROSS JOIN st),
+        |p AS (SELECT doc_id, dl,
+        |    coalesce(max(CASE WHEN t = 'scan' THEN ts_score END), 0.0) AS s_scan,
+        |    coalesce(max(CASE WHEN t = 'filter' THEN ts_score END), 0.0) AS s_filter,
+        |    coalesce(max(CASE WHEN t = 'vector' THEN ts_score END), 0.0) AS s_vector
+        |  FROM sc GROUP BY 1, 2),
+        |bm AS (SELECT doc_id,
+        |    floor((s_scan + s_filter + s_vector) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+        |  FROM p ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |sp AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS sparse_rank
+        |  FROM bm),
+        |vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) nrm FROM vv),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+        |dsc AS (SELECT n.vec_id,
+        |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y) / (n.nrm * q.qn) c
+        |  FROM n, q WHERE n.vec_id <> q.query_id),
+        |de AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS BIGINT) AS dense_rank
+        |  FROM dsc ORDER BY c DESC, vec_id ASC LIMIT 50),
+        |fu AS (SELECT coalesce(sp.doc_id, de.doc_id) AS doc_id, sp.sparse_rank, de.dense_rank
+        |  FROM sp FULL OUTER JOIN de ON sp.doc_id = de.doc_id)
+        |SELECT doc_id, sparse_rank, dense_rank,
+        |  floor((coalesce(CAST(1.0 AS DOUBLE) / CAST(sparse_rank + 60 AS DOUBLE), 0.0)
+        |       + coalesce(CAST(1.0 AS DOUBLE) / CAST(dense_rank + 60 AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS rrf
+        |FROM fu ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q121: the Morton interleave expands to the same 16 integer terms the
+    // Spark side folds (user bit i -> 2i+1, time bit i -> 2i); all grid
+    // math is exact integer division, so the manifests are engine-neutral.
+    "q121_zorder_pruning" ->
+      s"""WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS t FROM events),
+        |b AS (SELECT min(u) AS min_u, max(u) AS max_u, min(t) AS min_t, max(t) AS max_t FROM ev),
+        |g AS (SELECT ((u - min_u) * 256) // (max_u - min_u + 1) AS ub,
+        |             ((t - min_t) * 256) // (max_t - min_t + 1) AS tb FROM ev, b),
+        |zz AS (SELECT ub, tb, ($zorderTermsSql) AS z FROM g),
+        |tagged AS (
+        |  SELECT 'zorder' AS layout, z >> 8 AS bucket, ub, tb FROM zz
+        |  UNION ALL
+        |  SELECT 'tsort' AS layout, tb AS bucket, ub, tb FROM zz),
+        |m AS (SELECT layout, bucket, CAST(count(*) AS BIGINT) AS cnt,
+        |    min(ub) AS lo_u, max(ub) AS hi_u, min(tb) AS lo_t, max(tb) AS hi_t,
+        |    CAST(sum(CASE WHEN ub BETWEEN 64 AND 127 AND tb BETWEEN 64 AND 127
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS hit
+        |  FROM tagged GROUP BY 1, 2)
+        |SELECT layout, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(CASE WHEN hi_u >= 64 AND lo_u <= 127 AND hi_t >= 64 AND lo_t <= 127
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS buckets_scanned,
+        |  CAST(sum(CASE WHEN hi_u >= 64 AND lo_u <= 127 AND hi_t >= 64 AND lo_t <= 127
+        |    THEN cnt ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |  CAST(sum(hit) AS BIGINT) AS rows_matching,
+        |  floor((CAST(sum(CASE WHEN hi_u >= 64 AND lo_u <= 127 AND hi_t >= 64 AND lo_t <= 127
+        |      THEN cnt ELSE 0 END) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS scan_frac
+        |FROM m GROUP BY layout ORDER BY layout""".stripMargin,
   )
+
+  // q121's 16-term Morton expansion, generated so the oracle text and the
+  // Spark fold can never drift apart on a bit position
+  private lazy val zorderTermsSql: String = (0 until 8).map { i =>
+    s"(((ub >> $i) & 1) << ${2 * i + 1}) + (((tb >> $i) & 1) << ${2 * i})"
+  }.mkString(" + ")
 }

@@ -911,4 +911,72 @@ object EventOps {
         graft.Tables.round6($"dau" / $"wau").as("stickiness"))
       .orderBy($"day")
   }
+
+  /** Z-order layout pruning report (q121): quantifies what interleaved-bit
+    * (Morton) clustering buys a 2-D probe over single-column sorting —
+    * the data-layout decision behind every "cluster by" / file-skipping
+    * story at 100 TB, where a scan that can't prune files pays for the
+    * full corpus.
+    *
+    * Both dimensions (user_id, event time) normalize to an 8-bit grid in
+    * EXACT integer arithmetic (`div`, never a double), interleave to a
+    * 16-bit Morton code, and bucket two ways with the SAME bucket count:
+    * z >> 8 (the top 4 bits of each dimension — the z-order file) versus
+    * tb (time-sorted files, the default layout everyone ships first).
+    * Per bucket the report keeps the min/max manifest a writer would put
+    * in footer metadata, then replays a fixed rectangle probe (the middle
+    * quarter of each dimension) against the manifests: a bucket is
+    * skipped iff its [min,max] envelope misses the rectangle on either
+    * dimension. Output is one row per layout — buckets scanned, rows
+    * scanned, rows actually matching (identical across layouts by
+    * construction — the sanity anchor), and the scan fraction.
+    *
+    * Scale shape: ONE corpus scan; the explode doubles rows into the
+    * aggregate but map-side combine collapses to ≤2·256 bucket rows per
+    * partition before the (bounded) shuffle; everything after is
+    * arithmetic on ≤512 rows. The physical form at deployment is
+    * `sortWithinPartitions(z)` + the q78 shard writer; the manifest math
+    * here is the part that decides whether that write is worth it.
+    */
+  def zorderPruning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"user_id".as("u"), $"ts_us".as("t"))
+    val bounds = ev.agg(min($"u").as("min_u"), max($"u").as("max_u"),
+      min($"t").as("min_t"), max($"t").as("max_t"))
+    val grid = ev.crossJoin(broadcast(bounds))
+      .select(
+        expr("(u - min_u) * 256 div (max_u - min_u + 1)").as("ub"),
+        expr("(t - min_t) * 256 div (max_t - min_t + 1)").as("tb"))
+    // 16-bit Morton code: user bit i -> position 2i+1, time bit i -> 2i
+    val z = (0 until 8).map { i =>
+      shiftleft(shiftright($"ub", i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright($"tb", i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+    val probeLo = 64L; val probeHi = 127L // middle quarter of each dim
+    val manifests = grid
+      .select($"ub", $"tb", shiftright(z, 8).as("zb"))
+      .select(explode(array(
+        struct(lit("zorder").as("layout"), $"zb".as("bucket")),
+        struct(lit("tsort").as("layout"), $"tb".as("bucket")))).as("lb"),
+        $"ub", $"tb")
+      .groupBy($"lb.layout".as("layout"), $"lb.bucket".as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min($"ub").as("lo_u"), max($"ub").as("hi_u"),
+        min($"tb").as("lo_t"), max($"tb").as("hi_t"),
+        sum(when($"ub".between(probeLo, probeHi) &&
+          $"tb".between(probeLo, probeHi), 1L).otherwise(0L)).as("hit"))
+    val scanned = $"hi_u" >= probeLo && $"lo_u" <= probeHi &&
+      $"hi_t" >= probeLo && $"lo_t" <= probeHi
+    manifests.groupBy($"layout")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(scanned, 1L).otherwise(0L)).as("buckets_scanned"),
+        sum(when(scanned, $"cnt").otherwise(0L)).as("rows_scanned"),
+        sum($"hit").as("rows_matching"),
+        sum($"cnt").as("rows_total"))
+      .select($"layout", $"n_buckets", $"buckets_scanned", $"rows_scanned",
+        $"rows_matching",
+        graft.Tables.round6($"rows_scanned".cast("double") /
+          $"rows_total".cast("double")).as("scan_frac"))
+      .orderBy($"layout")
+  }
 }

@@ -1169,4 +1169,52 @@ object Similarity {
         graft.Tables.round6(lit(lam2 / trace)).as("var2_frac"))
       .orderBy($"label")
   }
+
+  /** Hybrid sparse+dense retrieval with reciprocal-rank fusion (q120):
+    * the standard two-tower retrieval ensemble — a BM25 keyword leg
+    * (q108's scorer) and a dense cosine leg (q24's exact top-k against
+    * one query embedding) fused by RRF(d) = Σ 1/(60 + rank_leg(d)) —
+    * the score-free fusion that needs no cross-leg calibration.
+    *
+    * Determinism contract: each leg's ranks come from already-certified
+    * chains (q108's quantized BM25 with doc_id tiebreak; q24's raw-cosine
+    * order, identical IEEE folds in both engines), the fused score is
+    * exactly two doubles added in fixed leg order (sparse + dense), then
+    * round6-quantized with doc_id as the final tiebreak.
+    *
+    * Scale shape: each leg is one corpus scan ending in a top-kCand
+    * (TakeOrderedAndProject / the chunked brute kernel); the fusion
+    * itself joins two ≤kCand-row frames — driver-bounded, broadcast by
+    * AQE. The dense leg here is the EXACT brute baseline so the oracle
+    * can replay it; at deployment the IVF paths (q53/q94/q118's shared
+    * codebook) substitute per the `annBruteForce` doc, and the fusion
+    * join is unchanged. Legs run over `documents`/`embeddings`, whose
+    * ids align 1:1 in this corpus (doc_id = vec_id).
+    */
+  def hybridRrf(s: SparkSession, dir: String,
+                terms: Seq[String] = Seq("scan", "filter", "vector"),
+                queryVec: Long = 0L, kCand: Int = 50, kOut: Int = 20,
+                rrfK: Int = 60): DataFrame = {
+    import s.implicits._
+    val dense = annBruteForce(s, dir,
+        table(s, dir, "embeddings").where($"vec_id" === queryVec)
+          .select($"vec_id", $"embedding"),
+        kCand, 512)
+      .select($"neighbor_id".as("doc_id"), $"rank".as("dense_rank"))
+    // rank the sparse leg on its own (already round6-quantized) output:
+    // the window is over a ≤kCand-row frame — bounded by construction,
+    // the q04 top-k pattern, never a corpus-wide sort
+    val sparse = graft.operators.TextAnalysis.bm25TopDocs(s, dir, terms, kCand)
+      .withColumn("sparse_rank", row_number().over(
+        Window.orderBy($"bm25".desc, $"doc_id".asc)).cast("long"))
+      .select($"doc_id", $"sparse_rank")
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"sparse_rank", $"dense_rank",
+        graft.Tables.round6(
+          coalesce(lit(1.0) / ($"sparse_rank" + lit(rrfK)).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / ($"dense_rank" + lit(rrfK)).cast("double"), lit(0.0)))
+          .as("rrf"))
+      .orderBy($"rrf".desc, $"doc_id".asc)
+      .limit(kOut)
+  }
 }
