@@ -157,6 +157,7 @@ object SparkEntry {
     "q119_stream_static_join" -> ((s, d) => graft.streaming.StreamOps.streamStaticEnrich(s, d)),
     "q120_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
     "q121_zorder_pruning" -> ((s, d) => EventOps.zorderPruning(s, d)),
+    "q122_experiment_lift" -> ((s, d) => EventOps.experimentLift(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1799,6 +1800,8 @@ object SparkEntry {
         |      THEN cnt ELSE 0 END) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)) * 1000000.0 + 0.5)
         |    / 1000000.0 AS scan_frac
         |FROM m GROUP BY layout ORDER BY layout""".stripMargin,
+
+    "q122_experiment_lift" -> q122Sql,
   )
 
   // q121's 16-term Morton expansion, generated so the oracle text and the
@@ -1806,4 +1809,32 @@ object SparkEntry {
   private lazy val zorderTermsSql: String = (0 until 8).map { i =>
     s"(((ub >> $i) & 1) << ${2 * i + 1}) + (((tb >> $i) & 1) << ${2 * i})"
   }.mkString(" + ")
+
+  // q122: counts are exact integers; the cvr/lift/z chain is the same
+  // fixed-order double expression on both sides, round6-quantized.
+  private lazy val q122Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |exp AS (SELECT user_id, min(ts_us) AS t0,
+      |    CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+      |      THEN 'A' ELSE 'B' END AS variant
+      |  FROM ev WHERE event_type = 'click' GROUP BY user_id),
+      |pu AS (SELECT e.user_id, e.variant,
+      |    max(CASE WHEN p.ts_us > e.t0 AND p.ts_us <= e.t0 + 604800000000 THEN 1 ELSE 0 END) AS converted
+      |  FROM exp e LEFT JOIN (SELECT user_id, ts_us FROM ev WHERE event_type = 'purchase') p
+      |    ON e.user_id = p.user_id
+      |  GROUP BY e.user_id, e.variant),
+      |pv AS (SELECT variant, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS k
+      |  FROM pu GROUP BY variant),
+      |ab AS (SELECT
+      |    (SELECT n FROM pv WHERE variant = 'A') AS n_a, (SELECT k FROM pv WHERE variant = 'A') AS k_a,
+      |    (SELECT n FROM pv WHERE variant = 'B') AS n_b, (SELECT k FROM pv WHERE variant = 'B') AS k_b)
+      |SELECT n_a, k_a, n_b, k_b,
+      |  floor((CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS cvr_a,
+      |  floor((CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS cvr_b,
+      |  floor((CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS lift_abs,
+      |  floor(((CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |    / sqrt((CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |         * (1.0 - CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |         * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0 AS z_score
+      |FROM ab""".stripMargin
 }

@@ -912,6 +912,60 @@ object EventOps {
       .orderBy($"day")
   }
 
+  /** Deterministic A/B experiment readout (q122): assign every user a
+    * variant by seedless hash (the q80 split discipline — reproducible
+    * across runs, engines, and backfills, unlike a stored assignment
+    * table), take first click as exposure, count a conversion iff a
+    * purchase lands within 7 days AFTER exposure, and emit the
+    * two-proportion pooled z-score — the number every experimentation
+    * readout ends in.
+    *
+    * Scale shape: exposure is one map-side-combinable min per user;
+    * conversions are a user-keyed 1:N join (one exposure row meets that
+    * user's purchases only) collapsed back to one bit per user before
+    * the ≤2-row variant rollup; the z arithmetic runs on a 1-row frame.
+    * No window over the raw stream, nothing driver-side.
+    *
+    * Determinism: counts are exact integers; the cvr/lift/z chain is a
+    * fixed-order double expression over those integers, round6-quantized
+    * — the q86 z-score discipline.
+    */
+  def experimentLift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"user_id", $"ts_us", $"event_type")
+    val exposure = ev.where($"event_type" === "click")
+      .groupBy($"user_id").agg(min($"ts_us").as("t0"))
+      .withColumn("variant",
+        when(expr("hash60(cast(user_id as string))") % 2 === 0, "A")
+          .otherwise("B"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"ts_us".as("tp"))
+    val perUser = exposure.join(purchases, Seq("user_id"), "left")
+      .groupBy($"user_id", $"variant")
+      .agg(max(when($"tp" > $"t0" &&
+        $"tp" <= $"t0" + lit(7L * 24 * 3600 * 1000000L), 1L)
+        .otherwise(0L)).as("converted"))
+    // one conditional aggregate, not a where-split + crossJoin — the
+    // latter would recompute the exposure join once per variant
+    val ab = perUser.agg(
+      sum(when($"variant" === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when($"variant" === "A", $"converted").otherwise(0L)).as("k_a"),
+      sum(when($"variant" === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when($"variant" === "B", $"converted").otherwise(0L)).as("k_b"))
+    val pA = $"k_a".cast("double") / $"n_a".cast("double")
+    val pB = $"k_b".cast("double") / $"n_b".cast("double")
+    val pp = ($"k_a" + $"k_b").cast("double") / ($"n_a" + $"n_b").cast("double")
+    ab.select(
+      $"n_a", $"k_a", $"n_b", $"k_b",
+      graft.Tables.round6(pA).as("cvr_a"),
+      graft.Tables.round6(pB).as("cvr_b"),
+      graft.Tables.round6(pA - pB).as("lift_abs"),
+      graft.Tables.round6((pA - pB) /
+        sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / $"n_a".cast("double") + lit(1.0) / $"n_b".cast("double"))))
+        .as("z_score"))
+  }
+
   /** Z-order layout pruning report (q121): quantifies what interleaved-bit
     * (Morton) clustering buys a 2-D probe over single-column sorting —
     * the data-layout decision behind every "cluster by" / file-skipping

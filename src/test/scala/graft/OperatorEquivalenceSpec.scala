@@ -395,4 +395,38 @@ class OperatorEquivalenceSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(exactHalf === rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
+
+  test("q122 experiment lift: exposure gating, strict 7-day window, hash-deterministic variants") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val us = 1000000L
+    val day = 24L * 3600 * 1000000L
+    // (user, t, type): u1 converts (purchase at +1h); u2 purchases at +8d
+    // (outside window); u3 never purchases; u4 purchases but was never
+    // exposed (excluded); u5's purchase PRECEDES exposure (not converted)
+    val rows = Seq(
+      (1L, 0L, "click"), (1L, 3600L * us, "purchase"),
+      (2L, 0L, "click"), (2L, 8L * day, "purchase"),
+      (3L, 0L, "click"),
+      (4L, 0L, "purchase"),
+      (5L, day, "click"), (5L, day - 3600L * us, "purchase"))
+    val dir = java.nio.file.Files.createTempDirectory("explift").toString
+    rows.zipWithIndex.map { case ((u, t, ty), i) =>
+      (i.toLong, t, u, ty, 0.0, "{}")
+    }.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select($"event_id", timestamp_micros($"ts_us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventOps.experimentLift(spark, dir).collect().head
+    val (nA, kA, nB, kB) =
+      (out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+    assert(nA + nB == 4, "exposed users are exactly u1,u2,u3,u5")
+    assert(kA + kB == 1, "only u1's +1h purchase converts")
+    // variant split must follow hash60 parity exactly
+    val parity = Seq(1L, 2L, 3L, 5L).toDF("user_id")
+      .select($"user_id", (expr("hash60(cast(user_id as string))") % 2).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nA == parity.values.count(_ == 0) && nB == parity.values.count(_ == 1))
+    assert((if (parity(1L) == 0) kA else kB) == 1)
+  }
 }
