@@ -158,6 +158,8 @@ object SparkEntry {
     "q120_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
     "q121_zorder_pruning" -> ((s, d) => EventOps.zorderPruning(s, d)),
     "q122_experiment_lift" -> ((s, d) => EventOps.experimentLift(s, d)),
+    "q123_source_psi" -> ((s, d) => TextAnalysis.sourcePsi(s, d)),
+    "q124_embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1802,6 +1804,55 @@ object SparkEntry {
         |FROM m GROUP BY layout ORDER BY layout""".stripMargin,
 
     "q122_experiment_lift" -> q122Sql,
+
+    // q123: +1 source-side / +r = Tg div Ts global-side smoothing keeps
+    // every PSI log-ratio an INTEGER ln argument (and does not charge
+    // small sources fake drift on empty bins); each bin term quantizes
+    // to a BIGINT so the per-source sum is order-free.
+    "q123_source_psi" ->
+      """WITH d AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT) AS sumlen
+        |  FROM documents),
+        |ds AS (SELECT source, (sumlen * 1000000) // ntok AS iscore FROM d),
+        |b AS (SELECT min(iscore) AS mn, max(iscore) AS mx FROM ds),
+        |bn AS (SELECT source, ((iscore - mn) * 16) // (mx - mn + 1) AS bin FROM ds, b),
+        |c AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c FROM bn GROUP BY 1, 2),
+        |ts AS (SELECT source, CAST(sum(c) AS BIGINT) AS t_s FROM c GROUP BY 1),
+        |grid AS (SELECT ts.source, ts.t_s, gs.bin, coalesce(c.c, 0) AS c
+        |  FROM ts CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) gs
+        |  LEFT JOIN c ON c.source = ts.source AND c.bin = gs.bin),
+        |gt AS (SELECT bin, CAST(sum(c) AS BIGINT) AS c_g FROM grid GROUP BY 1),
+        |tg AS (SELECT CAST(sum(c) AS BIGINT) AS t_g FROM c),
+        |terms AS (SELECT g.source, g.t_s,
+        |    CAST(floor(((CAST(g.c + 1 AS DOUBLE) / CAST(g.t_s + 16 AS DOUBLE)
+        |        - CAST(gt.c_g + (tg.t_g // g.t_s) AS DOUBLE) / CAST(tg.t_g + 16 * (tg.t_g // g.t_s) AS DOUBLE))
+        |      * (CAST(CAST(floor(ln(CAST((g.c + 1) * (tg.t_g + 16 * (tg.t_g // g.t_s)) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |          - CAST(floor(ln(CAST((gt.c_g + (tg.t_g // g.t_s)) * (g.t_s + 16) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0))
+        |      * 1000000000000.0) AS BIGINT) AS term_q
+        |  FROM grid g JOIN gt ON g.bin = gt.bin CROSS JOIN tg)
+        |SELECT source, max(t_s) AS n_docs,
+        |  floor((CAST(sum(term_q) AS DOUBLE) / 1000000000000.0) * 1000000.0 + 0.5) / 1000000.0 AS psi
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+    // q124: centroid components derive from BIGINT-quantized sums (order-
+    // free); the distance is the same ascending-index fold as q24's cosine.
+    "q124_embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |qc AS (SELECT label, i, CAST(sum(CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM e, (SELECT unnest(range(1, 65)) AS i) g GROUP BY label, i),
+        |cl AS (SELECT label, list(CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) ORDER BY i) AS c
+        |  FROM qc GROUP BY label),
+        |d AS (SELECT e.label, e.vec_id,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> (e.v[i] - cl.c[i]) * (e.v[i] - cl.c[i])), (a, b) -> a + b) AS d2
+        |  FROM e JOIN cl ON e.label = cl.label),
+        |r AS (SELECT label, vec_id, d2,
+        |    row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id ASC) AS rk
+        |  FROM d)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(rk AS BIGINT) AS rank, vec_id,
+        |  floor(d2 * 1000000.0 + 0.5) / 1000000.0 AS dist2
+        |FROM r WHERE rk <= 5 ORDER BY label, rank""".stripMargin,
   )
 
   // q121's 16-term Morton expansion, generated so the oracle text and the

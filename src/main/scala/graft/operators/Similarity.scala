@@ -1170,6 +1170,66 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** Per-label embedding outliers (q124): the k vectors farthest (L2) from
+    * their label's centroid — the mislabeled-example / encoder-anomaly
+    * probe every embedding-quality audit starts with.
+    *
+    * Determinism: per-component sums are BIGINT-quantized (×1e6, the q82
+    * discipline) so they are order-free; each centroid component is the
+    * same fixed chain (S/1e6)/n in both engines; the squared distance is
+    * an ascending-index fold of (x−c)² — the q24 cosine discipline — then
+    * round6 with vec_id tiebreak.
+    *
+    * Scale shape (the q107 pattern): pass 1 emits one (label, sums[d], n)
+    * partial per label per partition — #partitions × #labels bounded rows
+    * collected, never the corpus; centroids broadcast; pass 2 is a per-row
+    * kernel into a per-label top-k window over rows already cut to
+    * score-carrying candidates. Labels are a bounded vocabulary by
+    * construction.
+    */
+  def embeddingOutliers(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val emb = table(s, dir, "embeddings")
+      .select($"vec_id", $"label",
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .as[(Long, Int, Array[Double])]
+    val partials = emb.mapPartitions { it =>
+      val acc = scala.collection.mutable.Map[Int, (Array[Long], Long)]()
+      it.foreach { case (_, label, v) =>
+        val (sums, _) = acc.getOrElseUpdate(label, (new Array[Long](v.length), 0L))
+        var j = 0
+        while (j < v.length) {
+          sums(j) += math.floor(v(j) * 1e6 + 0.5).toLong; j += 1
+        }
+        val (ss, n) = acc(label); acc(label) = (ss, n + 1)
+      }
+      acc.iterator.map { case (l, (ss, n)) => (l, ss.toSeq, n) }
+    }.collect()
+    val centroids: Map[Int, Array[Double]] = partials.groupBy(_._1).map {
+      case (l, ps) =>
+        val d = ps.head._2.length
+        val sums = new Array[Long](d); var n = 0L
+        ps.foreach { case (_, ss, pn) =>
+          var j = 0; while (j < d) { sums(j) += ss(j); j += 1 }; n += pn
+        }
+        l -> sums.map(sq => (sq.toDouble / 1000000.0) / n.toDouble)
+    }
+    val bC = s.sparkContext.broadcast(centroids)
+    emb.map { case (id, label, v) =>
+      val c = bC.value(label)
+      var d2 = 0.0; var j = 0
+      while (j < v.length) { val d = v(j) - c(j); d2 += d * d; j += 1 }
+      (label, id, d2)
+    }.toDF("label", "vec_id", "d2")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"label").orderBy($"d2".desc, $"vec_id".asc)))
+      .where($"rank" <= k)
+      .select($"label".cast("long").as("label"),
+        $"rank".cast("long").as("rank"), $"vec_id",
+        graft.Tables.round6($"d2").as("dist2"))
+      .orderBy($"label", $"rank")
+  }
+
   /** Hybrid sparse+dense retrieval with reciprocal-rank fusion (q120):
     * the standard two-tower retrieval ensemble — a BM25 keyword leg
     * (q108's scorer) and a dense cosine leg (q24's exact top-k against

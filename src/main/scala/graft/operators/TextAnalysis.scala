@@ -974,4 +974,71 @@ object TextAnalysis {
           .as("bytes_per_piece"))
       .orderBy($"source")
   }
+
+  /** Per-source distribution drift / PSI monitor (q123): how far each
+    * source's document-difficulty distribution sits from the corpus-wide
+    * one, as a population stability index over a 16-bin equi-width grid —
+    * the standing data-quality monitor that flags a source going weird
+    * before it poisons a training mix (PSI > 0.25 is the conventional
+    * "investigate" line).
+    *
+    * Determinism discipline (the q82/q85/q108 toolbox combined):
+    * difficulty is q102's integer-scaled mean word length; the grid is
+    * q105's exact integer equi-width binning; smoothing adds +1 to the
+    * source's bins and a SIZE-PROPORTIONAL integer pseudo-count
+    * r = Tg div Ts to the global's (plain +1 on both sides makes every
+    * empty bin charge a small source ~(1/Ts)·ln(Tg/Ts) of fake drift —
+    * measured: a faithful 40-doc mirror of the mix scored 0.61 under
+    * +1/+1, 0.008 under +1/+r). Both smoothed ratios stay INTEGER ln
+    * arguments — ln(ps/pg) = ln((cs+1)(Tg+16r)) − ln((cg+r)(Ts+16))
+    * under qln; each bin's PSI term is one fixed-shape double chain
+    * quantized to a BIGINT (×1e12, floor) so the per-source sum is
+    * order-free.
+    *
+    * Scale shape: one corpus pass collapses to a (source × 16)-bounded
+    * count grid; the dense grid, global marginals, and the PSI arithmetic
+    * all run on that bounded frame (a 1-row bounds broadcast ahead of
+    * it). Nothing after the first groupBy scales with the corpus.
+    */
+  def sourcePsi(s: SparkSession, dir: String, nBins: Int = 16): DataFrame = {
+    import s.implicits._
+    def qln(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+    val docs = table(s, dir, "documents")
+      .select($"source", size(split($"text", " ")).cast("long").as("ntok"),
+        (length($"text") - size(split($"text", " ")) + 1).cast("long").as("sumlen"))
+      .select($"source", expr("sumlen * 1000000 div ntok").as("iscore"))
+    val bounds = docs.agg(min($"iscore").as("mn"), max($"iscore").as("mx"))
+    val binned = docs.crossJoin(broadcast(bounds))
+      .select($"source",
+        expr(s"(iscore - mn) * $nBins div (mx - mn + 1)").as("bin"))
+      .groupBy($"source", $"bin").agg(count(lit(1)).as("c"))
+    // dense (source x bin) grid: absent bins must carry c = 0 into the
+    // smoothed PSI terms, not vanish
+    val srcTot = binned.groupBy($"source").agg(sum($"c").as("t_s"))
+    val grid = srcTot.crossJoin(
+        s.range(0, nBins).select($"id".as("bin")))
+      .join(binned, Seq("source", "bin"), "left")
+      .na.fill(0L, Seq("c"))
+    val gTot = grid.groupBy($"bin").agg(sum($"c").as("c_g"))
+      .crossJoin(binned.agg(sum($"c").as("t_g")))
+    val terms = grid.join(gTot, Seq("bin"))
+      // r = Tg div Ts: the global pseudo-count that matches the source's
+      // +1 at the source's own scale (integer, >= 1 since Ts <= Tg)
+      .withColumn("r", expr("t_g div t_s"))
+      .select($"source", $"t_s",
+        // ((cs+1)/(Ts+16) - (cg+r)/(Tg+16r)) * qln-ratio, one fixed chain,
+        // quantized to a BIGINT so the per-source sum is order-free
+        floor((($"c" + 1).cast("double") / ($"t_s" + nBins).cast("double") -
+          ($"c_g" + $"r").cast("double") / ($"t_g" + $"r" * nBins).cast("double")) *
+          ((qln(($"c" + 1) * ($"t_g" + $"r" * nBins)) -
+            qln(($"c_g" + $"r") * ($"t_s" + nBins))).cast("double") / lit(1000000.0)) *
+          lit(1000000000000.0)).cast("long").as("term_q"))
+    terms.groupBy($"source")
+      .agg(max($"t_s").as("n_docs"), sum($"term_q").as("psi_q"))
+      .select($"source", $"n_docs",
+        graft.Tables.round6($"psi_q".cast("double") / lit(1000000000000.0))
+          .as("psi"))
+      .orderBy($"source")
+  }
 }

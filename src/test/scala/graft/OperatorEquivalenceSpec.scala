@@ -429,4 +429,31 @@ class OperatorEquivalenceSpec extends AnyFunSuite with SparkFixture {
     assert(nA == parity.values.count(_ == 0) && nB == parity.values.count(_ == 1))
     assert((if (parity(1L) == 0) kA else kB) == 1)
   }
+
+  test("q123 PSI: a source mirroring the mix scores near zero, a shifted source scores high") {
+    import spark.implicits._
+    // 'bulk' is 95% short / 5% long; 'mirror' reproduces that ratio at a
+    // tenth the size (small-source fairness is exactly what the +r
+    // smoothing buys — under +1/+1 this mirror measured 0.61); 'drift' is
+    // all long words, its mass in a bin the mix barely occupies
+    val shortDoc = Seq.fill(20)("ab").mkString(" ")
+    val longDoc = Seq.fill(20)("abcdefghijkl").mkString(" ")
+    def mk(ids: Range, frac20th: Int, src: String) = ids.map { i =>
+      val text = if (i % 20 < frac20th) longDoc else shortDoc
+      (i.toLong, text, "en", src, 0L)
+    }
+    val docs = mk(1 to 400, 1, "bulk") ++ mk(401 to 440, 1, "mirror") ++
+      (441 to 450).map(i => (i.toLong, longDoc, "en", "drift", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("psi").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val psi = graft.operators.TextAnalysis.sourcePsi(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(psi("mirror") < 0.05,
+      s"a source matching the mix must sit near zero, got ${psi("mirror")}")
+    assert(psi("drift") > 0.25,
+      s"an all-shifted source must cross the conventional 0.25 line, got ${psi("drift")}")
+    assert(psi("drift") > 10 * psi("mirror"),
+      s"drift must dominate the faithful mirror by an order of magnitude: $psi")
+  }
 }
