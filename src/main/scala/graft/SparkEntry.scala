@@ -160,6 +160,8 @@ object SparkEntry {
     "q122_experiment_lift" -> ((s, d) => EventOps.experimentLift(s, d)),
     "q123_source_psi" -> ((s, d) => TextAnalysis.sourcePsi(s, d)),
     "q124_embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
+    "q125_purge_audit" -> ((s, d) => EventOps.purgeAudit(s, d)),
+    "q126_basket_lift" -> ((s, d) => EventOps.basketLift(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1853,6 +1855,50 @@ object SparkEntry {
         |SELECT CAST(label AS BIGINT) AS label, CAST(rk AS BIGINT) AS rank, vec_id,
         |  floor(d2 * 1000000.0 + 0.5) / 1000000.0 AS dist2
         |FROM r WHERE rk <= 5 ORDER BY label, rank""".stripMargin,
+
+    // q125: the oracle replays the same membership check as conditional
+    // aggregation — semantics, not plan shape, is what hash equality pins.
+    "q125_purge_audit" ->
+      """WITH del AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+        |a AS (
+        |  SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS rows_before,
+        |    CAST(sum(CASE WHEN c_custkey IN (SELECT k FROM del) THEN 1 ELSE 0 END) AS BIGINT) AS refs_deleted,
+        |    CAST(sum(CASE WHEN c_custkey IN (SELECT k FROM del) THEN 0 ELSE 1 END) AS BIGINT) AS rows_after
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'orders', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_custkey IN (SELECT k FROM del) THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_custkey IN (SELECT k FROM del) THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'events', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN user_id IN (SELECT k FROM del) THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN user_id IN (SELECT k FROM del) THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM events)
+        |SELECT * FROM a ORDER BY tbl""".stripMargin,
+
+    // q126: lift is an exact integer rational (n_ab*N)/(n_a*n_b) — one
+    // double division; sessions are q15's 30-minute-gap definition.
+    "q126_basket_lift" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |x AS (SELECT user_id, event_id, ts_us, event_type,
+        |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+        |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) >= 1800000000
+        |      THEN 1 ELSE 0 END AS brk FROM e),
+        |sx AS (SELECT user_id, event_type,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x),
+        |st AS (SELECT DISTINCT user_id, sid, event_type FROM sx),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM (SELECT DISTINCT user_id, sid FROM st)),
+        |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY 1),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT pr.type_a, pr.type_b, pa.n AS n_a, pb.n AS n_b, pr.n_ab,
+        |  floor((CAST(pr.n_ab * nt.n_total AS DOUBLE) / CAST(pa.n * pb.n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS lift
+        |FROM pr JOIN pt pa ON pr.type_a = pa.event_type
+        |  JOIN pt pb ON pr.type_b = pb.event_type CROSS JOIN nt
+        |ORDER BY type_a, type_b""".stripMargin,
   )
 
   // q121's 16-term Morton expansion, generated so the oracle text and the

@@ -912,6 +912,74 @@ object EventOps {
       .orderBy($"day")
   }
 
+  /** Right-to-be-forgotten cascade audit (q125): given a deterministic
+    * delete-key set (customers with c_custkey % 97 = 0 — standing in for
+    * the uploaded deletion list), report per downstream table how many
+    * rows reference the forgotten keys (the pre-cascade LEAK — the number
+    * a compliance audit actually wants) and how many survive the cascade.
+    * One row per table: rows_before, refs_deleted, rows_after.
+    *
+    * Scale shape: the key list is a dimension-side filter (broadcast
+    * semi/anti in the plan); each fact table is scanned ONCE with the
+    * membership check folded into a conditional aggregate — no join
+    * output materializes, just counters. The `orders` leg routes through
+    * o_custkey, `events` through user_id = c_custkey (the q119 edge).
+    */
+  def purgeAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val del = table(s, dir, "customer")
+      .where($"c_custkey" % 97 === 0).select($"c_custkey".as("k"))
+    def audit(tbl: String, df: DataFrame, key: org.apache.spark.sql.Column) =
+      df.join(broadcast(del), key === $"k", "left")
+        .agg(count(lit(1)).as("rows_before"),
+          sum(when($"k".isNotNull, 1L).otherwise(0L)).as("refs_deleted"),
+          sum(when($"k".isNull, 1L).otherwise(0L)).as("rows_after"))
+        .select(lit(tbl).as("tbl"), $"rows_before", $"refs_deleted", $"rows_after")
+    audit("customer", table(s, dir, "customer"), $"c_custkey")
+      .unionAll(audit("orders", table(s, dir, "orders"), $"o_custkey"))
+      .unionAll(audit("events", events(s, dir), $"user_id"))
+      .orderBy($"tbl")
+  }
+
+  /** Within-session event-type co-occurrence lift (q126): for every pair
+    * of event types, does seeing one in a session make the other more
+    * likely? lift = P(ab)/(P(a)P(b)) = (n_ab · N) / (n_a · n_b) — an
+    * EXACT integer rational, one double division at the end. Sessions are
+    * q15's 30-minute-gap definition; co-occurrence is at the distinct-
+    * type level, so the within-session pair fan-out is bounded by the
+    * type vocabulary (≤ C(5,2) pairs per session here), never by events.
+    */
+  def basketLift(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import s.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val st = events(s, dir)
+      .select($"user_id", $"event_id", $"ts_us", $"event_type")
+      .withColumn("brk",
+        when(lag($"ts_us", 1).over(w).isNull ||
+          $"ts_us" - lag($"ts_us", 1).over(w) >= gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum($"brk").over(
+        Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"user_id", $"sid", $"event_type").distinct()
+    val nTotal = st.select($"user_id", $"sid").distinct()
+      .agg(count(lit(1)).as("n_total"))
+    val perType = st.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val pairs = st.as("a").join(st.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.sid" === $"b.sid" &&
+          $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(perType.select($"event_type".as("type_a"), $"n".as("n_a"))), "type_a")
+      .join(broadcast(perType.select($"event_type".as("type_b"), $"n".as("n_b"))), "type_b")
+      .crossJoin(broadcast(nTotal))
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_ab",
+        graft.Tables.round6(($"n_ab" * $"n_total").cast("double") /
+          ($"n_a" * $"n_b").cast("double")).as("lift"))
+      .orderBy($"type_a", $"type_b")
+  }
+
   /** Deterministic A/B experiment readout (q122): assign every user a
     * variant by seedless hash (the q80 split discipline — reproducible
     * across runs, engines, and backfills, unlike a stored assignment

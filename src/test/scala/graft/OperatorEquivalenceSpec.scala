@@ -456,4 +456,43 @@ class OperatorEquivalenceSpec extends AnyFunSuite with SparkFixture {
     assert(psi("drift") > 10 * psi("mirror"),
       s"drift must dominate the faithful mirror by an order of magnitude: $psi")
   }
+
+  test("q125 purge audit: counts are conserved and the customer leg equals the key-list size") {
+    import spark.implicits._
+    val rows = graft.operators.EventOps.purgeAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set("customer", "orders", "events"))
+    rows.foreach { case (t, (before, refs, after)) =>
+      assert(before == refs + after, s"$t: $before != $refs + $after")
+    }
+    val nDel = graft.Tables.table(spark, sfDir, "customer")
+      .where($"c_custkey" % 97 === 0).count()
+    assert(rows("customer")._2 == nDel,
+      "every key-list customer row must count as a reference to itself")
+  }
+
+  test("q126 basket lift: a type pair forced into every session lifts to exactly N/(n_a) scale") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two users; each session contains both 'x' and 'y'; 'z' appears in
+    // only one session — lift(x,y) = (2*2)/(2*2) = 1.0 exactly, and
+    // lift(x,z) = (1*2)/(2*1) = 1.0, all from exact integer rationals
+    val us = 1000000L
+    val rows = Seq(
+      (1L, 0L, "x"), (2L, 1L * us, "y"),
+      (3L, 7200L * us, "x"), (4L, 7201L * us, "y"), (5L, 7202L * us, "z"))
+    val dir = java.nio.file.Files.createTempDirectory("basket").toString
+    rows.map { case (id, t, ty) => (id, t, 1L, ty, 0.0, "{}") }
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select($"event_id", timestamp_micros($"ts_us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.EventOps.basketLift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // 2 sessions (7200 s apart >= the 30-min gap)
+    assert(out(("x", "y")) == ((2L, 2L, 2L, 1.0)))
+    assert(out(("x", "z")) == ((2L, 1L, 1L, 1.0)))
+    assert(out(("y", "z")) == ((2L, 1L, 1L, 1.0)))
+  }
 }
