@@ -162,6 +162,7 @@ object SparkEntry {
     "q124_embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "q125_purge_audit" -> ((s, d) => EventOps.purgeAudit(s, d)),
     "q126_basket_lift" -> ((s, d) => EventOps.basketLift(s, d)),
+    "q127_seasonal_profile" -> ((s, d) => EventOps.seasonalProfile(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1899,6 +1900,21 @@ object SparkEntry {
         |FROM pr JOIN pt pa ON pr.type_a = pa.event_type
         |  JOIN pt pb ON pr.type_b = pb.event_type CROSS JOIN nt
         |ORDER BY type_a, type_b""".stripMargin,
+
+    // q127: dow/hour from INTEGER epoch arithmetic ((days+4)%7, 0=Sunday)
+    // — dayofweek()/hour() week conventions differ across engines.
+    "q127_seasonal_profile" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us, value FROM events),
+        |c AS (SELECT (ts_us // 86400000000 + 4) % 7 AS dow,
+        |    (ts_us // 3600000000) % 24 AS hour,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM e),
+        |g AS (SELECT dow, hour, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents FROM c GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS n_total FROM g)
+        |SELECT dow, hour, n_events, sum_cents,
+        |  floor((CAST(sum_cents AS DOUBLE) / 100.0 / CAST(n_events AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
+        |  floor((CAST(n_events * 168 AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS rate_idx
+        |FROM g CROSS JOIN t ORDER BY dow, hour""".stripMargin,
   )
 
   // q121's 16-term Morton expansion, generated so the oracle text and the

@@ -912,6 +912,40 @@ object EventOps {
       .orderBy($"day")
   }
 
+  /** Seasonal (day-of-week x hour) profile (q127): the 168-cell baseline
+    * every traffic-anomaly system compares against — q86's trailing
+    * z-score catches "this hour is off its recent trend", this catches
+    * "Tuesday 3am is not supposed to look like Friday 8pm". Per cell:
+    * events, exact-cent value sum, mean, and a rate index (cell share of
+    * traffic vs the uniform 1/168 — an exact integer rational).
+    *
+    * Engine-neutral calendar: dow/hour come from INTEGER epoch
+    * arithmetic ((days + 4) % 7, 0 = Sunday; epoch day 0 was a Thursday)
+    * — never from dayofweek()/hour() whose week conventions differ
+    * across engines. One scan, map-side combine into 168 cells.
+    */
+  def seasonalProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = events(s, dir)
+      .select(
+        expr("(ts_us div 86400000000 + 4) % 7").as("dow"),
+        expr("(ts_us div 3600000000) % 24").as("hour"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy($"dow", $"hour")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("sum_cents"))
+    // total via a window over the 168-row aggregate — a crossJoin with
+    // cells.agg(...) would re-run the scan; the single-partition window
+    // is bounded by the grid, not the data
+    cells.withColumn("n_total",
+        sum($"n_events").over(Window.partitionBy()))
+      .select($"dow", $"hour", $"n_events", $"sum_cents",
+        graft.Tables.round6($"sum_cents".cast("double") / lit(100.0) /
+          $"n_events".cast("double")).as("mean_value"),
+        graft.Tables.round6(($"n_events" * 168).cast("double") /
+          $"n_total".cast("double")).as("rate_idx"))
+      .orderBy($"dow", $"hour")
+  }
+
   /** Right-to-be-forgotten cascade audit (q125): given a deterministic
     * delete-key set (customers with c_custkey % 97 = 0 — standing in for
     * the uploaded deletion list), report per downstream table how many
