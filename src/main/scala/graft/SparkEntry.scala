@@ -163,6 +163,8 @@ object SparkEntry {
     "q125_purge_audit" -> ((s, d) => EventOps.purgeAudit(s, d)),
     "q126_basket_lift" -> ((s, d) => EventOps.basketLift(s, d)),
     "q127_seasonal_profile" -> ((s, d) => EventOps.seasonalProfile(s, d)),
+    "q128_padding_waste" -> ((s, d) => Pipeline.paddingWaste(s, d)),
+    "q129_retrieval_eval" -> ((s, d) => Similarity.retrievalEval(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1738,44 +1740,9 @@ object SparkEntry {
     // cosine order for one query); the fusion is two fixed-order doubles,
     // round6-quantized, doc_id tiebreak.
     "q120_hybrid_rrf" ->
-      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-        |    string_split(text, ' ') AS ts FROM documents),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS s_tok FROM d),
-        |h AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, dl, unnest(ts) AS t FROM d)
-        |  WHERE t IN ('scan', 'filter', 'vector') GROUP BY 1, 2, 3),
-        |f AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM h GROUP BY 1),
-        |sc AS (SELECT h.doc_id, h.dl, h.t,
-        |    ((floor(ln(CAST(2 * (st.n_docs + 1) AS DOUBLE)) * 1000000.0 + 0.5)
-        |      - floor(ln(CAST(2 * f.df + 1 AS DOUBLE)) * 1000000.0 + 0.5)) / 1000000.0)
-        |    * CAST(22 * h.tf * st.s_tok AS DOUBLE)
-        |    / CAST(10 * h.tf * st.s_tok + 3 * st.s_tok + 9 * h.dl * st.n_docs AS DOUBLE) AS ts_score
-        |  FROM h JOIN f ON h.t = f.t CROSS JOIN st),
-        |p AS (SELECT doc_id, dl,
-        |    coalesce(max(CASE WHEN t = 'scan' THEN ts_score END), 0.0) AS s_scan,
-        |    coalesce(max(CASE WHEN t = 'filter' THEN ts_score END), 0.0) AS s_filter,
-        |    coalesce(max(CASE WHEN t = 'vector' THEN ts_score END), 0.0) AS s_vector
-        |  FROM sc GROUP BY 1, 2),
-        |bm AS (SELECT doc_id,
-        |    floor((s_scan + s_filter + s_vector) * 1000000.0 + 0.5) / 1000000.0 AS bm25
-        |  FROM p ORDER BY bm25 DESC, doc_id LIMIT 50),
-        |sp AS (SELECT doc_id,
-        |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS sparse_rank
-        |  FROM bm),
-        |vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) nrm FROM vv),
-        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
-        |dsc AS (SELECT n.vec_id,
-        |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y) / (n.nrm * q.qn) c
-        |  FROM n, q WHERE n.vec_id <> q.query_id),
-        |de AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS BIGINT) AS dense_rank
-        |  FROM dsc ORDER BY c DESC, vec_id ASC LIMIT 50),
-        |fu AS (SELECT coalesce(sp.doc_id, de.doc_id) AS doc_id, sp.sparse_rank, de.dense_rank
-        |  FROM sp FULL OUTER JOIN de ON sp.doc_id = de.doc_id)
-        |SELECT doc_id, sparse_rank, dense_rank,
-        |  floor((coalesce(CAST(1.0 AS DOUBLE) / CAST(sparse_rank + 60 AS DOUBLE), 0.0)
-        |       + coalesce(CAST(1.0 AS DOUBLE) / CAST(dense_rank + 60 AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS rrf
-        |FROM fu ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+      s"""WITH $retrievalCtes
+        |SELECT doc_id, sparse_rank, dense_rank, rrf
+        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     // q121: the Morton interleave expands to the same 16 integer terms the
     // Spark side folds (user bit i -> 2i+1, time bit i -> 2i); all grid
@@ -1915,7 +1882,93 @@ object SparkEntry {
         |  floor((CAST(sum_cents AS DOUBLE) / 100.0 / CAST(n_events AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
         |  floor((CAST(n_events * 168 AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS rate_idx
         |FROM g CROSS JOIN t ORDER BY dow, hour""".stripMargin,
+
+    // q128: pad_frac = (n·max − sum)/(n·max), an exact integer rational.
+    "q128_padding_waste" ->
+      """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok FROM documents),
+        |g AS (SELECT ntok // 64 AS bucket, CAST(count(*) AS BIGINT) AS n_seqs,
+        |    CAST(sum(ntok) AS BIGINT) AS sum_tok, CAST(max(ntok) AS BIGINT) AS max_tok
+        |  FROM d GROUP BY 1)
+        |SELECT bucket, n_seqs, sum_tok, max_tok,
+        |  floor((CAST(n_seqs * max_tok - sum_tok AS DOUBLE) / CAST(n_seqs * max_tok AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS pad_frac
+        |FROM g ORDER BY bucket""".stripMargin,
+
+    // q129: DCG position terms are BIGINTs from integer-ln arguments
+    // (rel·floor(1e9·qln(2)/qln(rank+1))) so per-method sums are
+    // order-free; the ranked legs reuse the shared retrieval CTE chain.
+    "q129_retrieval_eval" ->
+      s"""WITH $retrievalCtes,
+        |hy AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+        |  FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20)),
+        |rl AS (SELECT doc_id, CAST(1 AS BIGINT) AS rel FROM d
+        |  WHERE list_contains(ts, 'scan') AND list_contains(ts, 'filter') AND list_contains(ts, 'vector')),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM rl),
+        |rk AS (SELECT 'sparse' AS method, doc_id, sparse_rank AS rank FROM sp WHERE sparse_rank <= 20
+        |  UNION ALL SELECT 'dense', doc_id, dense_rank FROM de WHERE dense_rank <= 20
+        |  UNION ALL SELECT 'hybrid', doc_id, rank FROM hy),
+        |j AS (SELECT rk.method, rk.rank, coalesce(rl.rel, 0) AS rel
+        |  FROM rk LEFT JOIN rl ON rk.doc_id = rl.doc_id),
+        |t AS (SELECT method, rank, rel,
+        |    rel * CAST(floor(CAST(693147 AS DOUBLE)
+        |      / CAST(CAST(floor(ln(CAST(rank + 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+        |      * 1000000000.0) AS BIGINT) AS dcg_q
+        |  FROM j),
+        |pm AS (SELECT method, CAST(sum(rel) AS BIGINT) AS n_rel_at_k,
+        |    CAST(sum(dcg_q) AS BIGINT) AS dcg_q,
+        |    min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+        |  FROM t GROUP BY 1),
+        |ic AS (SELECT CAST(sum(CAST(floor(CAST(693147 AS DOUBLE)
+        |      / CAST(CAST(floor(ln(CAST(i + 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+        |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS idcg_q
+        |  FROM (SELECT unnest(range(1, 21)) AS i) g CROSS JOIN nr WHERE i <= least(20, n_rel))
+        |SELECT method, n_rel_at_k,
+        |  floor((CASE WHEN first_rel IS NOT NULL THEN CAST(1.0 AS DOUBLE) / CAST(first_rel AS DOUBLE) ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS mrr,
+        |  floor((CASE WHEN idcg_q > 0 THEN CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE) ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS ndcg
+        |FROM pm CROSS JOIN ic ORDER BY method""".stripMargin,
   )
+
+  // The retrieval CTE chain shared by q120 (hybrid RRF) and q129 (eval):
+  // q108's BM25 leg, q24's cosine leg for query vec 0, ranks, and the
+  // fused RRF score — one text so the two oracles can never drift apart.
+  private lazy val retrievalCtes: String =
+    """d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |    string_split(text, ' ') AS ts FROM documents),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS s_tok FROM d),
+      |h AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(ts) AS t FROM d)
+      |  WHERE t IN ('scan', 'filter', 'vector') GROUP BY 1, 2, 3),
+      |f AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM h GROUP BY 1),
+      |sc AS (SELECT h.doc_id, h.dl, h.t,
+      |    ((floor(ln(CAST(2 * (st.n_docs + 1) AS DOUBLE)) * 1000000.0 + 0.5)
+      |      - floor(ln(CAST(2 * f.df + 1 AS DOUBLE)) * 1000000.0 + 0.5)) / 1000000.0)
+      |    * CAST(22 * h.tf * st.s_tok AS DOUBLE)
+      |    / CAST(10 * h.tf * st.s_tok + 3 * st.s_tok + 9 * h.dl * st.n_docs AS DOUBLE) AS ts_score
+      |  FROM h JOIN f ON h.t = f.t CROSS JOIN st),
+      |p AS (SELECT doc_id, dl,
+      |    coalesce(max(CASE WHEN t = 'scan' THEN ts_score END), 0.0) AS s_scan,
+      |    coalesce(max(CASE WHEN t = 'filter' THEN ts_score END), 0.0) AS s_filter,
+      |    coalesce(max(CASE WHEN t = 'vector' THEN ts_score END), 0.0) AS s_vector
+      |  FROM sc GROUP BY 1, 2),
+      |bm AS (SELECT doc_id,
+      |    floor((s_scan + s_filter + s_vector) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+      |  FROM p ORDER BY bm25 DESC, doc_id LIMIT 50),
+      |sp AS (SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS sparse_rank
+      |  FROM bm),
+      |vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) nrm FROM vv),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+      |dsc AS (SELECT n.vec_id,
+      |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y) / (n.nrm * q.qn) c
+      |  FROM n, q WHERE n.vec_id <> q.query_id),
+      |de AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS BIGINT) AS dense_rank
+      |  FROM dsc ORDER BY c DESC, vec_id ASC LIMIT 50),
+      |fu AS (SELECT coalesce(sp.doc_id, de.doc_id) AS doc_id, sp.sparse_rank, de.dense_rank
+      |  FROM sp FULL OUTER JOIN de ON sp.doc_id = de.doc_id),
+      |fused AS (SELECT doc_id, sparse_rank, dense_rank,
+      |    floor((coalesce(CAST(1.0 AS DOUBLE) / CAST(sparse_rank + 60 AS DOUBLE), 0.0)
+      |         + coalesce(CAST(1.0 AS DOUBLE) / CAST(dense_rank + 60 AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS rrf
+      |  FROM fu)""".stripMargin
 
   // q121's 16-term Morton expansion, generated so the oracle text and the
   // Spark fold can never drift apart on a bit position

@@ -379,4 +379,29 @@ object Pipeline {
       .select($"source", $"doc_id", $"mix_rank", $"ntok", $"cum_tok", $"keep")
       .orderBy($"source", $"mix_rank")
   }
+
+  /** Length-bucketed inference batching profile (q128): group sequences
+    * into token-length buckets (width 64) and report what padding to the
+    * bucket's max length would waste — the number that decides the bucket
+    * grid for batched inference/training (q52 packs to a BUDGET; this
+    * profiles the pad-to-max regime). pad_frac = (n·max − sum)/(n·max) is
+    * an exact integer rational, one double division.
+    *
+    * One scan, map-side combine into a length-vocabulary-bounded grid;
+    * nothing after the groupBy scales with the corpus.
+    */
+  def paddingWaste(s: SparkSession, dir: String, width: Long = 64L): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(size(split($"text", " ")).cast("long").as("ntok"))
+      .select(expr(s"ntok div $width").as("bucket"), $"ntok")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_seqs"), sum($"ntok").as("sum_tok"),
+        max($"ntok").as("max_tok"))
+      .select($"bucket", $"n_seqs", $"sum_tok", $"max_tok",
+        graft.Tables.round6(
+          (($"n_seqs" * $"max_tok" - $"sum_tok")).cast("double") /
+            ($"n_seqs" * $"max_tok").cast("double")).as("pad_frac"))
+      .orderBy($"bucket")
+  }
 }

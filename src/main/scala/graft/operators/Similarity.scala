@@ -1277,4 +1277,70 @@ object Similarity {
       .orderBy($"rrf".desc, $"doc_id".asc)
       .limit(kOut)
   }
+
+  /** Retrieval evaluation harness (q129): MRR and nDCG@k for the three
+    * q120 rankings (sparse BM25, dense cosine, hybrid RRF) against a
+    * DETERMINISTIC relevance set — documents containing every query term
+    * as a whitespace token. The eval loop every retrieval deployment runs
+    * nightly, as a query.
+    *
+    * Determinism: relevance and ranks are integers; each DCG position
+    * term rel_i/log2(i+1) becomes rel_i · floor(1e9·qln(2)/qln(i+1)) — a
+    * BIGINT from integer-ln arguments, so the per-method sums are
+    * order-free; MRR and nDCG end in one guarded double division each,
+    * round6.
+    *
+    * Scale shape: each leg is the already-audited q108/q24/q120 plan; the
+    * metric arithmetic runs on 3·k rows joined against the broadcast
+    * relevance flags. The corpus-wide relevant count (for the ideal DCG)
+    * is a 1-row aggregate. An eval harness re-scores legs it measures —
+    * the legs' own caches (annBruteForce memo) absorb the repeat.
+    */
+  def retrievalEval(s: SparkSession, dir: String,
+                    terms: Seq[String] = Seq("scan", "filter", "vector"),
+                    queryVec: Long = 0L, kCand: Int = 50, k: Int = 20): DataFrame = {
+    import s.implicits._
+    def qln(c: Column) =
+      floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+    val qln2 = lit(693147L) // floor(ln(2)*1e6 + 0.5)
+    val rel = table(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .where(terms.map(t => array_contains($"ts", t)).reduce(_ && _))
+      .select($"doc_id", lit(1L).as("rel"))
+    val nRel = rel.agg(count(lit(1)).as("n_rel"))
+    val sparse = graft.operators.TextAnalysis.bm25TopDocs(s, dir, terms, k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"bm25".desc, $"doc_id".asc)).cast("long"))
+      .select(lit("sparse").as("method"), $"doc_id", $"rank")
+    val dense = annBruteForce(s, dir,
+        table(s, dir, "embeddings").where($"vec_id" === queryVec)
+          .select($"vec_id", $"embedding"), k, 512)
+      .select(lit("dense").as("method"), $"neighbor_id".as("doc_id"), $"rank")
+    val hybrid = hybridRrf(s, dir, terms, queryVec, kCand, k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"rrf".desc, $"doc_id".asc)).cast("long"))
+      .select(lit("hybrid").as("method"), $"doc_id", $"rank")
+    val ranked = sparse.unionAll(dense).unionAll(hybrid)
+      .join(broadcast(rel), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("rel"))
+      .withColumn("dcg_q", $"rel" * floor(
+        qln2.cast("double") / qln($"rank" + 1).cast("double") *
+          lit(1000000000.0)).cast("long"))
+    val perMethod = ranked.groupBy($"method")
+      .agg(sum($"rel").as("n_rel_at_k"), sum($"dcg_q").as("dcg_q"),
+        min(when($"rel" === 1L, $"rank")).as("first_rel"))
+    val idcg = s.range(1, k + 1).select($"id".as("i"))
+      .crossJoin(broadcast(nRel))
+      .where($"i" <= least(lit(k.toLong), $"n_rel"))
+      .agg(sum(floor(qln2.cast("double") / qln($"i" + 1).cast("double") *
+        lit(1000000000.0)).cast("long")).as("idcg_q"))
+    perMethod.crossJoin(broadcast(idcg))
+      .select($"method", $"n_rel_at_k",
+        graft.Tables.round6(when($"first_rel".isNotNull,
+          lit(1.0) / $"first_rel".cast("double")).otherwise(lit(0.0))).as("mrr"),
+        graft.Tables.round6(when($"idcg_q" > 0,
+          $"dcg_q".cast("double") / $"idcg_q".cast("double"))
+          .otherwise(lit(0.0))).as("ndcg"))
+      .orderBy($"method")
+  }
 }
