@@ -165,6 +165,7 @@ object SparkEntry {
     "q127_seasonal_profile" -> ((s, d) => EventOps.seasonalProfile(s, d)),
     "q128_padding_waste" -> ((s, d) => Pipeline.paddingWaste(s, d)),
     "q129_retrieval_eval" -> ((s, d) => Similarity.retrievalEval(s, d)),
+    "q130_stream_drift" -> ((s, d) => graft.streaming.StreamOps.streamSourceDrift(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1779,30 +1780,11 @@ object SparkEntry {
     // every PSI log-ratio an INTEGER ln argument (and does not charge
     // small sources fake drift on empty bins); each bin term quantizes
     // to a BIGINT so the per-source sum is order-free.
-    "q123_source_psi" ->
-      """WITH d AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
-        |    CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT) AS sumlen
-        |  FROM documents),
-        |ds AS (SELECT source, (sumlen * 1000000) // ntok AS iscore FROM d),
-        |b AS (SELECT min(iscore) AS mn, max(iscore) AS mx FROM ds),
-        |bn AS (SELECT source, ((iscore - mn) * 16) // (mx - mn + 1) AS bin FROM ds, b),
-        |c AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c FROM bn GROUP BY 1, 2),
-        |ts AS (SELECT source, CAST(sum(c) AS BIGINT) AS t_s FROM c GROUP BY 1),
-        |grid AS (SELECT ts.source, ts.t_s, gs.bin, coalesce(c.c, 0) AS c
-        |  FROM ts CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) gs
-        |  LEFT JOIN c ON c.source = ts.source AND c.bin = gs.bin),
-        |gt AS (SELECT bin, CAST(sum(c) AS BIGINT) AS c_g FROM grid GROUP BY 1),
-        |tg AS (SELECT CAST(sum(c) AS BIGINT) AS t_g FROM c),
-        |terms AS (SELECT g.source, g.t_s,
-        |    CAST(floor(((CAST(g.c + 1 AS DOUBLE) / CAST(g.t_s + 16 AS DOUBLE)
-        |        - CAST(gt.c_g + (tg.t_g // g.t_s) AS DOUBLE) / CAST(tg.t_g + 16 * (tg.t_g // g.t_s) AS DOUBLE))
-        |      * (CAST(CAST(floor(ln(CAST((g.c + 1) * (tg.t_g + 16 * (tg.t_g // g.t_s)) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
-        |          - CAST(floor(ln(CAST((gt.c_g + (tg.t_g // g.t_s)) * (g.t_s + 16) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0))
-        |      * 1000000000000.0) AS BIGINT) AS term_q
-        |  FROM grid g JOIN gt ON g.bin = gt.bin CROSS JOIN tg)
-        |SELECT source, max(t_s) AS n_docs,
-        |  floor((CAST(sum(term_q) AS DOUBLE) / 1000000000000.0) * 1000000.0 + 0.5) / 1000000.0 AS psi
-        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    "q123_source_psi" -> q123Sql,
+
+    // q130: the streaming twin accumulates the SAME (source, bin) counts
+    // across micro-batches, so q123's oracle certifies the lifecycle.
+    "q130_stream_drift" -> q123Sql,
 
     // q124: centroid components derive from BIGINT-quantized sums (order-
     // free); the distance is the same ascending-index fold as q24's cosine.
@@ -1978,6 +1960,31 @@ object SparkEntry {
 
   // q122: counts are exact integers; the cvr/lift/z chain is the same
   // fixed-order double expression on both sides, round6-quantized.
+  private lazy val q123Sql: String =
+    """WITH d AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT) AS sumlen
+        |  FROM documents),
+        |ds AS (SELECT source, (sumlen * 1000000) // ntok AS iscore FROM d),
+        |b AS (SELECT min(iscore) AS mn, max(iscore) AS mx FROM ds),
+        |bn AS (SELECT source, ((iscore - mn) * 16) // (mx - mn + 1) AS bin FROM ds, b),
+        |c AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c FROM bn GROUP BY 1, 2),
+        |ts AS (SELECT source, CAST(sum(c) AS BIGINT) AS t_s FROM c GROUP BY 1),
+        |grid AS (SELECT ts.source, ts.t_s, gs.bin, coalesce(c.c, 0) AS c
+        |  FROM ts CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) gs
+        |  LEFT JOIN c ON c.source = ts.source AND c.bin = gs.bin),
+        |gt AS (SELECT bin, CAST(sum(c) AS BIGINT) AS c_g FROM grid GROUP BY 1),
+        |tg AS (SELECT CAST(sum(c) AS BIGINT) AS t_g FROM c),
+        |terms AS (SELECT g.source, g.t_s,
+        |    CAST(floor(((CAST(g.c + 1 AS DOUBLE) / CAST(g.t_s + 16 AS DOUBLE)
+        |        - CAST(gt.c_g + (tg.t_g // g.t_s) AS DOUBLE) / CAST(tg.t_g + 16 * (tg.t_g // g.t_s) AS DOUBLE))
+        |      * (CAST(CAST(floor(ln(CAST((g.c + 1) * (tg.t_g + 16 * (tg.t_g // g.t_s)) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |          - CAST(floor(ln(CAST((gt.c_g + (tg.t_g // g.t_s)) * (g.t_s + 16) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0))
+        |      * 1000000000000.0) AS BIGINT) AS term_q
+        |  FROM grid g JOIN gt ON g.bin = gt.bin CROSS JOIN tg)
+        |SELECT source, max(t_s) AS n_docs,
+        |  floor((CAST(sum(term_q) AS DOUBLE) / 1000000000000.0) * 1000000.0 + 0.5) / 1000000.0 AS psi
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
   private lazy val q122Sql: String =
     """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
       |exp AS (SELECT user_id, min(ts_us) AS t0,

@@ -1002,17 +1002,35 @@ object TextAnalysis {
     */
   def sourcePsi(s: SparkSession, dir: String, nBins: Int = 16): DataFrame = {
     import s.implicits._
-    def qln(c: org.apache.spark.sql.Column) =
-      floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
-    val docs = table(s, dir, "documents")
-      .select($"source", size(split($"text", " ")).cast("long").as("ntok"),
-        (length($"text") - size(split($"text", " ")) + 1).cast("long").as("sumlen"))
-      .select($"source", expr("sumlen * 1000000 div ntok").as("iscore"))
+    val docs = psiScores(s, table(s, dir, "documents"))
     val bounds = docs.agg(min($"iscore").as("mn"), max($"iscore").as("mx"))
     val binned = docs.crossJoin(broadcast(bounds))
       .select($"source",
         expr(s"(iscore - mn) * $nBins div (mx - mn + 1)").as("bin"))
       .groupBy($"source", $"bin").agg(count(lit(1)).as("c"))
+    psiFromCounts(s, binned, nBins)
+  }
+
+  /** The (source, iscore) difficulty projection shared by [[sourcePsi]]
+    * and the streaming drift monitor (q130). */
+  private[graft] def psiScores(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs
+      .select($"source", size(split($"text", " ")).cast("long").as("ntok"),
+        (length($"text") - size(split($"text", " ")) + 1).cast("long").as("sumlen"))
+      .select($"source", expr("sumlen * 1000000 div ntok").as("iscore"))
+  }
+
+  /** The counts → PSI tail shared by [[sourcePsi]] and q130's streaming
+    * twin: takes the (source, bin, c) count frame, however it was
+    * accumulated (one batch pass, or merged micro-batch partials — sums
+    * are commutative, so the arrival path cannot change the result).
+    */
+  private[graft] def psiFromCounts(s: SparkSession, binned: DataFrame,
+                                   nBins: Int): DataFrame = {
+    import s.implicits._
+    def qln(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
     // dense (source x bin) grid: absent bins must carry c = 0 into the
     // smoothed PSI terms, not vanish
     val srcTot = binned.groupBy($"source").agg(sum($"c").as("t_s"))

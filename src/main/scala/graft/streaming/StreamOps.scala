@@ -961,6 +961,67 @@ object StreamOps {
     events.groupByKey(_._1)
       .transformWithState(new RunningCountsProcessor, TimeMode.None(), OutputMode.Append)
   }
+
+  /** Streaming distribution-drift monitor (q130): q123's PSI computed the
+    * way a standing monitor actually runs it — per-micro-batch
+    * (source, bin) count partials merged into a versioned count state
+    * across REAL micro-batches (4-file source, maxFilesPerTrigger=1 —
+    * the q111 merge discipline: sum-combine is commutative so arrival
+    * order can't change the result, versioned overwrite keeps replays
+    * exactly-once), with the final accumulated counts pushed through the
+    * SAME psiFromCounts tail as the batch operator. The bin grid is
+    * pinned from the static baseline corpus before the stream starts —
+    * which is how a deployment fixes its monitoring grid, and what makes
+    * the streamed counts equal the batch counts bin-for-bin, so q123's
+    * DuckDB oracle certifies the whole streaming lifecycle.
+    */
+  def streamSourceDrift(s: SparkSession, dir: String, nBins: Int = 16): DataFrame =
+    streamSourceDriftCounted(s, dir, nBins)._1
+
+  /** [[streamSourceDrift]] plus the micro-batch count — the spec pins it
+    * > 1 so the merge path cannot silently become dead code. */
+  private[graft] def streamSourceDriftCounted(
+      s: SparkSession, dir: String, nBins: Int): (DataFrame, Int) = {
+    import s.implicits._
+    val docs = graft.Tables.table(s, dir, "documents")
+    // grid bounds pinned from the baseline corpus (2 longs to the driver)
+    val Array(mn, mx) = graft.operators.TextAnalysis.psiScores(s, docs)
+      .agg(min($"iscore"), max($"iscore")).as[(Long, Long)].collect()
+      .flatMap(t => Array(t._1, t._2))
+    val work = java.nio.file.Files.createTempDirectory("q130_drift")
+    val src = work.resolve("src").toString
+    docs.select($"source", $"text").repartition(4).write.parquet(src)
+    val stream = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val stateRoot = work.resolve("state")
+    @volatile var current: Option[String] = None
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = stream.writeStream
+      .option("checkpointLocation", work.resolve("ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val part = graft.operators.TextAnalysis.psiScores(s, batch)
+          .select(col("source"),
+            expr(s"(iscore - $mn) * $nBins div ($mx - $mn + 1)").as("bin"))
+          .groupBy("source", "bin").agg(count(lit(1)).as("c"))
+        val merged = current match {
+          case None => part
+          case Some(prev) =>
+            s.read.parquet(prev).unionByName(part)
+              .groupBy("source", "bin").agg(sum("c").as("c"))
+        }
+        val out = stateRoot.resolve(s"v$id").toString
+        merged.write.mode("overwrite").parquet(out)
+        current = Some(out)
+        nBatches.incrementAndGet()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val path = current.getOrElse(sys.error("q130: stream produced no batches"))
+    (graft.operators.TextAnalysis.psiFromCounts(s, s.read.parquet(path), nBins),
+      nBatches.get())
+  }
 }
 
 /** StatefulProcessor for [[StreamOps.runningUserCountsTws]]: one ValueState

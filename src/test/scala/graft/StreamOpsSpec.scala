@@ -383,4 +383,14 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(8)))
     assert(got.toSeq === Seq(("s0", 2L, 0L, 0L)))
   }
+
+  test("q130 stream drift: real multi-batch accumulation equals the batch PSI exactly") {
+    val (streamed, nBatches) =
+      StreamOps.streamSourceDriftCounted(spark, sfDir, 16)
+    assert(nBatches >= 4, s"expected >= 4 micro-batches, got $nBatches")
+    val batch = graft.operators.TextAnalysis.sourcePsi(spark, sfDir).collect()
+    val got = streamed.collect()
+    assert(got.map(_.toString).toSeq === batch.map(_.toString).toSeq,
+      "streamed count accumulation must reproduce the batch PSI bit-for-bit")
+  }
 }
