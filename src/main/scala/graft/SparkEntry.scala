@@ -166,6 +166,7 @@ object SparkEntry {
     "q128_padding_waste" -> ((s, d) => Pipeline.paddingWaste(s, d)),
     "q129_retrieval_eval" -> ((s, d) => Similarity.retrievalEval(s, d)),
     "q130_stream_drift" -> ((s, d) => graft.streaming.StreamOps.streamSourceDrift(s, d)),
+    "q131_source_calibration" -> ((s, d) => Pipeline.sourceCalibration(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1775,6 +1776,22 @@ object SparkEntry {
         |FROM m GROUP BY layout ORDER BY layout""".stripMargin,
 
     "q122_experiment_lift" -> q122Sql,
+
+    // q131: same ntile rank as q102's oracle; share is an exact integer
+    // rational over the per-source window total.
+    "q131_source_calibration" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT) AS sumlen
+        |  FROM documents),
+        |k AS (SELECT doc_id, source, sumlen * 1000000 // ntok AS dkey FROM d),
+        |r AS (SELECT *, CAST(ntile(10) OVER (ORDER BY dkey, doc_id) AS BIGINT) AS bin FROM k),
+        |g AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs FROM r GROUP BY 1, 2),
+        |t AS (SELECT source, bin, n_docs,
+        |    CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS src_total FROM g)
+        |SELECT source, bin, n_docs,
+        |  floor((CAST(n_docs AS DOUBLE) / CAST(src_total AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS share
+        |FROM t ORDER BY source, bin""".stripMargin,
 
     // q123: +1 source-side / +r = Tg div Ts global-side smoothing keeps
     // every PSI log-ratio an INTEGER ln argument (and does not charge

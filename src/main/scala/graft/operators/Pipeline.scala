@@ -319,11 +319,29 @@ object Pipeline {
     * ntile() hash-matches it.
     */
   def curriculumBins(s: SparkSession, dir: String, nBins: Int = 10): DataFrame = {
+    import s.implicits._
+    difficultyRanked(s, dir, nBins)
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("sum_ntok"),
+        min($"dkey").as("min_dkey"), max($"dkey").as("max_dkey"))
+      .orderBy($"bin")
+  }
+
+  /** Per-doc global difficulty decile, shared by q102 (curriculum bins)
+    * and q131 (per-source calibration matrix): the exact-ntile rank
+    * without a global single-partition window — per-dkey counts +
+    * prefix-sum offsets over the vocab-bounded key grid, a
+    * dkey-PARTITIONED row_number, and the SQL ntile formula recomputed
+    * from the global rank.
+    */
+  private[graft] def difficultyRanked(s: SparkSession, dir: String,
+                                      nBins: Int): DataFrame = {
     require(nBins > 0, "nBins must be positive")
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = table(s, dir, "documents")
-      .select($"doc_id", size(split($"text", " ")).cast("long").as("ntok"),
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("ntok"),
         (length($"text") - size(split($"text", " ")) + 1).cast("long").as("sumlen"))
       .withColumn("dkey", expr("sumlen * 1000000 div ntok"))
     val wOff = Window.orderBy($"dkey").rowsBetween(Window.unboundedPreceding, -1)
@@ -346,10 +364,29 @@ object Pipeline {
          |      div greatest(n_total div $nBins, 1L) + 1
          |END""".stripMargin)
     ranked.withColumn("bin", bin)
-      .groupBy($"bin")
-      .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("sum_ntok"),
-        min($"dkey").as("min_dkey"), max($"dkey").as("max_dkey"))
-      .orderBy($"bin")
+  }
+
+  /** Per-source calibration matrix (q131): where each source's mass lands
+    * on the GLOBAL difficulty deciles — the table that turns "filter the
+    * bottom 20% globally" into per-source expectations, and the matrix
+    * form of q123's scalar PSI (PSI says A source drifted; this says
+    * INTO WHICH deciles). share = n/(source total) is an exact integer
+    * rational, one double division. Machinery is q102's distributed
+    * exact-ntile rank; only the final rollup differs.
+    */
+  def sourceCalibration(s: SparkSession, dir: String, nBins: Int = 10): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    difficultyRanked(s, dir, nBins)
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"))
+      // per-source total via a window over the (sources x bins)-bounded
+      // aggregate — a second pass over docs would rescan the corpus
+      .withColumn("src_total", sum($"n_docs").over(Window.partitionBy($"source")))
+      .select($"source", $"bin", $"n_docs",
+        graft.Tables.round6($"n_docs".cast("double") / $"src_total".cast("double"))
+          .as("share"))
+      .orderBy($"source", $"bin")
   }
 
   def tokenBudgetMix(s: SparkSession, dir: String, budget: Long = 800L,
