@@ -167,6 +167,8 @@ object SparkEntry {
     "q129_retrieval_eval" -> ((s, d) => Similarity.retrievalEval(s, d)),
     "q130_stream_drift" -> ((s, d) => graft.streaming.StreamOps.streamSourceDrift(s, d)),
     "q131_source_calibration" -> ((s, d) => Pipeline.sourceCalibration(s, d)),
+    "q132_skew_report" -> ((s, d) => EventOps.skewReport(s, d)),
+    "q133_cohort_ltv" -> ((s, d) => EventOps.cohortLtv(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1792,6 +1794,40 @@ object SparkEntry {
         |SELECT source, bin, n_docs,
         |  floor((CAST(n_docs AS DOUBLE) / CAST(src_total AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS share
         |FROM t ORDER BY source, bin""".stripMargin,
+
+    // q132: no percentile interpolation — integer/exact-rational stats
+    // only; salt_rec is pure integer ceiling arithmetic.
+    "q132_skew_report" ->
+      """WITH l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS load FROM events GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(load) AS BIGINT) AS n_rows,
+        |    CAST(max(load) AS BIGINT) AS max_load FROM l),
+        |top AS (SELECT user_id, load FROM l ORDER BY load DESC, user_id ASC LIMIT 5)
+        |SELECT user_id, load, n_keys, n_rows, max_load,
+        |  floor((CAST(load * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS skew_ratio,
+        |  (max_load * n_keys + n_rows - 1) // n_rows AS salt_rec
+        |FROM top CROSS JOIN st ORDER BY load DESC, user_id ASC""".stripMargin,
+
+    // q133: cohorts and week offsets are integer epoch-week arithmetic;
+    // value accumulates in exact cents; one final per-user division.
+    "q133_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |c AS (SELECT user_id, min(ts_us) // 604800000000 AS cohort_week
+        |  FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size FROM c GROUP BY 1),
+        |tri AS (SELECT c.cohort_week,
+        |    (e.ts_us // 604800000000) - c.cohort_week AS weeks_since,
+        |    CAST(count(*) AS BIGINT) AS n_purchases,
+        |    CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND (e.ts_us // 604800000000) >= c.cohort_week
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT tri.*, sz.cohort_size,
+        |    CAST(sum(sum_cents) OVER (PARTITION BY tri.cohort_week ORDER BY weeks_since
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |  FROM tri JOIN sz ON tri.cohort_week = sz.cohort_week)
+        |SELECT cohort_week, weeks_since, n_purchases, sum_cents, cohort_size,
+        |  floor((CAST(cum_cents AS DOUBLE) / 100.0 / CAST(cohort_size AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS ltv_per_user
+        |FROM cum ORDER BY cohort_week, weeks_since""".stripMargin,
 
     // q123: +1 source-side / +r = Tg div Ts global-side smoothing keeps
     // every PSI log-ratio an INTEGER ln argument (and does not charge

@@ -912,6 +912,68 @@ object EventOps {
       .orderBy($"day")
   }
 
+  /** Aggregation-skew report (q132): the planning number behind q37's
+    * salted aggregate — per-key load distribution for a grouping key,
+    * reported as the top heavy keys plus corpus-level skew stats and the
+    * integer salting factor ceil(max_load · n_keys / n_rows) that would
+    * level the heaviest key to the mean. All integer/exact-rational (no
+    * percentile interpolation — cross-engine interpolation chains are
+    * exactly the kind of double drift this repo avoids).
+    *
+    * Scale shape: one scan + one map-side-combined groupBy produce the
+    * per-key loads; the summary re-aggregates that derived frame (the
+    * q101-class trade: a registered single-pass form would need a
+    * two-level struct agg for no clarity gain — noted, not adopted).
+    */
+  def skewReport(s: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    import s.implicits._
+    val loads = events(s, dir).groupBy($"user_id")
+      .agg(count(lit(1)).as("load"))
+    val stats = loads.agg(count(lit(1)).as("n_keys"), sum($"load").as("n_rows"),
+      max($"load").as("max_load"))
+    loads.orderBy($"load".desc, $"user_id".asc).limit(topK)
+      .crossJoin(broadcast(stats))
+      .select($"user_id", $"load", $"n_keys", $"n_rows", $"max_load",
+        graft.Tables.round6(($"load" * $"n_keys").cast("double") /
+          $"n_rows".cast("double")).as("skew_ratio"),
+        expr("(max_load * n_keys + n_rows - 1) div n_rows").as("salt_rec"))
+      .orderBy($"load".desc, $"user_id".asc)
+  }
+
+  /** Cohort LTV triangle (q133): cumulative purchase value per signup
+    * cohort by weeks-since-signup — the revenue-retention curve next to
+    * q88's user-retention counts. Cohorts and week offsets are INTEGER
+    * epoch-week arithmetic; value accumulates in exact cents; only the
+    * final per-user division runs in doubles. The cumulative window runs
+    * over the (cohorts x weeks)-bounded triangle, never the event log.
+    */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wk = 7L * 86400L * 1000000L
+    val ev = events(s, dir).select($"user_id", $"ts_us", $"event_type", $"value")
+    val cohorts = ev.where($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts_us").as("t0"))
+      .select($"user_id", expr(s"t0 div $wk").as("cohort_week"))
+    val sizes = cohorts.groupBy($"cohort_week").agg(count(lit(1)).as("cohort_size"))
+    val tri = ev.where($"event_type" === "purchase")
+      .join(cohorts, "user_id")
+      .select($"cohort_week",
+        (expr(s"ts_us div $wk") - $"cohort_week").as("weeks_since"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .where($"weeks_since" >= 0)
+      .groupBy($"cohort_week", $"weeks_since")
+      .agg(count(lit(1)).as("n_purchases"), sum($"cents").as("sum_cents"))
+    tri.join(broadcast(sizes), "cohort_week")
+      .withColumn("cum_cents", sum($"sum_cents").over(
+        Window.partitionBy($"cohort_week").orderBy($"weeks_since")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"cohort_week", $"weeks_since", $"n_purchases", $"sum_cents",
+        $"cohort_size",
+        graft.Tables.round6($"cum_cents".cast("double") / lit(100.0) /
+          $"cohort_size".cast("double")).as("ltv_per_user"))
+      .orderBy($"cohort_week", $"weeks_since")
+  }
+
   /** Seasonal (day-of-week x hour) profile (q127): the 168-cell baseline
     * every traffic-anomaly system compares against — q86's trailing
     * z-score catches "this hour is off its recent trend", this catches
