@@ -169,6 +169,11 @@ object SparkEntry {
     "q131_source_calibration" -> ((s, d) => Pipeline.sourceCalibration(s, d)),
     "q132_skew_report" -> ((s, d) => EventOps.skewReport(s, d)),
     "q133_cohort_ltv" -> ((s, d) => EventOps.cohortLtv(s, d)),
+    "q134_benford_profile" -> ((s, d) => Relational.benfordProfile(s, d)),
+    "q135_gini_concentration" -> ((s, d) => Relational.giniConcentration(s, d)),
+    "q136_scd2_history" -> ((s, d) => EventOps.scd2History(s, d)),
+    "q137_concurrency_profile" -> ((s, d) => EventOps.concurrencyProfile(s, d)),
+    "q138_expectations" -> ((s, d) => Relational.expectationsReport(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1828,6 +1833,106 @@ object SparkEntry {
         |SELECT cohort_week, weeks_since, n_purchases, sum_cents, cohort_size,
         |  floor((CAST(cum_cents AS DOUBLE) / 100.0 / CAST(cohort_size AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS ltv_per_user
         |FROM cum ORDER BY cohort_week, weeks_since""".stripMargin,
+
+    // q134: counting is integer (first digit of the BIGINT floor); the
+    // Benford expectation is (ln(d+1)-ln(d))/ln(10) so every
+    // transcendental takes an INTEGER argument (the q123 discipline).
+    "q134_benford_profile" ->
+      """WITH c AS (SELECT o_orderpriority,
+        |    CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1, 2),
+        |t AS (SELECT c.*, CAST(sum(n_orders) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n_total FROM c)
+        |SELECT o_orderpriority, digit, n_orders,
+        |  floor((CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS share,
+        |  floor(((ln(digit + 1) - ln(digit)) / ln(10)) * 1000000.0 + 0.5) / 1000000.0 AS benford
+        |FROM t ORDER BY o_orderpriority, digit""".stripMargin,
+
+    // q135: revenue in exact cents; the sorted-rank Gini identity needs
+    // only integer sums (DuckDB widens the rank product to HUGEINT, the
+    // Spark side runs it in DECIMAL(38,0)); one double division at the end.
+    "q135_gini_concentration" ->
+      """WITH rev AS (SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey, rev.cents,
+        |    row_number() OVER (PARTITION BY c.c_nationkey ORDER BY rev.cents, rev.o_custkey) AS i
+        |  FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey)
+        |SELECT nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  floor((CAST(2 * sum(i * cents) - (count(*) + 1) * sum(cents) AS DOUBLE) /
+        |    (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS gini
+        |FROM rk GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    // q136: consecutive-duplicate collapse then versioned validity
+    // intervals; valid_to_us = -1 marks the open current version.
+    "q136_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |ch AS (SELECT user_id, event_id, ts_us, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+        |  FROM e),
+        |f AS (SELECT user_id, event_id, ts_us, event_type FROM ch
+        |  WHERE prev_type IS NULL OR prev_type <> event_type),
+        |v AS (SELECT user_id, event_type, ts_us,
+        |    CAST(row_number() OVER w AS BIGINT) AS version,
+        |    COALESCE(lead(ts_us) OVER w, -1) AS valid_to_us
+        |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, version, event_type AS state, ts_us AS valid_from_us,
+        |  CAST(valid_to_us AS BIGINT) AS valid_to_us, valid_to_us = -1 AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
+    // q137: the oracle runs the textbook GLOBAL running sum over the
+    // sweep points; the Spark side computes the same levels with the
+    // bounded-grid prefix-sum + per-hour window (no single-partition
+    // window over the data), so hash equality certifies the decomposition.
+    "q137_concurrency_profile" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |m AS (SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s2 AS (SELECT user_id, ts_us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM m),
+        |iv AS (SELECT user_id, sess_id, min(ts_us) AS start_us,
+        |    max(ts_us) + 1800000000 AS end_us
+        |  FROM s2 GROUP BY 1, 2),
+        |p AS (SELECT start_us AS p_us, 1 AS delta FROM iv
+        |  UNION ALL SELECT end_us, -1 FROM iv),
+        |lv AS (SELECT p_us, sum(delta) OVER (ORDER BY p_us, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS level FROM p)
+        |SELECT p_us // 86400000000 AS day, CAST(max(level) AS BIGINT) AS peak_concurrency,
+        |  CAST(count(*) AS BIGINT) AS n_points
+        |FROM lv GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // q138: the oracle replays each declared rule as its own aggregate;
+    // semantics (not plan shape) is what hash equality pins — the Spark
+    // side folds the scalar rules into one scan + stack().
+    "q138_expectations" ->
+      """WITH o AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f_key_null,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS f_key_dup,
+        |    CAST(sum(CASE WHEN o_totalprice > 0.0 AND o_totalprice < 1000000.0 THEN 0 ELSE 1 END) AS BIGINT) AS f_price_range,
+        |    CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT) AS f_status_domain,
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f_date_null
+        |  FROM orders),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN c_mktsegment IS NULL OR length(c_mktsegment) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f_seg_empty,
+        |    CAST(sum(CASE WHEN c_acctbal >= -1000.0 THEN 0 ELSE 1 END) AS BIGINT) AS f_acctbal_min
+        |  FROM customer),
+        |fk AS (SELECT CAST(count(*) AS BIGINT) AS f_fk FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |r AS (
+        |  SELECT 'orders.o_orderkey.not_null' AS rule, o.n AS n_checked, o.f_key_null AS n_failed FROM o
+        |  UNION ALL SELECT 'orders.o_orderkey.unique', o.n, o.f_key_dup FROM o
+        |  UNION ALL SELECT 'orders.o_totalprice.in_range', o.n, o.f_price_range FROM o
+        |  UNION ALL SELECT 'orders.o_orderstatus.in_domain', o.n, o.f_status_domain FROM o
+        |  UNION ALL SELECT 'orders.o_orderdate.not_null', o.n, o.f_date_null FROM o
+        |  UNION ALL SELECT 'orders.o_custkey.fk_customer', o.n, fk.f_fk FROM o, fk
+        |  UNION ALL SELECT 'customer.c_mktsegment.not_empty', c.n, c.f_seg_empty FROM c
+        |  UNION ALL SELECT 'customer.c_acctbal.min_bound', c.n, c.f_acctbal_min FROM c)
+        |SELECT rule, n_checked, n_failed, n_failed = 0 AS pass
+        |FROM r ORDER BY rule""".stripMargin,
 
     // q123: +1 source-side / +r = Tg div Ts global-side smoothing keeps
     // every PSI log-ratio an INTEGER ln argument (and does not charge

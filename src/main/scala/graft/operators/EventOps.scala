@@ -974,6 +974,72 @@ object EventOps {
       .orderBy($"cohort_week", $"weeks_since")
   }
 
+  /** SCD Type-2 history (q136): the slowly-changing-dimension builder —
+    * each user's event_type stream collapses into versioned validity
+    * intervals [valid_from_us, valid_to_us) with consecutive duplicates
+    * merged; valid_to_us = -1 marks the open current version. Both
+    * windows share the (user_id, ts) partitioning so Catalyst plans one
+    * sort+shuffle; the change-point filter shrinks the frame before the
+    * version numbering runs. Per-user work — embarrassingly parallel at
+    * any scale, output bounded by the number of state CHANGES.
+    */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val changes = events(s, dir)
+      .select($"user_id", $"event_id", $"ts_us", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .where($"prev_type".isNull || $"prev_type" =!= $"event_type")
+    changes
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_us", coalesce(lead($"ts_us", 1).over(w), lit(-1L)))
+      .select($"user_id", $"version", $"event_type".as("state"),
+        $"ts_us".as("valid_from_us"), $"valid_to_us",
+        ($"valid_to_us" === -1L).as("is_current"))
+      .orderBy($"user_id", $"version")
+  }
+
+  /** Concurrency profile (q137): peak simultaneous sessions per day via
+    * a sweep line over session start/end points. Sessions are q15's
+    * gaps-and-islands intervals (half-open [start, last+gap), so an end
+    * and a start at the same instant do NOT overlap — ends sort before
+    * starts via the delta tiebreak). The running level is computed
+    * WITHOUT a global single-partition window: per-hour net deltas
+    * prefix-sum over the bounded hour grid (the q102 offsets trick) give
+    * each hour's entering level; a within-hour running sum partitioned
+    * by hour finishes it. Peak per day = max point level; tied points
+    * with equal (p_us, delta) step through the same level set in any
+    * order, so the max is permutation-free.
+    */
+  def concurrencyProfile(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import s.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val sess = events(s, dir)
+      .select($"user_id", $"event_id", $"ts_us")
+      .withColumn("new_sess",
+        when(lag($"ts_us", 1).over(w).isNull ||
+          $"ts_us" - lag($"ts_us", 1).over(w) >= gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum($"new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess_id")
+      .agg(min($"ts_us").as("start_us"), (max($"ts_us") + gapUs).as("end_us"))
+    val points = sess.select($"start_us".as("p_us"), lit(1L).as("delta"))
+      .unionByName(sess.select($"end_us".as("p_us"), lit(-1L).as("delta")))
+      .withColumn("hour", expr("p_us div 3600000000"))
+    val wOff = Window.orderBy($"hour").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = points.groupBy($"hour").agg(sum($"delta").as("net"))
+      .withColumn("off", coalesce(sum($"net").over(wOff), lit(0L)))
+      .select($"hour", $"off")
+    val wIn = Window.partitionBy($"hour").orderBy($"p_us", $"delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    points.join(broadcast(offsets), "hour")
+      .withColumn("level", $"off" + sum($"delta").over(wIn))
+      .groupBy(expr("p_us div 86400000000").as("day"))
+      .agg(max($"level").as("peak_concurrency"), count(lit(1)).as("n_points"))
+      .orderBy($"day")
+  }
+
   /** Seasonal (day-of-week x hour) profile (q127): the 168-cell baseline
     * every traffic-anomaly system compares against — q86's trailing
     * z-score catches "this hour is off its recent trend", this catches

@@ -342,4 +342,122 @@ object Relational {
       .reduce(_ unionByName _)
       .orderBy($"edge_child", $"edge_parent")
   }
+
+  /** Benford first-digit profile (q134): leading-digit distribution of
+    * o_totalprice per order priority against the Benford expectation —
+    * the classic bulk fraud/anomaly screen over a money column. Counting
+    * is exact integer work (first digit of the BIGINT floor); the
+    * expectation log10(1+1/d) is expressed as (ln(d+1)-ln(d))/ln(10) so
+    * every transcendental takes an INTEGER argument (the q123 discipline:
+    * cross-engine libm is only trusted on integer arguments, round6
+    * absorbs the last ulp). One scan, map-side combine into a ≤45-cell
+    * (priority × digit) grid; per-priority totals are a window over that
+    * grid, never a rescan.
+    */
+  def benfordProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = table(s, dir, "orders")
+      .where($"o_totalprice" >= 1.0)
+      .select($"o_orderpriority",
+        expr("cast(substring(cast(cast(floor(o_totalprice) as bigint) as string), 1, 1) as bigint)")
+          .as("digit"))
+      .groupBy($"o_orderpriority", $"digit")
+      .agg(count(lit(1)).as("n_orders"))
+    cells
+      .withColumn("n_total",
+        sum($"n_orders").over(Window.partitionBy($"o_orderpriority")))
+      .select($"o_orderpriority", $"digit", $"n_orders",
+        graft.Tables.round6($"n_orders".cast("double") / $"n_total".cast("double"))
+          .as("share"),
+        graft.Tables.round6((log($"digit" + lit(1)) - log($"digit")) / log(lit(10.0)))
+          .as("benford"))
+      .orderBy($"o_orderpriority", $"digit")
+  }
+
+  /** Gini concentration of customer revenue per nation (q135): how
+    * unequal spend is across a nation's purchasing customers. Revenue is
+    * exact cents; the sorted-rank identity
+    * G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) needs only integer sums.
+    * The rank products run in DECIMAL(38,0) because Σ i·x_i approaches
+    * 2^63 around ~600k customers per nation (DuckDB widens to HUGEINT
+    * there anyway); one double division at the end. Rank ties on equal
+    * cents are value-invariant (Σ i over a tied group is permutation-
+    * free) but broken by custkey anyway for determinism.
+    *
+    * The rank window partitions by nation (25-way parallel); at extreme
+    * per-nation cardinality the q102 distributed-rank trick applies
+    * within nation — not needed at 10×, noted for 100×.
+    */
+  def giniConcentration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = table(s, dir, "orders")
+      .select($"o_custkey",
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy($"o_custkey").agg(sum($"cents").as("cents"))
+    val cust = table(s, dir, "customer")
+      .select($"c_custkey", $"c_nationkey".cast("long").as("nationkey"))
+    val ranked = rev.join(cust, $"o_custkey" === $"c_custkey")
+      .withColumn("i", row_number().over(
+        Window.partitionBy($"nationkey").orderBy($"cents", $"o_custkey")))
+    ranked.groupBy($"nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"cents").as("sum_cents"),
+        sum($"i".cast(DecimalType(38, 0)) * $"cents".cast(DecimalType(38, 0)))
+          .as("swx"))
+      .select($"nationkey", $"n_customers", $"sum_cents",
+        graft.Tables.round6(
+          ($"swx" * lit(2) -
+            ($"n_customers" + lit(1)).cast(DecimalType(38, 0)) *
+              $"sum_cents".cast(DecimalType(38, 0))).cast("double") /
+          ($"n_customers".cast("double") * $"sum_cents".cast("double")))
+          .as("gini"))
+      .orderBy($"nationkey")
+  }
+
+  /** Declarative data-quality expectations (q138): a Deequ-style rule
+    * battery — completeness, domain, range, uniqueness, FK containment —
+    * evaluated in one pass per table and reported one row per rule.
+    * All orders-side scalar rules fold into a single aggregate (one scan,
+    * map-side combine) and unpivot via stack(); uniqueness is the one
+    * genuinely shuffling check (exact count distinct); the FK rule is
+    * the q90 left-anti shape. Complements q90 (which audits every FK
+    * edge): this is the user-declared per-table contract with pass/fail.
+    */
+  def expectationsReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    val c = table(s, dir, "customer")
+    val oAgg = o.agg(
+      count(lit(1)).as("n"),
+      sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("f_key_null"),
+      (count(lit(1)) - countDistinct($"o_orderkey")).as("f_key_dup"),
+      sum(when($"o_totalprice" > 0.0 && $"o_totalprice" < 1000000.0, 0L)
+        .otherwise(1L)).as("f_price_range"),
+      sum(when($"o_orderstatus".isin("O", "F", "P"), 0L).otherwise(1L))
+        .as("f_status_domain"),
+      sum(when($"o_orderdate".isNull, 1L).otherwise(0L)).as("f_date_null"))
+    val cAgg = c.agg(
+      count(lit(1)).as("n"),
+      sum(when($"c_mktsegment".isNull || length($"c_mktsegment") === 0, 1L)
+        .otherwise(0L)).as("f_seg_empty"),
+      sum(when($"c_acctbal" >= -1000.0, 0L).otherwise(1L)).as("f_acctbal_min"))
+    val fkFailed = o.select($"o_custkey".as("k"))
+      .join(c.select($"c_custkey".as("k")).distinct(), Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("f_fk"))
+    val oRules = oAgg.crossJoin(fkFailed).select(
+      expr("""stack(6,
+        'orders.o_orderkey.not_null', n, f_key_null,
+        'orders.o_orderkey.unique', n, f_key_dup,
+        'orders.o_totalprice.in_range', n, f_price_range,
+        'orders.o_orderstatus.in_domain', n, f_status_domain,
+        'orders.o_orderdate.not_null', n, f_date_null,
+        'orders.o_custkey.fk_customer', n, f_fk) AS (rule, n_checked, n_failed)"""))
+    val cRules = cAgg.select(
+      expr("""stack(2,
+        'customer.c_mktsegment.not_empty', n, f_seg_empty,
+        'customer.c_acctbal.min_bound', n, f_acctbal_min) AS (rule, n_checked, n_failed)"""))
+    oRules.unionByName(cRules)
+      .select($"rule", $"n_checked", $"n_failed", ($"n_failed" === 0L).as("pass"))
+      .orderBy($"rule")
+  }
 }

@@ -495,4 +495,122 @@ class OperatorEquivalenceSpec extends AnyFunSuite with SparkFixture {
     assert(out(("x", "z")) == ((2L, 1L, 1L, 1.0)))
     assert(out(("y", "z")) == ((2L, 1L, 1L, 1.0)))
   }
+
+  private def writeOrders(dir: String,
+                          rows: Seq[(Long, Long, String, Double, String)]): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+        timestamp_micros(lit(0L)).as("o_orderdate"), $"o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+  }
+
+  private def writeCustomer(dir: String,
+                            rows: Seq[(Long, String, Int, Double, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+  }
+
+  test("q134 benford: digit counting is exact and the expectation hits log10(1+1/d) to six places") {
+    val dir = java.nio.file.Files.createTempDirectory("benford").toString
+    writeOrders(dir, Seq(
+      (1L, 1L, "O", 12.3, "1-URGENT"),
+      (2L, 1L, "O", 923.0, "1-URGENT"),
+      (3L, 1L, "O", 105.5, "1-URGENT")))
+    val out = graft.operators.Relational.benfordProfile(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(1L, 9L), "12.3 and 105.5 lead with 1; 923.0 leads with 9")
+    assert(out(1L)._1 == 2L && out(9L)._1 == 1L)
+    assert(out(1L)._2 == 0.666667 && out(9L)._2 == 0.333333)
+    assert(out(1L)._3 == 0.30103, "benford(1) = log10(2) rounded to six places")
+    assert(out(9L)._3 == 0.045757, "benford(9) = log10(10/9) rounded to six places")
+  }
+
+  test("q135 gini: equal spend is exactly 0, one-customer concentration is (n-1)/n") {
+    val dir = java.nio.file.Files.createTempDirectory("gini").toString
+    // nation 0: four customers spending identically -> gini exactly 0
+    // nation 1: four customers, one holds all revenue -> gini = 3/4
+    writeCustomer(dir, Seq(
+      (1L, "a", 0, 0.0, "B"), (2L, "b", 0, 0.0, "B"),
+      (3L, "c", 0, 0.0, "B"), (4L, "d", 0, 0.0, "B"),
+      (5L, "e", 1, 0.0, "B"), (6L, "f", 1, 0.0, "B"),
+      (7L, "g", 1, 0.0, "B"), (8L, "h", 1, 0.0, "B")))
+    writeOrders(dir,
+      (1L to 4L).map(k => (k, k, "O", 7.50, "P")) ++ Seq(
+        (5L, 5L, "O", 0.0, "P"), (6L, 6L, "O", 0.0, "P"),
+        (7L, 7L, "O", 0.0, "P"), (8L, 8L, "O", 10.0, "P")))
+    val out = graft.operators.Relational.giniConcentration(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((4L, 3000L, 0.0)))
+    assert(out(1L) == ((4L, 1000L, 0.75)))
+  }
+
+  test("q136 scd2: consecutive duplicates collapse, intervals chain, last version stays open") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val us = 1000000L
+    val dir = java.nio.file.Files.createTempDirectory("scd2").toString
+    // user 1 emits a,a,b,a -> three versions: a[10,30) b[30,40) a[40,open)
+    val rows = Seq(
+      (1L, 10L * us, 1L, "a"), (2L, 20L * us, 1L, "a"),
+      (3L, 30L * us, 1L, "b"), (4L, 40L * us, 1L, "a"),
+      (5L, 5L * us, 2L, "z"))
+    rows.map { case (id, t, u, ty) => (id, t, u, ty, 0.0, "{}") }
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select($"event_id", timestamp_micros($"ts_us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.EventOps.scd2History(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+    assert(out.toMap == Map(
+      (1L, 1L) -> (("a", 10L * us, 30L * us, false)),
+      (1L, 2L) -> (("b", 30L * us, 40L * us, false)),
+      (1L, 3L) -> (("a", 40L * us, -1L, true)),
+      (2L, 1L) -> (("z", 5L * us, -1L, true))))
+  }
+
+  test("q137 concurrency: overlapping sessions count, the half-open boundary does not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val us = 1000000L
+    val day = 86400L
+    val dir = java.nio.file.Files.createTempDirectory("sweep").toString
+    // day 0: user 1's session is [0, 1800s); user 3 starts AT 1800s ->
+    //        never concurrent (half-open), peak stays 1
+    // day 1: users 1 and 2 overlap (0s and 600s starts) -> peak 2
+    val rows = Seq(
+      (1L, 0L, 1L), (2L, 1800L, 3L),
+      (3L, day, 1L), (4L, day + 600L, 2L))
+    rows.map { case (id, t, u) => (id, t * us, u, "click", 0.0, "{}") }
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select($"event_id", timestamp_micros($"ts_us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.EventOps.concurrencyProfile(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == 1L, "a session starting exactly at another's end never overlaps it")
+    assert(out(1L) == 2L, "two open intervals at 600s must count as 2")
+  }
+
+  test("q138 expectations: every declared rule fires on its planted violation") {
+    val dir = java.nio.file.Files.createTempDirectory("expect").toString
+    writeOrders(dir, Seq(
+      (1L, 10L, "O", 5.0, "P1"),
+      (1L, 10L, "X", 0.0, "P1"),   // dup key, bad status, price at the open bound
+      (2L, 99L, "F", 20.0, "P2"))) // custkey 99 has no customer row
+    writeCustomer(dir, Seq((10L, "n", 0, -5000.0, "")))
+    val out = graft.operators.Relational.expectationsReport(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("orders.o_orderkey.not_null") == ((3L, 0L, true)))
+    assert(out("orders.o_orderkey.unique") == ((3L, 1L, false)))
+    assert(out("orders.o_totalprice.in_range") == ((3L, 1L, false)))
+    assert(out("orders.o_orderstatus.in_domain") == ((3L, 1L, false)))
+    assert(out("orders.o_orderdate.not_null") == ((3L, 0L, true)))
+    assert(out("orders.o_custkey.fk_customer") == ((3L, 1L, false)))
+    assert(out("customer.c_mktsegment.not_empty") == ((1L, 1L, false)))
+    assert(out("customer.c_acctbal.min_bound") == ((1L, 1L, false)))
+  }
 }
