@@ -174,6 +174,10 @@ object SparkEntry {
     "q136_scd2_history" -> ((s, d) => EventOps.scd2History(s, d)),
     "q137_concurrency_profile" -> ((s, d) => EventOps.concurrencyProfile(s, d)),
     "q138_expectations" -> ((s, d) => Relational.expectationsReport(s, d)),
+    "q139_column_stats" -> ((s, d) => Relational.columnStatsProfile(s, d)),
+    "q140_cusum_drift" -> ((s, d) => EventOps.cusumDrift(s, d)),
+    "q141_token_dispersion" -> ((s, d) => TextAnalysis.tokenDispersion(s, d)),
+    "q142_bipartite_pagerank" -> ((s, d) => operators.Clustering.bipartitePagerank(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1933,6 +1937,106 @@ object SparkEntry {
         |  UNION ALL SELECT 'customer.c_acctbal.min_bound', c.n, c.f_acctbal_min FROM c)
         |SELECT rule, n_checked, n_failed, n_failed = 0 AS pass
         |FROM r ORDER BY rule""".stripMargin,
+
+    // q139: all-integer stats; text columns report min/max = -1 (not
+    // NULL — a NULL would float the pandas compare column; lexicographic
+    // extremes are a collation trap). The Spark side runs one Expand
+    // aggregate; the oracle spells the same stats plainly.
+    "q139_column_stats" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS eday
+        |  FROM orders),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_key,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_key,
+        |    CAST(min(o_orderkey) AS BIGINT) AS mn_key, CAST(max(o_orderkey) AS BIGINT) AS mx_key,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_cust,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
+        |    CAST(min(o_custkey) AS BIGINT) AS mn_cust, CAST(max(o_custkey) AS BIGINT) AS mx_cust,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_status,
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_prio,
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_prio,
+        |    CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_cents,
+        |    CAST(count(DISTINCT cents) AS BIGINT) AS nd_cents,
+        |    CAST(min(cents) AS BIGINT) AS mn_cents, CAST(max(cents) AS BIGINT) AS mx_cents,
+        |    CAST(sum(CASE WHEN eday IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_eday,
+        |    CAST(count(DISTINCT eday) AS BIGINT) AS nd_eday,
+        |    CAST(min(eday) AS BIGINT) AS mn_eday, CAST(max(eday) AS BIGINT) AS mx_eday
+        |  FROM o)
+        |SELECT 'orders.o_orderkey' AS col_name, n AS n_rows, nn_key AS n_null, nd_key AS n_distinct, mn_key AS min_val, mx_key AS max_val FROM a
+        |UNION ALL SELECT 'orders.o_custkey', n, nn_cust, nd_cust, mn_cust, mx_cust FROM a
+        |UNION ALL SELECT 'orders.o_orderstatus', n, nn_status, nd_status, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) FROM a
+        |UNION ALL SELECT 'orders.o_orderpriority', n, nn_prio, nd_prio, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) FROM a
+        |UNION ALL SELECT 'orders.o_totalprice_cents', n, nn_cents, nd_cents, mn_cents, mx_cents FROM a
+        |UNION ALL SELECT 'orders.o_orderdate_eday', n, nn_eday, nd_eday, mn_eday, mx_eday FROM a
+        |ORDER BY col_name""".stripMargin,
+
+    // q140: the oracle computes the SAME closed form (running sum minus
+    // clamped running min) — the recursion-free CUSUM identity; all
+    // integer arithmetic, so 5 window passes stay hash-exact.
+    "q140_cusum_drift" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT day, n_events,
+        |    CAST(sum(n_events) OVER () AS BIGINT) AS t,
+        |    CAST(count(*) OVER () AS BIGINT) AS dd
+        |  FROM d),
+        |p AS (SELECT day, n_events, t,
+        |    sum(n_events * dd - t - (t // 4)) OVER w AS pp,
+        |    sum(t - n_events * dd - (t // 4)) OVER w AS pn
+        |  FROM g WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT day, n_events, t,
+        |    pp - least(0, min(pp) OVER w2) AS cusum_pos,
+        |    pn - least(0, min(pn) OVER w2) AS cusum_neg
+        |  FROM p WINDOW w2 AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT day, n_events, CAST(cusum_pos AS BIGINT) AS cusum_pos,
+        |  CAST(cusum_neg AS BIGINT) AS cusum_neg,
+        |  cusum_pos > 2 * t AS spike, cusum_neg > 2 * t AS dip
+        |FROM c ORDER BY day""".stripMargin,
+
+    // q141: lower median = the element at rank (n+1) div 2 — integer
+    // throughout; the oracle attaches medians by the same window-max
+    // trick, so both engines share one definition text-for-text.
+    "q141_token_dispersion" ->
+      """WITH tk AS (SELECT source, doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r1 AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS BIGINT) AS i,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM tk),
+        |m1 AS (SELECT *, max(CASE WHEN i = (n + 1) // 2 THEN n_tokens END) OVER (PARTITION BY source) AS med FROM r1),
+        |d AS (SELECT source, doc_id, n_tokens, n, med, abs(n_tokens - med) AS dev FROM m1),
+        |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY dev, doc_id) AS BIGINT) AS j FROM d),
+        |m2 AS (SELECT *, max(CASE WHEN j = (n + 1) // 2 THEN dev END) OVER (PARTITION BY source) AS mad FROM r2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(med) AS BIGINT) AS median_tokens,
+        |  CAST(min(mad) AS BIGINT) AS mad_tokens,
+        |  CAST(sum(CASE WHEN dev > mad * 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM m2 GROUP BY source ORDER BY source""".stripMargin,
+
+    // q142: the oracle unrolls the 5 integer PageRank rounds as a CTE
+    // chain (recursive CTEs cannot aggregate); identical truncating
+    // divisions keep every round hash-exact.
+    "q142_bipartite_pagerank" ->
+      """WITH pr AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |e AS (SELECT p * 2 AS src, s * 2 + 1 AS dst FROM pr
+        |  UNION ALL SELECT s * 2 + 1, p * 2 FROM pr),
+        |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, dg.deg FROM e JOIN dg ON e.src = dg.src),
+        |i1 AS (SELECT ed.dst AS node, CAST(150000 + (85 * sum(1000000 // ed.deg)) // 100 AS BIGINT) AS r
+        |  FROM ed GROUP BY ed.dst),
+        |i2 AS (SELECT ed.dst AS node, CAST(150000 + (85 * sum(q.r // ed.deg)) // 100 AS BIGINT) AS r
+        |  FROM ed JOIN i1 q ON ed.src = q.node GROUP BY ed.dst),
+        |i3 AS (SELECT ed.dst AS node, CAST(150000 + (85 * sum(q.r // ed.deg)) // 100 AS BIGINT) AS r
+        |  FROM ed JOIN i2 q ON ed.src = q.node GROUP BY ed.dst),
+        |i4 AS (SELECT ed.dst AS node, CAST(150000 + (85 * sum(q.r // ed.deg)) // 100 AS BIGINT) AS r
+        |  FROM ed JOIN i3 q ON ed.src = q.node GROUP BY ed.dst),
+        |i5 AS (SELECT ed.dst AS node, CAST(150000 + (85 * sum(q.r // ed.deg)) // 100 AS BIGINT) AS r
+        |  FROM ed JOIN i4 q ON ed.src = q.node GROUP BY ed.dst)
+        |SELECT (i5.node - 1) // 2 AS s_suppkey, dg.deg AS degree, i5.r AS rank_ppm
+        |FROM i5 JOIN dg ON i5.node = dg.src WHERE i5.node % 2 = 1
+        |ORDER BY s_suppkey""".stripMargin,
 
     // q123: +1 source-side / +r = Tg div Ts global-side smoothing keeps
     // every PSI log-ratio an INTEGER ln argument (and does not charge

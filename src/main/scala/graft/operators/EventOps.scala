@@ -1263,4 +1263,45 @@ object EventOps {
           $"rows_total".cast("double")).as("scan_frac"))
       .orderBy($"layout")
   }
+
+  /** CUSUM drift detection over the daily event series (q140): the
+    * classic sequential change detector — cumulative sums of deviations
+    * from the series mean, clamped at zero, flagging sustained level
+    * shifts that a per-day z-score (q86) smears out. All arithmetic is
+    * INTEGER: deviations are scaled by the day count D so the mean never
+    * becomes a fraction (v_d = n_d*D - T), the slack is K = T div 4
+    * (a quarter-mean per day) and the alarm threshold H = 2*T (two
+    * mean-days of accumulated drift).
+    *
+    * The textbook recursion s_d = max(0, s_{d-1} + v_d - K) is not a
+    * window function, but its closed form is: with P_d the plain running
+    * sum of (v_d - K), s_d = P_d - min(0, min_{j<=d} P_j). Both engines
+    * compute exactly that with two window passes — no recursion, no
+    * fold. The windows are single-partition but run over the BOUNDED
+    * daily grid (one row per observed day), not the event stream; the
+    * one corpus-sized operation is the day rollup, which map-side
+    * combines.
+    */
+  def cusumDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, dir)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val wAll = Window.partitionBy()
+    val wRun = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("t", sum($"n_events").over(wAll))
+      .withColumn("d", count(lit(1)).over(wAll))
+      .withColumn("wp", $"n_events" * $"d" - $"t" - expr("t div 4"))
+      .withColumn("wn", $"t" - $"n_events" * $"d" - expr("t div 4"))
+      .withColumn("pp", sum($"wp").over(wRun))
+      .withColumn("pn", sum($"wn").over(wRun))
+      .withColumn("cusum_pos", $"pp" - least(lit(0L), min($"pp").over(wRun)))
+      .withColumn("cusum_neg", $"pn" - least(lit(0L), min($"pn").over(wRun)))
+      .select($"day", $"n_events", $"cusum_pos", $"cusum_neg",
+        ($"cusum_pos" > $"t" * 2).as("spike"),
+        ($"cusum_neg" > $"t" * 2).as("dip"))
+      .orderBy($"day")
+  }
 }

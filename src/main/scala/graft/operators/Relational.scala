@@ -460,4 +460,52 @@ object Relational {
       .select($"rule", $"n_checked", $"n_failed", ($"n_failed" === 0L).as("pass"))
       .orderBy($"rule")
   }
+
+  /** ANALYZE-style column statistics (q139): the per-column profile a
+    * cost-based planner (or an engineer sizing a broadcast) reads — row
+    * count, null count, EXACT distinct count, and integer-encoded
+    * min/max, one row per profiled column. All six distinct counts run
+    * in ONE aggregate: Catalyst plans a single Expand (6x fan-out of the
+    * pre-projected scan, one shuffle) instead of six scans. min/max are
+    * exact integers (keys directly, price in cents, date in epoch days);
+    * text columns report ndv only with min/max = -1 — lexicographic
+    * extremes are a cross-engine collation trap, and the sentinel keeps
+    * the column BIGINT-dense for the hash compare (a NULL would push the
+    * pandas compare column to float).
+    */
+  def columnStatsProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders").select(
+      $"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_orderpriority",
+      expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"),
+      expr("cast(datediff(cast(o_orderdate as date), date '1970-01-01') as bigint)")
+        .as("eday"))
+    val a = o.agg(
+      count(lit(1)).as("n"),
+      sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("nn_key"),
+      countDistinct($"o_orderkey").as("nd_key"),
+      min($"o_orderkey").as("mn_key"), max($"o_orderkey").as("mx_key"),
+      sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("nn_cust"),
+      countDistinct($"o_custkey").as("nd_cust"),
+      min($"o_custkey").as("mn_cust"), max($"o_custkey").as("mx_cust"),
+      sum(when($"o_orderstatus".isNull, 1L).otherwise(0L)).as("nn_status"),
+      countDistinct($"o_orderstatus").as("nd_status"),
+      sum(when($"o_orderpriority".isNull, 1L).otherwise(0L)).as("nn_prio"),
+      countDistinct($"o_orderpriority").as("nd_prio"),
+      sum(when($"cents".isNull, 1L).otherwise(0L)).as("nn_cents"),
+      countDistinct($"cents").as("nd_cents"),
+      min($"cents").as("mn_cents"), max($"cents").as("mx_cents"),
+      sum(when($"eday".isNull, 1L).otherwise(0L)).as("nn_eday"),
+      countDistinct($"eday").as("nd_eday"),
+      min($"eday").as("mn_eday"), max($"eday").as("mx_eday"))
+    a.select(expr("""stack(6,
+        'orders.o_orderkey',        n, nn_key,    nd_key,    mn_key,            mx_key,
+        'orders.o_custkey',         n, nn_cust,   nd_cust,   mn_cust,           mx_cust,
+        'orders.o_orderstatus',     n, nn_status, nd_status, cast(-1 as bigint), cast(-1 as bigint),
+        'orders.o_orderpriority',   n, nn_prio,   nd_prio,   cast(-1 as bigint), cast(-1 as bigint),
+        'orders.o_totalprice_cents',n, nn_cents,  nd_cents,  mn_cents,          mx_cents,
+        'orders.o_orderdate_eday',  n, nn_eday,   nd_eday,   mn_eday,           mx_eday
+      ) AS (col_name, n_rows, n_null, n_distinct, min_val, max_val)"""))
+      .orderBy($"col_name")
+  }
 }

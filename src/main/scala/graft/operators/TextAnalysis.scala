@@ -1059,4 +1059,48 @@ object TextAnalysis {
           .as("psi"))
       .orderBy($"source")
   }
+
+  /** Robust per-source length dispersion (q141): exact lower median and
+    * MAD (median absolute deviation) of whitespace token counts, plus
+    * the count of docs outside median ± 5·MAD — the robust outlier
+    * screen that q28's mean/max profile can't give (one 10^6-token
+    * pathological doc moves a mean, never a median). "Lower median" =
+    * the value at rank (n+1) div 2 under (value, doc_id) order — an
+    * ELEMENT of the data, so everything stays integer; interpolated
+    * medians are a cross-engine double trap.
+    *
+    * ONE parquet scan: the token count is pure SQL (spaces + 1, the
+    * q28 n_ws definition), the median attaches to every row as a window
+    * max over when(rank = median_rank) — no self-join, no rescan — and
+    * the MAD repeats the trick on |x - median|. Two per-source window
+    * sorts + one aggregate; partitioned by source throughout, so 100×
+    * data parallelizes across sources and the q102 distributed-rank
+    * decomposition is the path if a single source outgrows a partition
+    * sort (noted, not needed at 10×).
+    */
+  def tokenDispersion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wSrc = Window.partitionBy($"source")
+    val w1 = wSrc.orderBy($"n_tokens", $"doc_id")
+    val toks = table(s, dir, "documents")
+      .select($"source", $"doc_id",
+        expr("cast(length(text) - length(replace(text, ' ', '')) + 1 as bigint)")
+          .as("n_tokens"))
+      .withColumn("i", row_number().over(w1).cast("long"))
+      .withColumn("n", count(lit(1)).over(wSrc))
+      .withColumn("med", max(when($"i" === expr("(n + 1) div 2"), $"n_tokens"))
+        .over(wSrc))
+      .withColumn("dev", abs($"n_tokens" - $"med"))
+    val w2 = wSrc.orderBy($"dev", $"doc_id")
+    toks
+      .withColumn("j", row_number().over(w2).cast("long"))
+      .withColumn("mad", max(when($"j" === expr("(n + 1) div 2"), $"dev"))
+        .over(wSrc))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"med").as("median_tokens"),
+        min($"mad").as("mad_tokens"),
+        sum(when($"dev" > $"mad" * 5, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy($"source")
+  }
 }
