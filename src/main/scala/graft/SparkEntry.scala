@@ -178,6 +178,10 @@ object SparkEntry {
     "q140_cusum_drift" -> ((s, d) => EventOps.cusumDrift(s, d)),
     "q141_token_dispersion" -> ((s, d) => TextAnalysis.tokenDispersion(s, d)),
     "q142_bipartite_pagerank" -> ((s, d) => operators.Clustering.bipartitePagerank(s, d)),
+    "q143_vocab_overlap" -> ((s, d) => TextAnalysis.vocabOverlap(s, d)),
+    "q144_entity_resolution" -> ((s, d) => operators.Clustering.entityResolution(s, d)),
+    "q145_chi_square" -> ((s, d) => Relational.chiSquareScreen(s, d)),
+    "q146_pareto_frontier" -> ((s, d) => Relational.paretoFrontier(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2037,6 +2041,88 @@ object SparkEntry {
         |SELECT (i5.node - 1) // 2 AS s_suppkey, dg.deg AS degree, i5.r AS rank_ppm
         |FROM i5 JOIN dg ON i5.node = dg.src WHERE i5.node % 2 = 1
         |ORDER BY s_suppkey""".stripMargin,
+
+    // q143: both coefficients are exact integer rationals in ppm — the
+    // // floor divisions match Spark's div exactly; the self-join
+    // fan-out per term is source-bounded on both engines.
+    "q143_vocab_overlap" ->
+      """WITH tt AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |st AS (SELECT DISTINCT source, term FROM tt),
+        |v AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab FROM st GROUP BY 1),
+        |i AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source GROUP BY 1, 2)
+        |SELECT i.sa AS source_a, i.sb AS source_b, va.vocab AS vocab_a,
+        |  vb.vocab AS vocab_b, i.n_shared,
+        |  (i.n_shared * 1000000) // (va.vocab + vb.vocab - i.n_shared) AS jaccard_ppm,
+        |  (i.n_shared * 1000000) // least(va.vocab, vb.vocab) AS overlap_ppm
+        |FROM i JOIN v va ON i.sa = va.source JOIN v vb ON i.sb = vb.source
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // q144: the recursive closure mirrors q48's; the component key
+    // differs per engine (min name vs min hash60) but is only a grouping
+    // key — membership sets, canonical names, and sizes are identical.
+    "q144_entity_resolution" ->
+      """WITH RECURSIVE n AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+        |    regexp_extract(p_name, '([^ ]+)$', 1) AS family FROM part GROUP BY 1),
+        |pr AS (SELECT a.p_name AS na, b.p_name AS nb FROM n a JOIN n b
+        |  ON a.family = b.family AND a.p_name < b.p_name
+        |  AND levenshtein(a.p_name, b.p_name) <= 2),
+        |e AS (SELECT na AS u, nb AS v FROM pr UNION SELECT nb, na FROM pr),
+        |r AS (SELECT u AS nm, u AS reach FROM (SELECT DISTINCT u FROM e) b0
+        |  UNION SELECT r.nm, e.v FROM r JOIN e ON r.reach = e.u),
+        |c AS (SELECT nm AS p_name, min(reach) AS comp FROM r GROUP BY 1),
+        |m AS (SELECT n.p_name, n.n_parts, coalesce(c.comp, n.p_name) AS comp
+        |  FROM n LEFT JOIN c ON n.p_name = c.p_name),
+        |g AS (SELECT comp, min(p_name) AS canonical_name,
+        |    CAST(count(*) AS BIGINT) AS cluster_size,
+        |    CAST(sum(n_parts) AS BIGINT) AS cluster_parts FROM m GROUP BY 1)
+        |SELECT m.p_name, g.canonical_name, g.cluster_size, g.cluster_parts
+        |FROM m JOIN g USING (comp) ORDER BY m.p_name""".stripMargin,
+
+    // q145: the two double chains (expected, contribution) run the SAME
+    // literal operation order on both engines, then quantize to BIGINT
+    // e6 — so the grid-total chi2 is an order-free integer sum.
+    "q145_chi_square" ->
+      """WITH obs0 AS (SELECT o_orderstatus, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS observed FROM orders GROUP BY 1, 2),
+        |grid AS (SELECT s.o_orderstatus, p.o_orderpriority
+        |  FROM (SELECT DISTINCT o_orderstatus FROM orders) s,
+        |       (SELECT DISTINCT o_orderpriority FROM orders) p),
+        |obs AS (SELECT g.o_orderstatus, g.o_orderpriority,
+        |    coalesce(o.observed, 0) AS observed
+        |  FROM grid g LEFT JOIN obs0 o USING (o_orderstatus, o_orderpriority)),
+        |g AS (SELECT *, CAST(sum(observed) OVER () AS BIGINT) AS n,
+        |    CAST(sum(observed) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS r,
+        |    CAST(sum(observed) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS c
+        |  FROM obs),
+        |d AS (SELECT *, observed * n - r * c AS d FROM g),
+        |q AS (SELECT *,
+        |    CAST(floor(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS expected_e6,
+        |    CAST(floor(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT) AS contrib_e6
+        |  FROM d),
+        |dm AS (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ns,
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS np FROM orders)
+        |SELECT o_orderstatus, o_orderpriority, observed, expected_e6, contrib_e6,
+        |  CAST(sum(contrib_e6) OVER () AS BIGINT) AS chi2_e6,
+        |  (ns - 1) * (np - 1) AS dof
+        |FROM q, dm ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    // q146: same per-price-max + strictly-preceding prefix-max
+    // factorization of skyline dominance; the oracle's single ordered
+    // window equals the Spark side's bucket-decomposed prefix max.
+    "q146_pareto_frontier" ->
+      """WITH p AS (SELECT p_partkey,
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+        |    CAST(p_size AS BIGINT) AS sz FROM part),
+        |pp AS (SELECT price_cents, max(sz) AS msize FROM p GROUP BY 1),
+        |pf AS (SELECT price_cents, msize, max(msize) OVER (ORDER BY price_cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prefix FROM pp)
+        |SELECT p.p_partkey, p.price_cents, p.sz AS p_size
+        |FROM p JOIN pf USING (price_cents)
+        |WHERE p.sz = pf.msize AND (pf.prefix IS NULL OR p.sz > pf.prefix)
+        |ORDER BY p.price_cents, p.p_partkey""".stripMargin,
 
     // q123: +1 source-side / +r = Tg div Ts global-side smoothing keeps
     // every PSI log-ratio an INTEGER ln argument (and does not charge

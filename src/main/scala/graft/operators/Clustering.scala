@@ -260,7 +260,12 @@ object Clustering {
     var ranks = edges.select($"src".as("node"), $"deg").distinct()
       .select($"node", lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
-      ranks = edges.join(ranks, edges("src") === ranks("node"))
+      // SHUFFLE_HASH: an SMJ here re-sorts the 2E-row cached edge frame
+      // EVERY round (the cache preserves partitioning, not sort order) —
+      // hashing the node-sized rank side instead keeps each round one
+      // probe pass + the groupBy shuffle (q03's adopted trade, same
+      // reasoning; measured at sf10 in BENCH_NOTES).
+      ranks = edges.join(ranks.hint("SHUFFLE_HASH"), edges("src") === ranks("node"))
         .select($"dst", expr("r div deg").as("contrib"))
         .groupBy($"dst").agg(sum($"contrib").as("c"))
         .select($"dst".as("node"), (lit(150000L) + expr("(85 * c) div 100")).as("r"))
@@ -272,5 +277,41 @@ object Clustering {
       .select(expr("(node - 1) div 2").as("s_suppkey"), $"deg".as("degree"),
         $"r".as("rank_ppm"))
       .orderBy($"s_suppkey")
+  }
+
+  /** Entity resolution over fuzzy name matches (q144): q103's blocked
+    * Levenshtein pairs (edit distance ≤ 2 within a last-word block)
+    * closed into connected components, each name mapped to a canonical
+    * representative — the master-data dedup that turns "goldenrod
+    * lavender spring" / "goldenrod lavendar spring" into ONE entity.
+    * Canonical = lexicographic min name in the component (plain-ASCII
+    * names, so byte order is collation-safe cross-engine); cluster_size
+    * counts member names, n_parts sums the part rows behind them.
+    *
+    * Scale shape: nodes enter CC as hash60(name) longs (the engine-wide
+    * 60-bit content id — collision odds negligible at any corpus size,
+    * same argument as q19/q64); the component→canonical mapping is one
+    * groupBy over the name frame, which is DISTINCT-name-bounded, not
+    * part-bounded. Singletons never touch the CC loop: names absent
+    * from the pair list keep themselves as canonical via the left join.
+    * CC itself is the q48 star-contraction loop — O(log n) rounds.
+    */
+  def entityResolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = graft.Tables.table(s, dir, "part")
+      .groupBy($"p_name").agg(count(lit(1)).as("n_parts"))
+      .withColumn("id", expr("hash60(p_name)"))
+    val pairs = TextDedup.fuzzyNamePairs(s, dir)
+      .select(expr("hash60(name_a)").as("u"), expr("hash60(name_b)").as("v"))
+    val cc = connectedComponents(pairs)
+    val withComp = names.join(cc, names("id") === cc("node"), "left")
+      .select($"p_name", $"n_parts", coalesce($"component", $"id").as("comp"))
+    val canon = withComp.groupBy($"comp").agg(
+      min($"p_name").as("canonical_name"),
+      count(lit(1)).as("cluster_size"),
+      sum($"n_parts").as("cluster_parts"))
+    withComp.join(canon, "comp")
+      .select($"p_name", $"canonical_name", $"cluster_size", $"cluster_parts")
+      .orderBy($"p_name")
   }
 }

@@ -508,4 +508,98 @@ object Relational {
       ) AS (col_name, n_rows, n_null, n_distinct, min_val, max_val)"""))
       .orderBy($"col_name")
   }
+
+  /** Chi-square independence screen (q145): is order status independent
+    * of order priority? One row per contingency cell with observed
+    * count, expected count, and the cell's chi-square contribution,
+    * plus the grid-total statistic and degrees of freedom — the
+    * categorical-association test behind "does this segmentation
+    * matter". Determinism discipline: counts are exact integers;
+    * d = o·N − r·c stays in BIGINT (|d| ≤ N² ~ 2.3·10^14 at sf10); the
+    * only doubles are expected = r·c/N and contrib = d²/(N·r·c),
+    * each a FIXED-ORDER IEEE chain quantized straight to BIGINT e6
+    * units (floor(x·10^6 + 0.5)) — so the grid-total chi2 is an
+    * order-free BIGINT sum, never a float reduction. N·r·c would
+    * overflow BIGINT, so the denominator multiplies as doubles in
+    * literal order on both engines.
+    *
+    * Scale shape: one scan map-side combines into the ≤(statuses ×
+    * priorities) grid; every window after that runs over the bounded
+    * grid. dof comes from two 1-row broadcast side aggregates.
+    */
+  def chiSquareScreen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs0 = table(s, dir, "orders")
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("observed"))
+    // densify: a zero-observed cell still contributes its expected count
+    // to the statistic — groupBy alone would silently drop it and
+    // understate chi2 (pinned by the dependent-fixture spec).
+    val obs = obs0.select($"o_orderstatus").distinct()
+      .crossJoin(broadcast(obs0.select($"o_orderpriority").distinct()))
+      .join(obs0, Seq("o_orderstatus", "o_orderpriority"), "left")
+      .na.fill(0L, Seq("observed"))
+    val wAll = Window.partitionBy()
+    val wRow = Window.partitionBy($"o_orderstatus")
+    val wCol = Window.partitionBy($"o_orderpriority")
+    val dims = table(s, dir, "orders").agg(
+      countDistinct($"o_orderstatus").as("n_status"),
+      countDistinct($"o_orderpriority").as("n_prio"))
+    obs
+      .withColumn("n", sum($"observed").over(wAll))
+      .withColumn("r", sum($"observed").over(wRow))
+      .withColumn("c", sum($"observed").over(wCol))
+      .withColumn("d", $"observed" * $"n" - $"r" * $"c")
+      .withColumn("expected_e6", expr(
+        "cast(floor(cast(r as double) * cast(c as double) / cast(n as double) * 1e6 + 0.5) as bigint)"))
+      .withColumn("contrib_e6", expr(
+        """cast(floor(cast(d as double) * cast(d as double)
+          | / (cast(n as double) * cast(r as double) * cast(c as double))
+          | * 1e6 + 0.5) as bigint)""".stripMargin))
+      .withColumn("chi2_e6", sum($"contrib_e6").over(wAll))
+      .crossJoin(broadcast(dims))
+      .select($"o_orderstatus", $"o_orderpriority", $"observed",
+        $"expected_e6", $"contrib_e6", $"chi2_e6",
+        (($"n_status" - 1) * ($"n_prio" - 1)).as("dof"))
+      .orderBy($"o_orderstatus", $"o_orderpriority")
+  }
+
+  /** Pareto frontier / skyline (q146): the parts no buyer can strictly
+    * improve on — no other part is at most as expensive AND at least as
+    * large with one of the two strict. Equal (price, size) twins are
+    * mutually non-dominating and both survive (standard skyline
+    * semantics, pinned by spec against a brute-force dominance check).
+    *
+    * The frontier condition factors through per-price maxima: a part
+    * survives iff its size equals the max size AT its price (an equal-
+    * price larger part strictly dominates) and strictly exceeds the max
+    * size over all CHEAPER prices (an equal size at a cheaper price
+    * dominates too). The prefix max runs decomposed — the q102/q137
+    * offsets trick: per-$100 price bucket maxima, a window over the
+    * BOUNDED bucket grid for the carry-in, a within-bucket running max
+    * — so no global single-partition sort exists anywhere; at 100 TB
+    * the only big operations are one groupBy(price) and one
+    * bucket-partitioned window. Prices compare in exact cents.
+    */
+  def paretoFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parts = table(s, dir, "part").select($"p_partkey",
+      expr("cast(floor(p_retailprice * 100 + 0.5) as bigint)").as("price_cents"),
+      $"p_size".cast("long").as("size"))
+    val perPrice = parts.groupBy($"price_cents").agg(max($"size").as("msize"))
+      .withColumn("bucket", expr("price_cents div 10000"))
+    val bucketMax = perPrice.groupBy($"bucket").agg(max($"msize").as("bmax"))
+      .withColumn("carry", max($"bmax").over(
+        Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)))
+    val withPrefix = perPrice.join(broadcast(bucketMax.select($"bucket", $"carry")), "bucket")
+      .withColumn("inbucket", max($"msize").over(
+        Window.partitionBy($"bucket").orderBy($"price_cents")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("prefix", greatest(coalesce($"carry", lit(Long.MinValue)),
+        coalesce($"inbucket", lit(Long.MinValue))))
+    parts.join(withPrefix.select($"price_cents", $"msize", $"prefix"), "price_cents")
+      .where($"size" === $"msize" && $"size" > $"prefix")
+      .select($"p_partkey", $"price_cents", $"size".as("p_size"))
+      .orderBy($"price_cents", $"p_partkey")
+  }
 }

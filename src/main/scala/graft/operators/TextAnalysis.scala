@@ -1103,4 +1103,40 @@ object TextAnalysis {
         sum(when($"dev" > $"mad" * 5, 1L).otherwise(0L)).as("n_outliers"))
       .orderBy($"source")
   }
+
+  /** Cross-source vocabulary overlap matrix (q143): for every source
+    * pair, the shared distinct-token count plus Jaccard and overlap
+    * coefficients — the corpus-mixing diagnostic that says which sources
+    * are near-copies of each other at the VOCABULARY level (q73 answers
+    * it at the document level, q123 at the difficulty level). Both
+    * coefficients are exact integer rationals emitted in ppm
+    * (x·1,000,000 div denominator) — no doubles anywhere.
+    *
+    * Scale shape: ONE explode pass → distinct (source, term), then the
+    * pair counts come from a self-join on term. The fan-out per term is
+    * bounded by the source vocabulary (a term can appear in at most
+    * n_sources sources, ~20), so the join output is ≤ n_src²/2 rows per
+    * term — never corpus-quadratic — and everything after the distinct
+    * is vocab-bounded. Output is the (n_src choose 2) matrix.
+    */
+  def vocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val st = table(s, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("term"))
+      .distinct()
+    val vocab = st.groupBy($"source").agg(count(lit(1)).as("vocab"))
+    val inter = st.select($"source".as("source_a"), $"term")
+      .join(st.select($"source".as("source_b"), $"term"), "term")
+      .where($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(vocab.select($"source".as("source_a"), $"vocab".as("vocab_a")), "source_a")
+      .join(vocab.select($"source".as("source_b"), $"vocab".as("vocab_b")), "source_b")
+      .select($"source_a", $"source_b", $"vocab_a", $"vocab_b", $"n_shared",
+        expr("(n_shared * 1000000) div (vocab_a + vocab_b - n_shared)")
+          .as("jaccard_ppm"),
+        expr("(n_shared * 1000000) div least(vocab_a, vocab_b)")
+          .as("overlap_ppm"))
+      .orderBy($"source_a", $"source_b")
+  }
 }
