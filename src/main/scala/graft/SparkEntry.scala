@@ -182,6 +182,10 @@ object SparkEntry {
     "q144_entity_resolution" -> ((s, d) => operators.Clustering.entityResolution(s, d)),
     "q145_chi_square" -> ((s, d) => Relational.chiSquareScreen(s, d)),
     "q146_pareto_frontier" -> ((s, d) => Relational.paretoFrontier(s, d)),
+    "q147_spearman_corr" -> ((s, d) => Relational.spearmanCorr(s, d)),
+    "q148_copurchase_triangles" -> ((s, d) => operators.Clustering.copurchaseTriangles(s, d)),
+    "q149_ks_distance" -> ((s, d) => TextAnalysis.ksDistance(s, d)),
+    "q150_image_dhash" -> ((s, d) => Multimodal.imageDhash(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2123,6 +2127,90 @@ object SparkEntry {
         |FROM p JOIN pf USING (price_cents)
         |WHERE p.sz = pf.msize AND (pf.prefix IS NULL OR p.sz > pf.prefix)
         |ORDER BY p.price_cents, p.p_partkey""".stripMargin,
+
+    // q147: doubled average ranks (min_rank + max_rank) keep d and sum_d2
+    // exact BIGINTs; the single double chain runs the SAME literal
+    // operation order on both engines before the e6 quantize. The 1.5
+    // factor compensates the 4x of squared doubled ranks.
+    "q147_spearman_corr" ->
+      """WITH pc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT n.n_name, pc.n_orders, pc.spend_cents
+        |  FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |r AS (SELECT n_name,
+        |    2 * rank() OVER (PARTITION BY n_name ORDER BY n_orders)
+        |      + count(*) OVER (PARTITION BY n_name, n_orders) - 1 AS rx,
+        |    2 * rank() OVER (PARTITION BY n_name ORDER BY spend_cents)
+        |      + count(*) OVER (PARTITION BY n_name, spend_cents) - 1 AS ry
+        |  FROM m),
+        |g AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2 FROM r GROUP BY 1)
+        |SELECT n_name, n_customers, sum_d2,
+        |  CASE WHEN n_customers > 1 THEN CAST(floor(1000000.0 - 1500000.0 * CAST(sum_d2 AS DOUBLE)
+        |    / (CAST(n_customers AS DOUBLE) * (CAST(n_customers AS DOUBLE) * CAST(n_customers AS DOUBLE) - 1.0))
+        |    + 0.5) AS BIGINT) ELSE 0 END AS rho_e6
+        |FROM g ORDER BY n_name""".stripMargin,
+
+    // q148: the oracle runs the same orient-once formulation (pa < pb
+    // everywhere), so each triangle appears exactly once on both sides.
+    "q148_copurchase_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM op a JOIN op b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT pa, pb, CAST(count(*) AS BIGINT) AS c FROM pr
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT e1.pa AS part_a, e1.pb AS part_b, e2.pb AS part_c,
+        |  least(e1.c, e2.c, e3.c) AS support
+        |FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+        |JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        |ORDER BY part_a, part_b, part_c""".stripMargin,
+
+    // q149: ECDFs compare cross-multiplied (cum_a*n_b vs cum_b*n_a), so
+    // the sup distance is an exact integer rational in ppm; both engines
+    // take the sup over the SAME dense (source x observed-length) grid.
+    "q149_ks_distance" ->
+      """WITH dl AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS l FROM documents),
+        |cnt AS (SELECT source, l, CAST(count(*) AS BIGINT) AS cnt FROM dl GROUP BY 1, 2),
+        |grid AS (SELECT s.source, v.l, coalesce(c.cnt, 0) AS cnt
+        |  FROM (SELECT DISTINCT source FROM cnt) s
+        |  CROSS JOIN (SELECT DISTINCT l FROM cnt) v
+        |  LEFT JOIN cnt c ON c.source = s.source AND c.l = v.l),
+        |cum AS (SELECT source, l, CAST(sum(cnt) OVER (PARTITION BY source ORDER BY l) AS BIGINT) AS cum FROM grid),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM dl GROUP BY 1)
+        |SELECT a.source AS source_a, b.source AS source_b, ta.n AS n_a, tb.n AS n_b,
+        |  (max(abs(a.cum * tb.n - b.cum * ta.n)) * 1000000) // (ta.n * tb.n) AS ks_ppm
+        |FROM cum a JOIN cum b ON a.l = b.l AND a.source < b.source
+        |JOIN tot ta ON ta.source = a.source JOIN tot tb ON tb.source = b.source
+        |GROUP BY 1, 2, 3, 4 ORDER BY source_a, source_b""".stripMargin,
+
+    // q150: the oracle rebuilds the 9x8 grayscale from the generating
+    // text (q61's repeat/substring reconstruction — lossless PNG makes
+    // the codec round trip checkable), then packs the same gradient bits.
+    "q150_image_dhash" ->
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 16 AS BIGINT) AS w, CAST(1 + (doc_id // 16) % 16 AS BIGINT) AS h, text FROM documents),
+        |c AS (SELECT doc_id, w, h,
+        |    substring(repeat(text, CAST(ceil(CAST(w*h*3 AS DOUBLE)/length(text)) AS INT)), 1, CAST(w*h*3 AS INT)) AS cyc
+        |  FROM d),
+        |g AS (SELECT doc_id, w, h, cyc, unnest(range(72)) AS p FROM c),
+        |l AS (SELECT doc_id, w, h, p // 9 AS y, p % 9 AS x,
+        |  (299 * ascii(substring(cyc, CAST((((p//9)*h//8)*w + ((p%9)*w//9))*3 + 1 AS INT), 1))
+        | + 587 * ascii(substring(cyc, CAST((((p//9)*h//8)*w + ((p%9)*w//9))*3 + 2 AS INT), 1))
+        | + 114 * ascii(substring(cyc, CAST((((p//9)*h//8)*w + ((p%9)*w//9))*3 + 3 AS INT), 1))) // 1000 AS luma
+        |  FROM g),
+        |b AS (SELECT doc_id, w, h, y, x,
+        |    CASE WHEN luma < lead(luma) OVER (PARTITION BY doc_id, y ORDER BY x) THEN 1 ELSE 0 END AS bit
+        |  FROM l),
+        |bd AS (SELECT doc_id, w, h, y // 2 AS band,
+        |    CAST(sum(bit * (1 << CAST((y % 2) * 8 + x AS INT))) AS BIGINT) AS val
+        |  FROM b WHERE x < 8 GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, w AS src_w, h AS src_h,
+        |  CAST(max(CASE WHEN band = 0 THEN val END) AS BIGINT) AS b0,
+        |  CAST(max(CASE WHEN band = 1 THEN val END) AS BIGINT) AS b1,
+        |  CAST(max(CASE WHEN band = 2 THEN val END) AS BIGINT) AS b2,
+        |  CAST(max(CASE WHEN band = 3 THEN val END) AS BIGINT) AS b3
+        |FROM bd GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
 
     // q123: +1 source-side / +r = Tg div Ts global-side smoothing keeps
     // every PSI log-ratio an INTEGER ln argument (and does not charge

@@ -314,4 +314,42 @@ object Clustering {
       .select($"p_name", $"canonical_name", $"cluster_size", $"cluster_parts")
       .orderBy($"p_name")
   }
+
+  /** Support-filtered co-purchase triangles (q148): parts that pairwise
+    * co-occur in ≥ `minSupport` distinct orders, closed into triangles —
+    * the frequent-itemset step up from q126's pairwise basket lift
+    * (a triangle is a 3-itemset candidate whose every 2-subset is
+    * frequent, exactly Apriori's candidate rule). One row per triangle
+    * with the weakest edge's support as its strength.
+    *
+    * Scale shape: the pair generator self-joins WITHIN an order, whose
+    * fan-out is hard-bounded by the per-order line count (≤ 7 here,
+    * ≤ C(7,2)=21 pairs), so pair instances stay linear in lineitem; the
+    * support filter is THE lever — random co-occurrence thins as the
+    * catalog grows, so the surviving edge set SHRINKS superlinearly with
+    * SF (3.4k edges at sf0.01, and the triangle join runs only on that
+    * pruned frame). Edges are oriented low-id→high-id once, so each
+    * triangle materializes exactly once — no post-hoc dedup of 6
+    * permutations. The one corpus-sized op is the pair groupBy
+    * (map-side combined).
+    */
+  def copurchaseTriangles(s: SparkSession, dir: String,
+                          minSupport: Int = 2): DataFrame = {
+    import s.implicits._
+    val op = graft.Tables.table(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val edges = op.as("a").join(op.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+      .agg(count(lit(1)).as("c"))
+      .where($"c" >= minSupport)
+    val e1 = edges.select($"pa".as("a"), $"pb".as("b"), $"c".as("c1"))
+    val e2 = edges.select($"pa".as("b2"), $"pb".as("c"), $"c".as("c2"))
+    val e3 = edges.select($"pa".as("a3"), $"pb".as("c3"), $"c".as("c3s"))
+    e1.join(e2, $"b" === $"b2")
+      .join(e3, $"a" === $"a3" && $"c" === $"c3")
+      .select($"a".as("part_a"), $"b".as("part_b"), $"c".as("part_c"),
+        least($"c1", $"c2", $"c3s").as("support"))
+      .orderBy($"part_a", $"part_b", $"part_c")
+  }
 }

@@ -28,6 +28,12 @@ case class ThumbMeta(doc_id: Long, src_w: Long, src_h: Long,
 case class AudioEnergy(doc_id: Long, n_frames: Long, sum_amp: Long,
                        peak_amp: Long)
 
+/** Per-image difference-hash bands (q150). Top-level for codegen
+  * visibility — see [[ThumbMeta]].
+  */
+case class DhashBands(doc_id: Long, src_w: Long, src_h: Long,
+                      b0: Long, b1: Long, b2: Long, b3: Long)
+
 /** Multimodal columns: media handled as opaque `binary` columns with typed
   * metadata extracted by a partition-local decode stage.
   *
@@ -484,5 +490,104 @@ object Multimodal {
       .where($"pos" % stride === 0)
       .select($"doc_id", $"pos".cast("long").as("frame_idx"), md5(col("col")).as("frame_md5"))
       .orderBy($"doc_id", $"frame_idx")
+  }
+
+  /** 16-bit dHash bands from a decoded raster: 9×8 nearest-neighbor
+    * grayscale (integer luma (299r+587g+114b) div 1000), one bit per
+    * horizontal gradient (g[y][x] < g[y][x+1]), rows 2k/2k+1 packed into
+    * band k at bit (y%2)*8+x. Pure integer — the oracle reproduces the
+    * bits from the generating text with no codec.
+    */
+  private[graft] def dhashFromRaster(w: Int, h: Int,
+                                     px: Array[Int]): Array[Long] = {
+    val g = new Array[Int](72)
+    var p = 0
+    while (p < 72) {
+      val y = p / 9; val x = p % 9
+      val rgb = px((y * h / 8) * w + (x * w / 9))
+      g(p) = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000
+      p += 1
+    }
+    val bands = new Array[Long](4)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x) < g(y * 9 + x + 1))
+          bands(y / 2) |= 1L << ((y % 2) * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bands
+  }
+
+  /** Perceptual image hash (q150): build the real PNG binary column,
+    * decode it through the JDK codec, and emit the classic dHash
+    * (difference hash — gradient signs over a 9×8 downsample) as four
+    * 16-bit BIGINT bands. The bands ARE the LSH index for image
+    * near-dup: exact-match any band → candidate pair, 4 bands pigeonhole
+    * every pair within Hamming distance 3 into at least one shared band
+    * (see [[dhashPairs]]). PNG losslessness keeps the whole chain
+    * oracle-checkable — the DuckDB side recomputes the bits from the
+    * generating text, so a codec bug anywhere in the round trip breaks
+    * the hash compare.
+    *
+    * Scale shape: per-partition codec kernel (same as q30/q61), no
+    * shuffle, 4 small integers per image out.
+    */
+  def imageDhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        it.map { case (id, text) => (id, encodePng(writer, pngRaster(id, text))) }
+      }
+      .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+        it.map { case (id, png) =>
+          val (w, h, px) = decodeRaster(reader, png)
+          val b = dhashFromRaster(w, h, px)
+          DhashBands(id, w.toLong, h.toLong, b(0), b(1), b(2), b(3))
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  /** Banded image near-dup pairs over [[imageDhash]] output: exact-match
+    * any of the 4 bands → candidate, then the full 64-bit Hamming
+    * distance filters to ≤ `maxDist`. Pigeonhole-complete for
+    * maxDist ≤ 3 (4 bands, so ≤ 3 differing bits leave ≥ 1 band clean).
+    * Two guards make the bucket join 100 TB-safe: images smaller than
+    * the 9×8 sampling grid are excluded (their upsampled gradients are
+    * constant-dominated — at this corpus they all hash to a handful of
+    * values and would form quadratic buckets), and any bucket larger
+    * than `bucketCap` is dropped as low-information (the q20/q21
+    * saturation rule; deterministic, so the spec can pin it).
+    */
+  def dhashPairs(hashes: DataFrame, maxDist: Int = 3,
+                 bucketCap: Int = 64): DataFrame = {
+    val s = hashes.sparkSession
+    import s.implicits._
+    val banded = hashes
+      .where($"src_w" >= 9 && $"src_h" >= 8) // at least the sampling grid
+      .select($"doc_id", $"b0", $"b1", $"b2", $"b3",
+        posexplode(array($"b0", $"b1", $"b2", $"b3")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "v")
+    val ok = banded.groupBy($"band", $"v").agg(count(lit(1)).as("bc"))
+      .where($"bc" <= bucketCap)
+    val inBucket = banded.join(ok, Seq("band", "v"))
+    val cand = inBucket.as("x").join(inBucket.as("y"),
+        $"x.band" === $"y.band" && $"x.v" === $"y.v" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        (expr("bit_count(x.b0 ^ y.b0) + bit_count(x.b1 ^ y.b1)") +
+          expr("bit_count(x.b2 ^ y.b2) + bit_count(x.b3 ^ y.b3)")).as("hamming"))
+      .distinct()
+    cand.where($"hamming" <= maxDist).orderBy($"doc_a", $"doc_b")
   }
 }

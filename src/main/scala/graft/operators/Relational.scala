@@ -602,4 +602,54 @@ object Relational {
       .select($"p_partkey", $"price_cents", $"size".as("p_size"))
       .orderBy($"price_cents", $"p_partkey")
   }
+
+  /** Per-nation Spearman rank correlation (q147) between a customer's
+    * order count and total spend — the monotone-association screen that
+    * Pearson gets wrong under heavy tails (and spend IS heavy-tailed,
+    * q135's Gini says so). Classic 6·Σd² formulation with average ranks
+    * for ties and no tie-correction term (the common implementation;
+    * pinned by the hand-fixture spec).
+    *
+    * Determinism discipline: average ranks are kept as DOUBLED integers
+    * (r2 = 2·rank + ties − 1 = min_rank + max_rank), so d and Σd² are
+    * exact BIGINTs; per-nation n ≤ ~60k at sf10 bounds Σd² ≤ n·(2n)²
+    * ~ 8.6e14 — no overflow, and exactly representable when the one
+    * fixed-order double chain (1e6 − 1.5e6·Σd²/(n(n²−1)), the 1.5
+    * compensating the 4× of squared doubled ranks) quantizes to e6.
+    *
+    * Scale shape: one orders rollup (map-side combined), a broadcast
+    * customer→nation attach, then two rank windows PARTITIONED by
+    * nation — no global sort anywhere; output is 25 rows.
+    */
+  def spearmanCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = table(s, dir, "orders")
+      .groupBy($"o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).as("spend_cents"))
+    val cust = table(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val nation = table(s, dir, "nation").select($"n_nationkey", $"n_name")
+    val m = perCust.join(cust, perCust("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"c_custkey", $"n_orders", $"spend_cents")
+    def rank2(v: Column, name: String): Column = {
+      // doubled average rank = min_rank + max_rank, both from one
+      // nation-partitioned sort: rank() is the min, min+ties−1 the max
+      val w = Window.partitionBy($"n_name").orderBy(v)
+      val wt = Window.partitionBy($"n_name", v)
+      (rank().over(w) * 2 + count(lit(1)).over(wt) - 1).as(name)
+    }
+    m.select($"n_name", rank2($"n_orders", "rx"), rank2($"spend_cents", "ry"))
+      .withColumn("d", $"rx" - $"ry")
+      .groupBy($"n_name").agg(
+        count(lit(1)).as("n_customers"),
+        sum($"d" * $"d").as("sum_d2"))
+      .select($"n_name", $"n_customers", $"sum_d2",
+        when($"n_customers" > 1, expr(
+          """cast(floor(1000000.0 - 1500000.0 * cast(sum_d2 as double)
+            | / (cast(n_customers as double) * (cast(n_customers as double) * cast(n_customers as double) - 1.0))
+            | + 0.5) as bigint)""".stripMargin))
+          .otherwise(lit(0L)).as("rho_e6"))
+      .orderBy($"n_name")
+  }
 }

@@ -1139,4 +1139,49 @@ object TextAnalysis {
           .as("overlap_ppm"))
       .orderBy($"source_a", $"source_b")
   }
+
+  /** Two-sample Kolmogorov-Smirnov distance per source pair (q149) on
+    * the per-document token-count distribution — the exact
+    * distributional-drift test that PSI (q123) approximates through
+    * binning: D = sup |F_a − F_b| over the merged support, emitted in
+    * ppm. EXACT integer arithmetic throughout: the ECDF compare
+    * cross-multiplies (|cum_a·n_b − cum_b·n_a| over the common
+    * denominator n_a·n_b), so no ratio ever becomes a double.
+    * n_a·n_b·10^6 ≤ ~2.5e17 at sf10 — BIGINT-safe; corpora past ~3e6
+    * docs/source would move the cross-product to DECIMAL(38,0).
+    *
+    * Scale shape: one scan folds to the (source × token-length) grid —
+    * token lengths are generation-bounded (hundreds of distinct values),
+    * so everything after the first groupBy is grid-sized: the per-source
+    * cumulative window partitions by source over the bounded length
+    * axis, and the pair join fans out to n_src²/2 rows per length.
+    * ECDFs are step functions, so the sup over the union of observed
+    * lengths IS the global sup — no densification needed beyond the
+    * shared grid both engines build identically.
+    */
+  def ksDistance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lens = table(s, dir, "documents")
+      .select($"source", size(split($"text", " ")).cast("long").as("len"))
+    val counts = lens.groupBy($"source", $"len").agg(count(lit(1)).as("cnt"))
+    // dense (source x len) grid: a length observed in ANY source is an
+    // ECDF jump point for every pair, and cum must be defined there
+    val grid = counts.select($"source").distinct()
+      .crossJoin(counts.select($"len").distinct())
+      .join(counts, Seq("source", "len"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("cum", sum($"cnt").over(
+        Window.partitionBy($"source").orderBy($"len")))
+    val totals = lens.groupBy($"source").agg(count(lit(1)).as("n"))
+    val a = grid.join(totals, "source")
+      .select($"source".as("source_a"), $"len", $"cum".as("cum_a"), $"n".as("n_a"))
+    val b = grid.join(totals, "source")
+      .select($"source".as("source_b"), $"len", $"cum".as("cum_b"), $"n".as("n_b"))
+    a.join(b, "len").where($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b", $"n_a", $"n_b")
+      .agg(max(abs($"cum_a" * $"n_b" - $"cum_b" * $"n_a")).as("d_num"))
+      .select($"source_a", $"source_b", $"n_a", $"n_b",
+        expr("(d_num * 1000000) div (n_a * n_b)").as("ks_ppm"))
+      .orderBy($"source_a", $"source_b")
+  }
 }
