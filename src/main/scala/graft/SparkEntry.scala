@@ -186,6 +186,10 @@ object SparkEntry {
     "q148_copurchase_triangles" -> ((s, d) => operators.Clustering.copurchaseTriangles(s, d)),
     "q149_ks_distance" -> ((s, d) => TextAnalysis.ksDistance(s, d)),
     "q150_image_dhash" -> ((s, d) => Multimodal.imageDhash(s, d)),
+    "q151_bootstrap_ci" -> ((s, d) => Relational.bootstrapCi(s, d)),
+    "q152_quantile_normalize" -> ((s, d) => TextAnalysis.quantileNormalize(s, d)),
+    "q153_frequent_sequences" -> ((s, d) => EventOps.frequentSequences(s, d)),
+    "q154_cuped_lift" -> ((s, d) => EventOps.cupedLift(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2211,6 +2215,107 @@ object SparkEntry {
         |  CAST(max(CASE WHEN band = 2 THEN val END) AS BIGINT) AS b2,
         |  CAST(max(CASE WHEN band = 3 THEN val END) AS BIGINT) AS b3
         |FROM bd GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+
+    // q151: replica membership is bit b of the shared hash60 — the
+    // oracle materializes the 32-way expand that the Spark side folds
+    // into conditional aggregates; replica means are floor-div integer
+    // cents, so the rank picks are engine-exact.
+    "q151_bootstrap_ci" ->
+      """WITH base AS (SELECT c.c_mktsegment AS segment,
+        |    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(concat('0x', substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |seg AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents FROM base GROUP BY 1),
+        |reps AS (SELECT segment, b, CAST(count(*) AS BIGINT) AS cnt_b,
+        |    CAST(sum(cents) AS BIGINT) AS sum_b
+        |  FROM base, unnest(range(32)) u(b) WHERE (h >> CAST(b AS INT)) & 1 = 1
+        |  GROUP BY 1, 2),
+        |means AS (SELECT segment, b, sum_b // cnt_b AS mean_b FROM reps WHERE cnt_b > 0),
+        |rk AS (SELECT segment, mean_b,
+        |    row_number() OVER (PARTITION BY segment ORDER BY mean_b, b) AS ra,
+        |    row_number() OVER (PARTITION BY segment ORDER BY mean_b DESC, b DESC) AS rd
+        |  FROM means),
+        |ci AS (SELECT segment, max(CASE WHEN ra = 2 THEN mean_b END) AS ci_lo_cents,
+        |    max(CASE WHEN rd = 2 THEN mean_b END) AS ci_hi_cents FROM rk GROUP BY 1)
+        |SELECT s.segment, s.n_orders, s.sum_cents // s.n_orders AS mean_cents,
+        |  ci.ci_lo_cents, ci.ci_hi_cents
+        |FROM seg s JOIN ci USING (segment) ORDER BY segment""".stripMargin,
+
+    // q152: norm_len is the exact global order statistic at rank
+    // ceil(r*N/n_s) — both engines run the same integer rank math and
+    // the same half-open (cum-cnt, cum] grid lookup.
+    "q152_quantile_normalize" ->
+      """WITH dl AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS l FROM documents),
+        |grid AS (SELECT l, CAST(count(*) AS BIGINT) AS cnt FROM dl GROUP BY 1),
+        |cgrid AS (SELECT l, cnt, CAST(sum(cnt) OVER (ORDER BY l) AS BIGINT) AS cum FROM grid),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM dl GROUP BY 1),
+        |nall AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM dl),
+        |rnk AS (SELECT dl.doc_id, dl.source, dl.l,
+        |    row_number() OVER (PARTITION BY dl.source ORDER BY dl.l, dl.doc_id) AS r,
+        |    t.n_s, nall.n_total
+        |  FROM dl JOIN tot t USING (source), nall)
+        |SELECT rnk.doc_id, rnk.source, rnk.l AS len, g.l AS norm_len
+        |FROM rnk JOIN cgrid g
+        |  ON (rnk.r * rnk.n_total + rnk.n_s - 1) // rnk.n_s > g.cum - g.cnt
+        | AND (rnk.r * rnk.n_total + rnk.n_s - 1) // rnk.n_s <= g.cum
+        |ORDER BY doc_id""".stripMargin,
+
+    // q153: both engines share the ONE (user, ts, type) sort for the
+    // position index; support is exists-per-user (distinct before the
+    // rollup), cap and threshold are literal on both sides.
+    "q153_frequent_sequences" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_type) AS rn
+        |  FROM events),
+        |cp AS (SELECT user_id, event_type, rn FROM ev WHERE rn <= 10),
+        |tr AS (SELECT DISTINCT a.user_id, a.event_type AS t1, b.event_type AS t2, c.event_type AS t3
+        |  FROM cp a JOIN cp b ON a.user_id = b.user_id AND a.rn < b.rn
+        |  JOIN cp c ON b.user_id = c.user_id AND b.rn < c.rn)
+        |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_users
+        |FROM tr GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY t1, t2, t3""".stripMargin,
+
+    // q154: every statistic folds to exact BIGINT sums; theta and the
+    // means are the SAME literal double chains on both engines
+    // (products may pass 2^53 — IEEE round-to-nearest is
+    // engine-identical, the q145 argument), round6-quantized.
+    "q154_cuped_lift" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |mid AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS t_mid FROM ev),
+        |pu AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN ts_us < t_mid THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN ts_us >= t_mid THEN 1 ELSE 0 END) AS BIGINT) AS y,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0 AS va
+        |  FROM ev, mid GROUP BY user_id),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(CASE WHEN va THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN va THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+        |    CAST(sum(CASE WHEN va THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+        |    CAST(sum(CASE WHEN NOT va THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN NOT va THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+        |    CAST(sum(CASE WHEN NOT va THEN y ELSE 0 END) AS BIGINT) AS sy_b
+        |  FROM pu),
+        |t AS (SELECT *,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+        |      THEN 0.0
+        |      ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    END AS theta,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+        |  FROM a)
+        |SELECT n_a, n_b,
+        |  floor(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_a,
+        |  floor(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_b,
+        |  floor((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) - theta * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - xbar)) * 1e6 + 0.5) / 1e6 AS adj_a,
+        |  floor((CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) - theta * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) - xbar)) * 1e6 + 0.5) / 1e6 AS adj_b,
+        |  floor(theta * 1e6 + 0.5) / 1e6 AS theta,
+        |  floor((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS lift_raw,
+        |  floor(((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) - theta * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - xbar))
+        |       - (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) - theta * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) - xbar))) * 1e6 + 0.5) / 1e6 AS lift_adj
+        |FROM t""".stripMargin,
 
     // q123: +1 source-side / +r = Tg div Ts global-side smoothing keeps
     // every PSI log-ratio an INTEGER ln argument (and does not charge

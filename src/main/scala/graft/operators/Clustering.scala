@@ -322,9 +322,11 @@ object Clustering {
     * frequent, exactly Apriori's candidate rule). One row per triangle
     * with the weakest edge's support as its strength.
     *
-    * Scale shape: the pair generator self-joins WITHIN an order, whose
-    * fan-out is hard-bounded by the per-order line count (≤ 7 here,
-    * ≤ C(7,2)=21 pairs), so pair instances stay linear in lineitem; the
+    * Scale shape: the pair generator folds each order's distinct parts
+    * into ONE sorted array (a single corpus shuffle; set size
+    * hard-bounded by the per-order line count ≤ 7) and explodes the
+    * a<b combinations inline (≤ C(7,2)=21 pairs per order, no
+    * self-join), so pair instances stay linear in lineitem; the
     * support filter is THE lever — random co-occurrence thins as the
     * catalog grows, so the surviving edge set SHRINKS superlinearly with
     * SF (3.4k edges at sf0.01, and the triangle join runs only on that
@@ -336,12 +338,19 @@ object Clustering {
   def copurchaseTriangles(s: SparkSession, dir: String,
                           minSupport: Int = 2): DataFrame = {
     import s.implicits._
-    val op = graft.Tables.table(s, dir, "lineitem")
-      .select($"l_orderkey", $"l_partkey").distinct()
-    val edges = op.as("a").join(op.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
-      .groupBy($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
-      .agg(count(lit(1)).as("c"))
+    // ONE shuffle builds each order's distinct part set (bounded ≤ 7
+    // parts), and the a<b pairs explode INLINE from the sorted array —
+    // the first-cut distinct + self-join shape paid three corpus
+    // shuffles for the same pairs and benched 79 s at sf10 (BENCH_NOTES)
+    val pairs = graft.Tables.table(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y -> struct(x as pa, y as pb))))""".stripMargin))
+        .as("pr"))
+      .select($"pr.pa", $"pr.pb")
+    val edges = pairs.groupBy($"pa", $"pb").agg(count(lit(1)).as("c"))
       .where($"c" >= minSupport)
     val e1 = edges.select($"pa".as("a"), $"pb".as("b"), $"c".as("c1"))
     val e2 = edges.select($"pa".as("b2"), $"pb".as("c"), $"c".as("c2"))

@@ -1304,4 +1304,101 @@ object EventOps {
         ($"cusum_neg" > $"t" * 2).as("dip"))
       .orderBy($"day")
   }
+
+  /** Frequent event-type 3-sequences (q153): PrefixSpan-style sequential
+    * pattern support — for every ordered type triple (a→b→c), how many
+    * users exhibit it as a subsequence (other events may interleave;
+    * q93's transition trigrams required adjacency, this does not — the
+    * difference between "path taken" and "behavioral motif"). Support
+    * counts USERS (exists-semantics via distinct), the standard
+    * sequence-mining definition.
+    *
+    * Scale shape: each user's stream is capped to its first `cap`
+    * events (documented truncation — the industry norm for motif
+    * mining; the cap bounds the triple fan-out at C(cap,3) per user),
+    * so the generator is user-linear. Position indices come from ONE
+    * user-partitioned sort shared by all three join legs; the triple
+    * join runs user-keyed (never cross-user), and distinct collapses to
+    * exists before the type³-bounded rollup.
+    */
+  def frequentSequences(s: SparkSession, dir: String, cap: Int = 10,
+                        minUsers: Int = 2): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+      .select($"user_id", $"ts_us", $"event_type")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"ts_us", $"event_type")))
+      .where($"rn" <= cap)
+      .select($"user_id", $"rn", $"event_type")
+    val a = ev.select($"user_id", $"rn".as("ra"), $"event_type".as("t1"))
+    val b = ev.select($"user_id", $"rn".as("rb"), $"event_type".as("t2"))
+    val c = ev.select($"user_id", $"rn".as("rc"), $"event_type".as("t3"))
+    a.join(b, Seq("user_id")).where($"ra" < $"rb")
+      .join(c, Seq("user_id")).where($"rb" < $"rc")
+      .select($"user_id", $"t1", $"t2", $"t3").distinct()
+      .groupBy($"t1", $"t2", $"t3").agg(count(lit(1)).as("n_users"))
+      .where($"n_users" >= minUsers)
+      .orderBy($"t1", $"t2", $"t3")
+  }
+
+  /** CUPED-adjusted experiment readout (q154): q122's hash-split A/B
+    * lift with variance reduction from the pre-period covariate
+    * (Deng et al., WSDM'13 — the standard trick every experimentation
+    * platform ships). Users split on hash60 parity; the experiment
+    * window opens at the corpus time midpoint: x = a user's event count
+    * BEFORE the midpoint (unaffected by treatment by construction),
+    * y = count after. θ = cov(x,y)/var(x) pooled across both arms, and
+    * each arm's adjusted mean uses the linearity shortcut
+    * ȳ_v − θ·(x̄_v − x̄) — so NO per-row double ever exists: everything
+    * folds to exact BIGINT sums (n, Σx, Σy, Σxy, Σx²) per arm, and θ /
+    * means / lifts are fixed-order double chains over those integers,
+    * round6-quantized (the q145 discipline: products may exceed 2^53
+    * but IEEE round-to-nearest is engine-identical).
+    *
+    * Scale shape: one scan → per-user conditional counts (map-side
+    * combined), one ≤2-row conditional rollup, arithmetic on one row.
+    */
+  def cupedLift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"user_id", $"ts_us")
+    val mid = ev.agg(((min($"ts_us") + max($"ts_us")) / 2).cast("long").as("t_mid"))
+    val perUser = ev.crossJoin(broadcast(mid))
+      .groupBy($"user_id").agg(
+        sum(when($"ts_us" < $"t_mid", 1L).otherwise(0L)).as("x"),
+        sum(when($"ts_us" >= $"t_mid", 1L).otherwise(0L)).as("y"))
+      .withColumn("va", expr("hash60(cast(user_id as string)) % 2 = 0"))
+    val agg = perUser.agg(
+      count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+      sum(when($"va", 1L).otherwise(0L)).as("n_a"),
+      sum(when($"va", $"x").otherwise(0L)).as("sx_a"),
+      sum(when($"va", $"y").otherwise(0L)).as("sy_a"),
+      sum(when(!$"va", 1L).otherwise(0L)).as("n_b"),
+      sum(when(!$"va", $"x").otherwise(0L)).as("sx_b"),
+      sum(when(!$"va", $"y").otherwise(0L)).as("sy_b"))
+    // θ = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²); var(x)=0 (constant covariate)
+    // degrades to θ=0, i.e. the unadjusted readout — spec-pinned.
+    val theta = when(
+      expr("cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)") === 0.0,
+      lit(0.0))
+      .otherwise(expr(
+        """(cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double))
+          | / (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))""".stripMargin))
+    val xbar = expr("cast(sx as double) / cast(n as double)")
+    def mAdj(syv: String, sxv: String, nv: String) =
+      expr(s"cast($syv as double) / cast($nv as double)") -
+        $"theta" * (expr(s"cast($sxv as double) / cast($nv as double)") - $"xbar")
+    agg.withColumn("theta", theta).withColumn("xbar", xbar)
+      .select($"n_a", $"n_b",
+        graft.Tables.round6(expr("cast(sy_a as double) / cast(n_a as double)")).as("mean_a"),
+        graft.Tables.round6(expr("cast(sy_b as double) / cast(n_b as double)")).as("mean_b"),
+        graft.Tables.round6(mAdj("sy_a", "sx_a", "n_a")).as("adj_a"),
+        graft.Tables.round6(mAdj("sy_b", "sx_b", "n_b")).as("adj_b"),
+        graft.Tables.round6($"theta").as("theta"),
+        graft.Tables.round6(
+          expr("cast(sy_a as double) / cast(n_a as double) - cast(sy_b as double) / cast(n_b as double)"))
+          .as("lift_raw"),
+        graft.Tables.round6(mAdj("sy_a", "sx_a", "n_a") - mAdj("sy_b", "sx_b", "n_b"))
+          .as("lift_adj"))
+  }
 }

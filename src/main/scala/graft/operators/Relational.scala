@@ -652,4 +652,56 @@ object Relational {
           .otherwise(lit(0L)).as("rho_e6"))
       .orderBy($"n_name")
   }
+
+  /** Hash-deterministic bootstrap confidence interval (q151) for the
+    * mean order value per market segment — resampling WITHOUT a random
+    * number generator: replica b includes an order iff bit b of
+    * hash60(orderkey) is set (md5 bits are independent fair coins), so
+    * every replica is a reproducible half-sample — across runs, engines,
+    * and backfills, the q80/q122 seedless discipline applied to
+    * inference. Reported interval = [2nd-smallest, 2nd-largest] of the
+    * 32 replica means (the ~94% empirical band; replica means are
+    * floor-div integer cents).
+    *
+    * Scale shape: ONE scan, no explode — the 32 replicas are 64
+    * conditional aggregates folded map-side into the ≤5-row segment
+    * frame, then stack() unpivots 5×32 bounded rows for the rank
+    * windows. The hash costs one md5 per row (not 32); at 100 TB the
+    * whole operator is a single map-side-combined aggregate.
+    */
+  def bootstrapCi(s: SparkSession, dir: String,
+                  replicas: Int = 32): DataFrame = {
+    import s.implicits._
+    val base = table(s, dir, "orders")
+      .join(table(s, dir, "customer").select($"c_custkey", $"c_mktsegment"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("segment"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"),
+        expr("hash60(cast(o_orderkey as string))").as("h"))
+    val repAggs = (0 until replicas).flatMap { b =>
+      Seq(sum(expr(s"shiftright(h, $b) & 1")).as(s"cnt_$b"),
+        sum(expr(s"(shiftright(h, $b) & 1) * cents")).as(s"sum_$b"))
+    }
+    val aggCols = Seq(count(lit(1)).as("n_orders"),
+      sum($"cents").as("sum_cents")) ++ repAggs
+    val agg = base.groupBy($"segment").agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = (0 until replicas)
+      .map(b => s"${b}L, cnt_$b, sum_$b").mkString(", ")
+    val reps = agg.select($"segment", $"n_orders", $"sum_cents",
+        expr(s"stack($replicas, $stackArgs) as (b, cnt_b, sum_b)"))
+      .where($"cnt_b" > 0)
+      .withColumn("mean_b", expr("sum_b div cnt_b"))
+    val wAsc = Window.partitionBy($"segment").orderBy($"mean_b", $"b")
+    val wDesc = Window.partitionBy($"segment").orderBy($"mean_b".desc, $"b".desc)
+    reps
+      .withColumn("ra", row_number().over(wAsc))
+      .withColumn("rd", row_number().over(wDesc))
+      .groupBy($"segment", $"n_orders", $"sum_cents").agg(
+        max(when($"ra" === 2, $"mean_b")).as("ci_lo_cents"),
+        max(when($"rd" === 2, $"mean_b")).as("ci_hi_cents"))
+      .select($"segment", $"n_orders",
+        expr("sum_cents div n_orders").as("mean_cents"),
+        $"ci_lo_cents", $"ci_hi_cents")
+      .orderBy($"segment")
+  }
 }

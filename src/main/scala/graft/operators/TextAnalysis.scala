@@ -1184,4 +1184,42 @@ object TextAnalysis {
         expr("(d_num * 1000000) div (n_a * n_b)").as("ks_ppm"))
       .orderBy($"source_a", $"source_b")
   }
+
+  /** Cross-source quantile normalization (q152): map every document's
+    * token count onto the GLOBAL length distribution at the same
+    * within-source quantile — the feature-calibration transform that
+    * makes "long for its source" comparable across sources whose raw
+    * length scales differ (q149 measures that the distributions
+    * diverge; this is the fix). norm_len is the exact global order
+    * statistic at rank ceil(r·N/n_s) — pure integer arithmetic, no
+    * interpolation convention to match across engines.
+    *
+    * Scale shape: the within-source rank is a source-PARTITIONED
+    * window (doc_id tie-break); the global quantile function lives on
+    * the bounded observed-length grid (cnt, cum per len — the q149
+    * grid), so the lookup is a broadcast range join g ∈ (cum−cnt, cum]
+    * with exactly one match per doc. No global sort of documents
+    * anywhere; a single giant source degrades to q102's distributed
+    * rank, noted here for the 100 TB path.
+    */
+  def quantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lens = table(s, dir, "documents")
+      .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("len"))
+    val grid = lens.groupBy($"len").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(Window.orderBy($"len")))
+      .select($"len".as("glen"), $"cnt", $"cum")
+    val totals = lens.groupBy($"source").agg(count(lit(1)).as("n_s"))
+    val n = lens.agg(count(lit(1)).as("n_total"))
+    val ranked = lens
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"source").orderBy($"len", $"doc_id")))
+      .join(totals, "source")
+      .crossJoin(broadcast(n))
+      .withColumn("g", expr("(r * n_total + n_s - 1) div n_s"))
+    ranked.join(broadcast(grid),
+        $"g" > $"cum" - $"cnt" && $"g" <= $"cum")
+      .select($"doc_id", $"source", $"len", $"glen".as("norm_len"))
+      .orderBy($"doc_id")
+  }
 }
