@@ -190,6 +190,10 @@ object SparkEntry {
     "q152_quantile_normalize" -> ((s, d) => TextAnalysis.quantileNormalize(s, d)),
     "q153_frequent_sequences" -> ((s, d) => EventOps.frequentSequences(s, d)),
     "q154_cuped_lift" -> ((s, d) => EventOps.cupedLift(s, d)),
+    "q155_dedup_eval" -> ((s, d) => Similarity.dedupEval(s, d)),
+    "q156_split_leakage" -> ((s, d) => Pipeline.splitLeakage(s, d)),
+    "q157_ols_trend" -> ((s, d) => Relational.olsTrend(s, d)),
+    "q158_lag_features" -> ((s, d) => EventOps.lagFeatures(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2316,6 +2320,112 @@ object SparkEntry {
         |  floor(((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) - theta * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - xbar))
         |       - (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) - theta * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) - xbar))) * 1e6 + 0.5) / 1e6 AS lift_adj
         |FROM t""".stripMargin,
+
+    // q155: the oracle composes q23's exact pair CTE with q42's LSH
+    // chain (shared vv/n prefix) and folds the full-outer compare to
+    // one row of integer-ppm precision/recall.
+    "q155_dedup_eval" ->
+      """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) nrm FROM vv),
+        |pe AS (SELECT a.vec_id va, b.vec_id vb,
+        |        list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]), (x, y) -> x + y) / (a.nrm * b.nrm) c
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id),
+        |ex AS (SELECT va, vb FROM pe WHERE c >= 0.45),
+        |planes AS (SELECT r.p, list_transform(range(0, 64), i ->
+        |    CAST(CAST(concat('0x', substr(md5(CAST(r.p AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000 AS DOUBLE) / 1000.0) w
+        |  FROM range(16) r(p)),
+        |sigs AS (SELECT n.vec_id,
+        |    CAST(sum(CASE WHEN list_reduce(list_transform(range(1, 65), i -> n.v[i] * pl.w[i]), (a, b) -> a + b) >= 0
+        |             THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM n, planes pl GROUP BY n.vec_id),
+        |band AS (SELECT vec_id, r.b AS band, (sig >> (r.b * 4)) & 15 AS bkey FROM sigs, range(4) r(b)),
+        |cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb FROM band a JOIN band b
+        |         ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+        |pc AS (SELECT va, vb,
+        |        list_reduce(list_transform(range(1, 65), i -> x.v[i] * y.v[i]), (a, b) -> a + b) / (x.nrm * y.nrm) c
+        |      FROM cand JOIN n x ON va = x.vec_id JOIN n y ON vb = y.vec_id),
+        |ls AS (SELECT va, vb FROM pc WHERE c >= 0.45),
+        |j AS (SELECT CASE WHEN e.va IS NOT NULL THEN 1 ELSE 0 END e,
+        |             CASE WHEN l.va IS NOT NULL THEN 1 ELSE 0 END l
+        |      FROM ex e FULL OUTER JOIN ls l ON e.va = l.va AND e.vb = l.vb),
+        |a AS (SELECT CAST(sum(e) AS BIGINT) n_exact, CAST(sum(l) AS BIGINT) n_lsh,
+        |             CAST(sum(e * l) AS BIGINT) n_common FROM j)
+        |SELECT n_exact, n_lsh, n_common, n_exact - n_common AS n_missed,
+        |  n_lsh - n_common AS n_false,
+        |  CASE WHEN n_lsh > 0 THEN (n_common * 1000000) // n_lsh ELSE 0 END AS precision_ppm,
+        |  CASE WHEN n_exact > 0 THEN (n_common * 1000000) // n_exact ELSE 0 END AS recall_ppm
+        |FROM a""".stripMargin,
+
+    // q156: q21's exact-verified pair chain + q80's seedless split rule,
+    // folded to the 3x3 upper contamination matrix.
+    "q156_split_leakage" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([CAST(concat('0x', substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15)) AS BIGINT)
+        |         for i in range(1, len(ts) - 1)]) hs FROM t),
+        |ex AS (SELECT doc_id, unnest(hs) h FROM sh),
+        |seeds AS (SELECT r.s, CAST(concat('0x', substr(md5(CAST(r.s AS VARCHAR)), 1, 15)) AS BIGINT) c FROM range(32) r(s)),
+        |mh AS (SELECT ex.doc_id, seeds.s, min(xor(ex.h, seeds.c)) mh FROM ex, seeds GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(mh ORDER BY s) sig FROM mh GROUP BY 1),
+        |band AS (SELECT doc_id, r.b band, array_to_string(sig[r.b * 4 + 1 : r.b * 4 + 4], ',') bkey
+        |         FROM sig, range(8) r(b)),
+        |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM band a JOIN band b
+        |         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |j AS (SELECT da, db, len(list_intersect(x.hs, y.hs)) inter, len(x.hs) na, len(y.hs) nb
+        |      FROM cand JOIN sh x ON cand.da = x.doc_id JOIN sh y ON cand.db = y.doc_id),
+        |pr AS (SELECT da, db FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+        |sp AS (SELECT da, db,
+        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(da AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+        |         WHEN CAST(concat('0x', substr(md5(CAST(da AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+        |         ELSE 'test' END sa,
+        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(db AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+        |         WHEN CAST(concat('0x', substr(md5(CAST(db AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+        |         ELSE 'test' END sb
+        |  FROM pr)
+        |SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs, least(sa, sb) <> greatest(sa, sb) AS leaked
+        |FROM sp GROUP BY 1, 2, 4 ORDER BY split_a, split_b""".stripMargin,
+
+    // q157: slope/intercept/R2 are the SAME literal chains over exact
+    // per-nation BIGINT sums on both engines; degenerate variance pins 0.
+    "q157_ols_trend" ->
+      """WITH pc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT n.n_name, pc.x, pc.y FROM pc
+        |  JOIN customer c ON pc.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |a AS (SELECT n_name, CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) sx,
+        |    CAST(sum(y) AS BIGINT) sy, CAST(sum(x * y) AS BIGINT) sxy,
+        |    CAST(sum(x * x) AS BIGINT) sxx, CAST(sum(y * y) AS BIGINT) syy
+        |  FROM m GROUP BY 1),
+        |d AS (SELECT *,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov
+        |  FROM a)
+        |SELECT n_name, n,
+        |  floor(CASE WHEN vx = 0.0 THEN 0.0 ELSE cov / vx END * 1e6 + 0.5) / 1e6 AS slope,
+        |  floor(CASE WHEN vx = 0.0 THEN 0.0 ELSE (CAST(sy AS DOUBLE) - (cov / vx) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END * 1e6 + 0.5) / 1e6 AS intercept,
+        |  floor(CASE WHEN vx = 0.0 OR vy = 0.0 THEN 0.0 ELSE cov * cov / (vx * vy) END * 1e6 + 0.5) / 1e6 AS r2
+        |FROM d ORDER BY n_name""".stripMargin,
+
+    // q158: one (user, ts, event_id) sort serves lag/lag2/trailing
+    // frame on both engines; -1 sentinels keep the columns BIGINT.
+    "q158_lag_features" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |w AS (SELECT *,
+        |    lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) l1,
+        |    lag(ts_us, 2) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) l2,
+        |    first_value(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) f3,
+        |    count(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) c3
+        |  FROM ev)
+        |SELECT event_id, user_id, event_type,
+        |  CAST(coalesce(ts_us - l1, -1) AS BIGINT) AS gap1_us,
+        |  CAST(coalesce(l1 - l2, -1) AS BIGINT) AS gap2_us,
+        |  CAST(CASE WHEN c3 > 0 THEN (ts_us - f3) // c3 ELSE -1 END AS BIGINT) AS mean_gap3
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
 
     // q123: +1 source-side / +r = Tg div Ts global-side smoothing keeps
     // every PSI log-ratio an INTEGER ln argument (and does not charge

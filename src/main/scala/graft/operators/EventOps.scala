@@ -1401,4 +1401,37 @@ object EventOps {
         graft.Tables.round6(mAdj("sy_a", "sx_a", "n_a") - mAdj("sy_b", "sx_b", "n_b"))
           .as("lift_adj"))
   }
+
+  /** Per-user event lag features (q158): for every event, the gap to the
+    * user's previous event, the gap before that, and the trailing-3
+    * mean gap — the feature block every sequence model (churn, intent,
+    * next-event) trains on, emitted as exact integer microseconds
+    * (mean is floor-div). First events emit −1 sentinels instead of
+    * NULL so the compare column stays BIGINT end-to-end.
+    *
+    * Scale shape: ONE user-partitioned sort serves all three windows
+    * (lag, lag², trailing frame) — Catalyst plans a single Exchange +
+    * Sort; output is event-linear with no further shuffle.
+    */
+  def lagFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val wf = w.rowsBetween(-3, -1)
+    events(s, dir)
+      .select($"event_id", $"user_id", $"ts_us", $"event_type")
+      .withColumn("gap1", $"ts_us" - lag($"ts_us", 1).over(w))
+      .withColumn("gap2", lag($"ts_us", 1).over(w) - lag($"ts_us", 2).over(w))
+      .withColumn("_first3", first($"ts_us").over(wf))
+      .withColumn("_cnt3", count($"ts_us").over(wf))
+      .withColumn("mean_gap3",
+        // mean of the last k<=3 gaps telescopes to (ts - ts_{i-k}) / k,
+        // so the frame needs only its ENDPOINT (first) and size (count)
+        when($"_cnt3" > 0, expr("(ts_us - _first3) div _cnt3"))
+          .otherwise(lit(-1L)))
+      .select($"event_id", $"user_id", $"event_type",
+        coalesce($"gap1", lit(-1L)).as("gap1_us"),
+        coalesce($"gap2", lit(-1L)).as("gap2_us"),
+        $"mean_gap3")
+      .orderBy($"user_id", $"event_id")
+  }
 }

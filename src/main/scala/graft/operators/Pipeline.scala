@@ -441,4 +441,36 @@ object Pipeline {
             ($"n_seqs" * $"max_tok").cast("double")).as("pad_frac"))
       .orderBy($"bucket")
   }
+
+  /** Split-leakage audit (q156): near-duplicate pairs (q21's
+    * exact-verified minhash detector) that STRADDLE q80's train/val/test
+    * boundary — the contamination a random split always creates when
+    * the corpus has near-dups ("test doc whose twin is in train" is the
+    * classic eval inflation). One row per (split_a ≤ split_b) cell with
+    * the pair count and a leaked flag — the full 3×3 upper matrix, so
+    * the in-split diagonal sizes the dedup problem while the
+    * off-diagonal IS the leak.
+    *
+    * Scale shape: the pair frame is the memoized q21 detector (bands →
+    * verify — never quadratic); split assignment is the q80 seedless
+    * hash rule recomputed per doc (coordination-free, no manifest
+    * join); rollup is ≤ 6 rows.
+    */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def splitOf(name: String) = {
+      val b = expr(s"hash60(cast($name as string))") % 100
+      when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    }
+    val pairs = TextDedup.minhashLshPairs(s, dir)
+      .select($"doc_a", $"doc_b",
+        splitOf("doc_a").as("sa"), splitOf("doc_b").as("sb"))
+    pairs
+      .select(least($"sa", $"sb").as("split_a"),
+        greatest($"sa", $"sb").as("split_b"))
+      .groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked", $"split_a" =!= $"split_b")
+      .orderBy($"split_a", $"split_b")
+  }
 }

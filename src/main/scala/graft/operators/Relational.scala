@@ -704,4 +704,42 @@ object Relational {
         $"ci_lo_cents", $"ci_hi_cents")
       .orderBy($"segment")
   }
+
+  /** Per-nation OLS trend (q157): slope, intercept, and R² of customer
+    * spend (cents) on order count — the EFFECT-SIZE complement of
+    * q147's rank correlation (Spearman says "monotone"; this says "how
+    * many cents per additional order"). Everything folds to exact
+    * BIGINT sums per nation (n, Σx, Σy, Σxy, Σx², Σy²) in ONE map-side
+    * combined aggregate; slope/intercept/R² are fixed-order double
+    * chains over those integers, round6-quantized (the q145/q154
+    * discipline). Degenerate nations (constant x, or constant y for R²)
+    * pin to 0.0 — spec'd.
+    */
+  def olsTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = table(s, dir, "orders")
+      .groupBy($"o_custkey").agg(
+        count(lit(1)).as("x"),
+        sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).as("y"))
+    val m = perCust
+      .join(table(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(table(s, dir, "nation")
+        .select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+    val agg = m.groupBy($"n_name").agg(
+      count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+      sum($"y" * $"y").as("syy"))
+    val vx = expr("cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)")
+    val vy = expr("cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)")
+    val cov = expr("cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)")
+    agg.select($"n_name", $"n",
+        graft.Tables.round6(when(vx === 0.0, lit(0.0)).otherwise(cov / vx)).as("slope"),
+        graft.Tables.round6(when(vx === 0.0, lit(0.0)).otherwise(
+          (expr("cast(sy as double)") - (cov / vx) * expr("cast(sx as double)")) /
+            expr("cast(n as double)"))).as("intercept"),
+        graft.Tables.round6(when(vx === 0.0 || vy === 0.0, lit(0.0))
+          .otherwise(cov * cov / (vx * vy))).as("r2"))
+      .orderBy($"n_name")
+  }
 }

@@ -1343,4 +1343,36 @@ object Similarity {
           .otherwise(lit(0.0))).as("ndcg"))
       .orderBy($"method")
   }
+
+  /** Embedding-dedup evaluation harness (q155): the LSH pair detector
+    * (q42) scored against the exact blocked baseline (q23) — recall and
+    * precision as integer ppm, ONE row. This makes the dedup stack's
+    * recall DRIVER-VISIBLE under the oracle (the q25/q53 recalls live
+    * only in specs); precision is 1.0 by construction (q42 verifies
+    * candidates with the exact cosine), so a sub-1e6 precision here is
+    * a regression alarm, not a tuning number.
+    *
+    * Scale shape: re-runs the two operators it scores (q129's "the
+    * harness IS the cost" trade — and both frames are OpCache-memoized,
+    * so inside one session the marginal cost is the join); the compare
+    * joins pair frames on (vec_a, vec_b) and folds to one row.
+    */
+  def dedupEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = cosineNearDupPairs(s, dir).select($"vec_a", $"vec_b")
+      .withColumn("e", lit(1L))
+    val lsh = cosineNearDupLsh(s, dir).select($"vec_a", $"vec_b")
+      .withColumn("l", lit(1L))
+    exact.join(lsh, Seq("vec_a", "vec_b"), "full_outer")
+      .agg(sum(coalesce($"e", lit(0L))).as("n_exact"),
+        sum(coalesce($"l", lit(0L))).as("n_lsh"),
+        sum(when($"e".isNotNull && $"l".isNotNull, 1L).otherwise(0L)).as("n_common"))
+      .select($"n_exact", $"n_lsh", $"n_common",
+        ($"n_exact" - $"n_common").as("n_missed"),
+        ($"n_lsh" - $"n_common").as("n_false"),
+        when($"n_lsh" > 0, expr("(n_common * 1000000) div n_lsh"))
+          .otherwise(lit(0L)).as("precision_ppm"),
+        when($"n_exact" > 0, expr("(n_common * 1000000) div n_exact"))
+          .otherwise(lit(0L)).as("recall_ppm"))
+  }
 }
