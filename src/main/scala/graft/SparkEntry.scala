@@ -194,6 +194,10 @@ object SparkEntry {
     "q156_split_leakage" -> ((s, d) => Pipeline.splitLeakage(s, d)),
     "q157_ols_trend" -> ((s, d) => Relational.olsTrend(s, d)),
     "q158_lag_features" -> ((s, d) => EventOps.lagFeatures(s, d)),
+    "q159_stream_timer_sessions" -> ((s, d) => graft.streaming.StreamOps.timerSessionsStreamed(s, d)),
+    "q160_audio_resample" -> ((s, d) => Multimodal.audioResample(s, d)),
+    "q161_bucketed_join_audit" -> ((s, d) => Relational.bucketedJoinAudit(s, d)),
+    "q162_cluster_capped_sample" -> ((s, d) => operators.Clustering.clusterCappedSample(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2426,6 +2430,77 @@ object SparkEntry {
         |  CAST(coalesce(l1 - l2, -1) AS BIGINT) AS gap2_us,
         |  CAST(CASE WHEN c3 > 0 THEN (ts_us - f3) // c3 ELSE -1 END AS BIGINT) AS mean_gap3
         |FROM w ORDER BY user_id, event_id""".stripMargin,
+
+    // q159: SAME oracle text as q72 — the timer-driven transformWithState
+    // sessionizer and the session_window sessionizer are certified
+    // against one batch truth, so the two streaming surfaces can't drift.
+    "q159_stream_timer_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |x AS (SELECT user_id, ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS d FROM e)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN d IS NULL OR d >= 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q160: the resample is exact integer rational interpolation, so the
+    // oracle reproduces every output sample from the generating text
+    // (s[j] = byte*257, the q60/q62 rule); the LEFT JOIN keeps clips
+    // whose downsample rounds to zero frames.
+    "q160_audio_resample" ->
+      """WITH d AS (SELECT doc_id, CAST(8000 * (1 + doc_id % 4) AS BIGINT) AS src_rate, text,
+        |    CAST(length(text) AS BIGINT) AS n_in FROM documents),
+        |o AS (SELECT doc_id, src_rate, n_in, (n_in * 11025) // src_rate AS n_out, text FROM d),
+        |u AS (SELECT doc_id, src_rate, n_in, n_out, text, unnest(range(n_out)) AS i FROM o),
+        |v AS (SELECT doc_id,
+        |    (ascii(substring(text, CAST(least((i * src_rate) // 11025, n_in - 1) + 1 AS INT), 1)) * 257
+        |       * (11025 - (i * src_rate) % 11025)
+        |     + ascii(substring(text, CAST(least((i * src_rate) // 11025 + 1, n_in - 1) + 1 AS INT), 1)) * 257
+        |       * ((i * src_rate) % 11025)) // 11025 AS v
+        |  FROM u)
+        |SELECT o.doc_id, o.src_rate, o.n_in, o.n_out,
+        |  CAST(coalesce(sum(v.v), 0) AS BIGINT) AS sum_amp,
+        |  CAST(coalesce(max(v.v), 0) AS BIGINT) AS peak_amp
+        |FROM o LEFT JOIN v ON o.doc_id = v.doc_id
+        |GROUP BY 1, 2, 3, 4 ORDER BY o.doc_id""".stripMargin,
+
+    // q161: the rollup must equal the plain two-table join, and the
+    // executed plan's Exchange count under the join is pinned to 0 — a
+    // plan regression (lost co-location) turns this row red.
+    "q161_bucketed_join_audit" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(0 AS BIGINT) AS n_join_exchanges
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // q162: q48's recursive-CTE components + the same seedless hash rank;
+    // kept = rank <= 2 inside each near-dup cluster.
+    "q162_cluster_capped_sample" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([CAST(concat('0x', substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15)) AS BIGINT)
+        |         for i in range(1, len(ts) - 1)]) hs FROM t),
+        |ex AS (SELECT doc_id, unnest(hs) h FROM sh),
+        |seeds AS (SELECT r.s, CAST(concat('0x', substr(md5(CAST(r.s AS VARCHAR)), 1, 15)) AS BIGINT) c FROM range(32) r(s)),
+        |mh AS (SELECT ex.doc_id, seeds.s, min(xor(ex.h, seeds.c)) mh FROM ex, seeds GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(mh ORDER BY s) sig FROM mh GROUP BY 1),
+        |band AS (SELECT doc_id, r.b band, array_to_string(sig[r.b * 4 + 1 : r.b * 4 + 4], ',') bkey
+        |         FROM sig, range(8) r(b)),
+        |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM band a JOIN band b
+        |         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |j AS (SELECT da, db, len(list_intersect(x.hs, y.hs)) inter, len(x.hs) na, len(y.hs) nb
+        |      FROM cand JOIN sh x ON cand.da = x.doc_id JOIN sh y ON cand.db = y.doc_id),
+        |pairs AS (SELECT da, db FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+        |e AS (SELECT da u, db v FROM pairs UNION SELECT db, da FROM pairs),
+        |r AS (SELECT u AS n, u AS reach FROM (SELECT DISTINCT u FROM e) b0
+        |      UNION SELECT r.n, e.v FROM r JOIN e ON r.reach = e.u),
+        |c AS (SELECT n AS doc_id, min(reach) AS cluster_id FROM r GROUP BY 1),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM c GROUP BY 1),
+        |k AS (SELECT c.doc_id, c.cluster_id, sz.cluster_size,
+        |    CAST(row_number() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY CAST(concat('0x', substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 15)) AS BIGINT), c.doc_id) AS BIGINT) AS keep_rank
+        |  FROM c JOIN sz USING (cluster_id))
+        |SELECT doc_id, cluster_id, cluster_size, keep_rank, keep_rank <= 2 AS kept
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // q123: +1 source-side / +r = Tg div Ts global-side smoothing keeps
     // every PSI log-ratio an INTEGER ln argument (and does not charge

@@ -322,11 +322,15 @@ object Clustering {
     * frequent, exactly Apriori's candidate rule). One row per triangle
     * with the weakest edge's support as its strength.
     *
-    * Scale shape: the pair generator folds each order's distinct parts
-    * into ONE sorted array (a single corpus shuffle; set size
-    * hard-bounded by the per-order line count ≤ 7) and explodes the
-    * a<b combinations inline (≤ C(7,2)=21 pairs per order, no
-    * self-join), so pair instances stay linear in lineitem; the
+    * Scale shape: the pair generator self-joins the distinct
+    * (order, part) frame WITHIN an order — fan-out hard-bounded by the
+    * per-order line count (≤ 7 here, ≤ C(7,2)=21 pairs), so pair
+    * instances stay linear in lineitem. A collect_set+inline-explode
+    * variant was probed and REJECTED by measurement: equal at sf1 but
+    * 1.5-3× slower and erratic at sf10 (object aggregation of 15M small
+    * arrays falls back to sort-based agg and churns GC; columnar
+    * narrow-long shuffles are cheaper than they look — BENCH_NOTES,
+    * q148 probe). The
     * support filter is THE lever — random co-occurrence thins as the
     * catalog grows, so the surviving edge set SHRINKS superlinearly with
     * SF (3.4k edges at sf0.01, and the triangle join runs only on that
@@ -338,19 +342,12 @@ object Clustering {
   def copurchaseTriangles(s: SparkSession, dir: String,
                           minSupport: Int = 2): DataFrame = {
     import s.implicits._
-    // ONE shuffle builds each order's distinct part set (bounded ≤ 7
-    // parts), and the a<b pairs explode INLINE from the sorted array —
-    // the first-cut distinct + self-join shape paid three corpus
-    // shuffles for the same pairs and benched 79 s at sf10 (BENCH_NOTES)
-    val pairs = graft.Tables.table(s, dir, "lineitem")
-      .groupBy($"l_orderkey")
-      .agg(sort_array(collect_set($"l_partkey")).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps)), y -> struct(x as pa, y as pb))))""".stripMargin))
-        .as("pr"))
-      .select($"pr.pa", $"pr.pb")
-    val edges = pairs.groupBy($"pa", $"pb").agg(count(lit(1)).as("c"))
+    val op = graft.Tables.table(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val edges = op.as("a").join(op.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+      .agg(count(lit(1)).as("c"))
       .where($"c" >= minSupport)
     val e1 = edges.select($"pa".as("a"), $"pb".as("b"), $"c".as("c1"))
     val e2 = edges.select($"pa".as("b2"), $"pb".as("c"), $"c".as("c2"))
@@ -360,5 +357,36 @@ object Clustering {
       .select($"a".as("part_a"), $"b".as("part_b"), $"c".as("part_c"),
         least($"c1", $"c2", $"c3s").as("support"))
       .orderBy($"part_a", $"part_b", $"part_c")
+  }
+
+  /** Cluster-capped sampling decision (q162): within every near-dup
+    * cluster (q48's components), keep at most `cap` documents — the
+    * middle ground real pretraining pipelines ship between "keep all
+    * duplicates" (over-weights templated content) and "keep one" (q55 —
+    * loses legitimate variation). The keep choice is the q80/q151
+    * seedless discipline: rank by hash60(doc_id) inside the cluster, so
+    * the sample is reproducible across runs, engines, and backfills and
+    * uncorrelated with doc_id assignment order.
+    *
+    * Scale shape: the pair frame and CC are the memoized q48 machinery;
+    * the rank window partitions by cluster (bounded groups); output is
+    * one row per CLUSTERED doc (singletons are always kept — emitting
+    * them would just pad the frame with constant rows).
+    */
+  def clusterCappedSample(s: SparkSession, dir: String,
+                          cap: Int = 2): DataFrame = {
+    import s.implicits._
+    val pairs = TextDedup.minhashLshPairs(s, dir).select($"doc_a", $"doc_b")
+    val cc = connectedComponents(pairs)
+      .select($"node".as("doc_id"), $"component".as("cluster_id"))
+    val sizes = cc.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .withColumn("keep_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
+          .orderBy(expr("hash60(cast(doc_id as string))"), $"doc_id")))
+      .select($"doc_id", $"cluster_id", $"cluster_size",
+        $"keep_rank".cast("long").as("keep_rank"),
+        ($"keep_rank" <= cap).as("kept"))
+      .orderBy($"doc_id")
   }
 }

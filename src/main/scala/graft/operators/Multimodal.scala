@@ -28,6 +28,12 @@ case class ThumbMeta(doc_id: Long, src_w: Long, src_h: Long,
 case class AudioEnergy(doc_id: Long, n_frames: Long, sum_amp: Long,
                        peak_amp: Long)
 
+/** Per-doc resample stats emitted by the audio rate converter (q160).
+  * Top-level for codegen visibility — see [[ThumbMeta]].
+  */
+case class ResampleStats(doc_id: Long, src_rate: Long, n_in: Long,
+                         n_out: Long, sum_amp: Long, peak_amp: Long)
+
 /** Per-image difference-hash bands (q150). Top-level for codegen
   * visibility — see [[ThumbMeta]].
   */
@@ -346,6 +352,60 @@ object Multimodal {
             i += 2
           }
           AudioEnergy(id, pcm.length.toLong / 2L, sum, peak)
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  /** Audio resample to a fixed target rate (q160): decode the real WAV
+    * through the JDK codec, then linear-interpolate the 16-bit PCM from
+    * its source rate (8000·(1+id%4)) to `outRate` (11025 default — not a
+    * divisor or multiple of any source rate, so the fractional blend
+    * path runs on every clip; 8000-rate clips UPSAMPLE, exercising the
+    * end-clamp) — the
+    * sample-rate normalization every audio training pipeline runs before
+    * batching (models want one rate). The interpolation is EXACT integer
+    * arithmetic: source position of output i is the rational
+    * i·srcRate/outRate, split as idx = div and frac = mod, and the
+    * blended sample is (s[idx]·(outRate−frac) + s[idx+1]·frac) div
+    * outRate — no float resampler convention to match, so the oracle
+    * reproduces every output sample from the generating text. Emitted as
+    * amplitude stats (the q62 shape): order-free integer sums.
+    *
+    * Scale shape: per-partition codec kernel, O(1) state per clip, no
+    * shuffle.
+    */
+  def audioResample(s: SparkSession, dir: String,
+                    outRate: Int = 11025): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .map { case (id, text) => (id, buildWav(id, text)) }
+      .mapPartitions { it =>
+        it.map { case (id, wav) =>
+          val ais = wavReaderTL.get()
+            .getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+          val srcRate = ais.getFormat.getSampleRate.toLong
+          val pcm = ais.readAllBytes()
+          ais.close()
+          val nIn = pcm.length / 2
+          def sample(j: Int): Long = {
+            val k = math.min(j, nIn - 1)
+            ((pcm(2 * k) & 0xff) | ((pcm(2 * k + 1) & 0xff) << 8)).toLong
+          }
+          val nOut = (nIn * outRate) / srcRate
+          var i = 0L; var sum = 0L; var peak = 0L
+          while (i < nOut) {
+            val posNum = i * srcRate
+            val idx = (posNum / outRate).toInt
+            val frac = posNum % outRate
+            val v = (sample(idx) * (outRate - frac) + sample(idx + 1) * frac) / outRate
+            sum += v; if (v > peak) peak = v
+            i += 1
+          }
+          ResampleStats(id, srcRate, nIn.toLong, nOut, sum, peak)
         }
       }
       .toDF()

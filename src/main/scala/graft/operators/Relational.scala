@@ -742,4 +742,58 @@ object Relational {
           .otherwise(cov * cov / (vx * vy))).as("r2"))
       .orderBy($"n_name")
   }
+
+  /** Bucketed zero-shuffle join, driver-visible (q161): write orders and
+    * lineitem BUCKETED BY the join key, join them back, and emit the
+    * revenue-by-priority rollup PLUS the number of Exchange operators
+    * under the join in the EXECUTED plan — which the oracle pins to 0.
+    * This turns `BucketedJoinSpec`'s plan assertion into a standing
+    * correctness row: if a Spark upgrade or conf drift ever reintroduces
+    * a shuffle under this join, the driver's gate goes red, not just a
+    * unit test. Broadcast is disabled for the probe (restored after) so
+    * co-location, not a broadcast, is what kills the Exchange.
+    *
+    * The bucketed WRITE is the operator's cost (the q78/q84 trade: at
+    * 100 TB you pay one shuffle-on-write to make every future fact-fact
+    * join shuffle-free); the rollup result itself must equal the plain
+    * two-table join, which is exactly what the oracle computes.
+    */
+  def bucketedJoinAudit(s: SparkSession, dir: String,
+                        buckets: Int = 8): DataFrame = {
+    import s.implicits._
+    val tag = math.abs(dir.hashCode).toString
+    val to = s"q161_orders_$tag"; val tl = s"q161_lineitem_$tag"
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.sql(s"DROP TABLE IF EXISTS $to"); s.sql(s"DROP TABLE IF EXISTS $tl")
+    try {
+      table(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
+        .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(to)
+      table(s, dir, "lineitem")
+        .select($"l_orderkey",
+          expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("cents"))
+        .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(tl)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s.table(to)
+        .join(s.table(tl), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), sum($"cents").as("revenue_cents"))
+      val rows = joined.collect().toSeq // bounded: one row per priority
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      val exchanges =
+        if (joinIdx < 0) Long.MaxValue // not the co-located plan at all
+        else plan.substring(joinIdx)
+          .sliding("Exchange hashpartitioning".length)
+          .count(_ == "Exchange hashpartitioning").toLong
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), joined.schema)
+        .withColumn("n_join_exchanges", lit(exchanges))
+        .orderBy($"o_orderpriority")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      s.sql(s"DROP TABLE IF EXISTS $to"); s.sql(s"DROP TABLE IF EXISTS $tl")
+    }
+  }
 }

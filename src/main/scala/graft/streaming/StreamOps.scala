@@ -1022,6 +1022,105 @@ object StreamOps {
     (graft.operators.TextAnalysis.psiFromCounts(s, s.read.parquet(path), nBins),
       nBatches.get())
   }
+
+  /** Timer-driven streaming sessionization (q159): the q72 session
+    * semantics (30-minute gap, n_sessions/n_events per user — ONE shared
+    * DuckDB oracle certifies both) re-implemented on Spark 4's
+    * `transformWithState` with EVENT-TIME TIMERS — the API surface q91
+    * (TimeMode.None) leaves untouched: mid-stream session closes emit
+    * inline when a row lands past the gap, but each user's LAST session
+    * has no closing row, so the processor registers an event-time timer
+    * at last+gap and `handleExpiredTimer` emits when the WATERMARK
+    * crosses it — the production mechanism for "session ended because
+    * time passed, not because data arrived".
+    *
+    * Drain choreography (replay determinism): `maxFilesPerTrigger=1`
+    * with two ascending global sentinel files (+2h, +4h) gives three
+    * micro-batches — sentinel 1 advances the watermark past every real
+    * expiry, and the timers FIRE while batch 3 (sentinel 2) runs,
+    * because timer expiry is checked against the watermark each batch.
+    * Sentinel keys are negative user ids, filtered after the sink.
+    * State is per-user O(1) (one session tuple + one timer) on RocksDB.
+    */
+  def timerSessionsStreamed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val tsIsNanosLong =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsIsNtz =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType
+    val work = java.nio.file.Files.createTempDirectory("q159_tsess")
+    val srcDir = work.resolve("src"); java.nio.file.Files.createDirectories(srcDir)
+    val conf = s.sessionState.newHadoopConf()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$dir/events.parquet"),
+      fs, new org.apache.hadoop.fs.Path(s"${srcDir.toString}/events.parquet"),
+      false, conf)
+    val maxTs = raw.agg(max(col("ts"))).head.get(0)
+    def sentinel(hours: Long, uid: Long, name: String): Unit = {
+      val s0 =
+        if (tsIsNanosLong)
+          raw.limit(1).withColumn("ts",
+            lit(maxTs.asInstanceOf[Long] + hours * 3600L * 1000000000L))
+        else if (tsIsNtz)
+          raw.limit(1).withColumn("ts",
+            lit(maxTs.asInstanceOf[java.time.LocalDateTime].plusHours(hours)))
+        else
+          raw.limit(1).withColumn("ts",
+            lit(maxTs.asInstanceOf[java.sql.Timestamp].getTime / 1000 +
+              hours * 3600L).cast("timestamp"))
+      s0.withColumn("user_id", lit(uid))
+        .coalesce(1).write.parquet(work.resolve(s"stage_$name").toString)
+      val staged = new java.io.File(work.resolve(s"stage_$name").toString)
+        .listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(staged.toPath, srcDir.resolve(s"$name.parquet"))
+    }
+    sentinel(2, -1L, "sentinel1")
+    sentinel(4, -2L, "sentinel2")
+    val stream0 = s.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"${srcDir.toString}/*.parquet")
+    val stream =
+      if (tsIsNanosLong) stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else if (tsIsNtz) stream0.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      else stream0
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(confKey)
+    val outDir = work.resolve("out").toString
+    try {
+      s.conf.set(confKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import org.apache.spark.sql.streaming.TimeMode
+      val q = stream
+        .withWatermark("ts", "10 minutes")
+        .select($"user_id".cast("long"), unix_micros($"ts"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new TimerSessionProcessor(1800L * 1000000L),
+          TimeMode.EventTime(), OutputMode.Append)
+        .toDF("user_id", "start_us", "end_us", "n_in_session")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sink = s.read.parquet(outDir)
+        .where(col("user_id") >= 0L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_in_session")).as("n_events"))
+      val rows = sink.collect().toSeq // bounded: one row per user
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), sink.schema)
+        .orderBy($"user_id")
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set(confKey, p)
+        case None => s.conf.unset(confKey)
+      }
+      deleteRecursively(work.toFile)
+    }
+  }
 }
 
 /** StatefulProcessor for [[StreamOps.runningUserCountsTws]]: one ValueState
@@ -1046,5 +1145,58 @@ class RunningCountsProcessor
     rows.foreach { case (_, ts) => n += 1; if (ts > last) last = ts }
     state.update((n, last))
     Iterator((user, n, last))
+  }
+}
+
+/** StatefulProcessor for [[StreamOps.timerSessionsStreamed]]: per-user
+  * session state (start, last, n, timerMs) with EVENT-TIME timers. Rows
+  * within a batch are sorted locally (per-user per-batch volume is
+  * micro-batch-bounded); a row landing >= gap after the last one closes
+  * the open session inline; the registered timer closes the final one
+  * when the watermark passes last+gap. The stored timerMs disambiguates
+  * stale timers: registerTimer can't atomically replace, so an expiry
+  * that doesn't match the session's CURRENT deadline is ignored.
+  */
+class TimerSessionProcessor(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var state: ValueState[(Long, Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Long, Long, Long)]("session",
+      Encoders.product[(Long, Long, Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    val sorted = rows.map(_._2).toArray
+    java.util.Arrays.sort(sorted)
+    var out = List.empty[(Long, Long, Long, Long)]
+    var (st, la, n, tmr) = Option(state.get()).getOrElse((-1L, -1L, 0L, -1L))
+    sorted.foreach { ts =>
+      if (st < 0) { st = ts; la = ts; n = 1 }
+      else if (ts - la >= gapUs) {
+        out ::= (user, st, la, n); st = ts; la = ts; n = 1
+      } else { if (ts > la) la = ts; n += 1 }
+    }
+    val newTmr = (la + gapUs) / 1000L + 1L
+    if (tmr >= 0 && tmr != newTmr) getHandle.deleteTimer(tmr)
+    if (tmr != newTmr) getHandle.registerTimer(newTmr)
+    state.update((st, la, n, newTmr))
+    out.reverseIterator
+  }
+
+  override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+    Option(state.get()) match {
+      case Some((st, la, n, tmr))
+          if st >= 0 && expiredTimerInfo.getExpiryTimeInMs() == tmr =>
+        state.clear()
+        Iterator((user, st, la, n))
+      case _ => Iterator.empty
+    }
   }
 }
