@@ -198,6 +198,8 @@ object SparkEntry {
     "q160_audio_resample" -> ((s, d) => Multimodal.audioResample(s, d)),
     "q161_bucketed_join_audit" -> ((s, d) => Relational.bucketedJoinAudit(s, d)),
     "q162_cluster_capped_sample" -> ((s, d) => operators.Clustering.clusterCappedSample(s, d)),
+    "q163_matryoshka_eval" -> ((s, d) => Similarity.matryoshkaEval(s, d)),
+    "q164_broadcast_plan_audit" -> ((s, d) => Relational.broadcastPlanAudit(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2501,6 +2503,42 @@ object SparkEntry {
         |  FROM c JOIN sz USING (cluster_id))
         |SELECT doc_id, cluster_id, cluster_size, keep_rank, keep_rank <= 2 AS kept
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // q163: both rankings are the q24-proven (cosine DESC, vec_id) tie
+    // discipline; truncated side slices the same vectors to 16 dims, and
+    // every fold runs in index order on both engines.
+    "q163_matryoshka_eval" ->
+      """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) nrm FROM vv),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+        |sc AS (SELECT q.query_id, n.vec_id,
+        |        list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]), (x, y) -> x + y) / (n.nrm * q.qn) c
+        |      FROM n, q WHERE n.vec_id <> q.query_id),
+        |rf AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) rk FROM sc) WHERE rk <= 5),
+        |tn AS (SELECT vec_id, v[1:16] tv, sqrt(list_reduce(list_transform(v[1:16], x -> x * x), (a, b) -> a + b)) nrm FROM vv),
+        |tq AS (SELECT vec_id AS query_id, tv AS qv, nrm AS qn FROM tn WHERE vec_id % 100 = 0),
+        |sct AS (SELECT tq.query_id, tn.vec_id,
+        |        list_reduce(list_transform(range(1, 17), i -> tn.tv[i] * tq.qv[i]), (x, y) -> x + y) / (tn.nrm * tq.qn) c
+        |      FROM tn, tq WHERE tn.vec_id <> tq.query_id),
+        |rt AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) rk FROM sct) WHERE rk <= 5),
+        |h AS (SELECT rf.query_id, CAST(count(*) AS BIGINT) n_overlap
+        |      FROM rf JOIN rt ON rf.query_id = rt.query_id AND rf.vec_id = rt.vec_id GROUP BY 1)
+        |SELECT a.query_id, CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap
+        |FROM (SELECT DISTINCT query_id FROM rf) a LEFT JOIN h USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+
+    // q164: rollup equals the plain star join; the plan counters are
+    // pinned literals — broadcast regressions turn the row red.
+    "q164_broadcast_plan_audit" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents,
+        |  CAST(2 AS BIGINT) AS n_broadcast_joins,
+        |  CAST(0 AS BIGINT) AS n_sort_merge_joins
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY r_name""".stripMargin,
 
     // q123: +1 source-side / +r = Tg div Ts global-side smoothing keeps
     // every PSI log-ratio an INTEGER ln argument (and does not charge

@@ -796,4 +796,33 @@ object Relational {
       s.sql(s"DROP TABLE IF EXISTS $to"); s.sql(s"DROP TABLE IF EXISTS $tl")
     }
   }
+
+  /** Broadcast-plan audit (q164): q161's canary idea applied to the
+    * OTHER join strategy that matters at 100 TB — the star join. The
+    * customer⋈nation⋈region rollup must plan BOTH dimension joins as
+    * BroadcastHashJoin and NONE as SortMergeJoin (a fact-sized shuffle
+    * to join a 25-row dimension is the classic silent regression when a
+    * threshold conf drifts or a dimension loses its size stats). The
+    * executed plan's counts ride the output row; the oracle pins them
+    * to (2, 0), so the driver's gate — not a unit test — goes red on a
+    * planning regression.
+    */
+  def broadcastPlanAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val joined = table(s, dir, "customer")
+      .join(broadcast(table(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(table(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)")).as("acctbal_cents"))
+    val rows = joined.collect().toSeq // bounded: one row per region
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    def occurrences(needle: String): Long =
+      plan.sliding(needle.length).count(_ == needle).toLong
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), joined.schema)
+      .withColumn("n_broadcast_joins", lit(occurrences("BroadcastHashJoin")))
+      .withColumn("n_sort_merge_joins", lit(occurrences("SortMergeJoin")))
+      .orderBy($"r_name")
+  }
 }

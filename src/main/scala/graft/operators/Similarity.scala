@@ -1375,4 +1375,47 @@ object Similarity {
         when($"n_exact" > 0, expr("(n_common * 1000000) div n_exact"))
           .otherwise(lit(0L)).as("recall_ppm"))
   }
+
+  /** Matryoshka-truncation retrieval eval (q163): how much top-k quality
+    * survives truncating embeddings to their first `dims` components —
+    * the cost/quality decision every embedding pipeline makes (shorter
+    * vectors = cheaper index, MRL-trained models front-load signal).
+    * For each harness query (vec_id % 100 = 0): top-k by full-dim
+    * cosine vs top-k by prefix-dim cosine, emitting the overlap count
+    * per query. The full-dim side reuses q24's memoized brute-force
+    * baseline; the truncated side broadcasts the BOUNDED query set and
+    * streams the corpus once — scores shuffle, vectors don't.
+    *
+    * Determinism: both rankings tie-break (cosine desc, vec_id) — the
+    * q24-proven discipline; overlap counts are integers.
+    */
+  def matryoshkaEval(s: SparkSession, dir: String, k: Int = 5,
+                     dims: Int = 16): DataFrame = {
+    import s.implicits._
+    val full = annBruteForce(s, dir)
+      .select($"query_id", $"neighbor_id".as("nf"))
+    val vecs = table(s, dir, "embeddings")
+      .select($"vec_id", expr(s"slice(embedding, 1, $dims)").as("v"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(v, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double)))"))
+    val queries = vecs.where($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val scored = vecs.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        expr("""aggregate(zip_with(v, qv, (a, b) -> cast(a as double) * cast(b as double)),
+               | cast(0.0 as double), (acc, x) -> acc + x) / (nrm * qn)""".stripMargin)
+          .as("c"))
+    val trunc = scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+          .orderBy($"c".desc, $"vec_id")))
+      .where($"rk" <= k)
+      .select($"query_id", $"vec_id".as("nt"))
+    val hits = full.join(trunc, Seq("query_id")).where($"nf" === $"nt")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_overlap"))
+    full.select($"query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .orderBy($"query_id")
+  }
 }
