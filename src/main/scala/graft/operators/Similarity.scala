@@ -258,6 +258,16 @@ object Similarity {
     */
   def cosineNearDupPairs(s: SparkSession, dir: String, threshold: Double = 0.45,
                          blocks: Int = 16): DataFrame = {
+    // memoized like minhashLshPairs: q23 and the q155 eval both consume
+    // this exact-quadratic frame — without the memo each paid the full
+    // all-pairs pass (110 s at sf10 for q155 alone, BENCH_NOTES)
+    OpCache.memoDir("cosineExactPairs", s.sparkContext.applicationId, dir,
+      s"$threshold/$blocks", cosineNearDupPairsUncached(s, dir, threshold, blocks).cache())
+  }
+
+  private def cosineNearDupPairsUncached(s: SparkSession, dir: String,
+                                         threshold: Double,
+                                         blocks: Int): DataFrame = {
     import s.implicits._
     val vecs = vecDs(s, dir)
     val tagged = vecs.flatMap { case (id, v, n) =>
