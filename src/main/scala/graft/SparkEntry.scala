@@ -2401,8 +2401,8 @@ object SparkEntry {
         |  JOIN customer c ON pc.o_custkey = c.c_custkey
         |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
         |a AS (SELECT n_name, CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) sx,
-        |    CAST(sum(y) AS BIGINT) sy, CAST(sum(x * y) AS BIGINT) sxy,
-        |    CAST(sum(x * x) AS BIGINT) sxx, CAST(sum(y * y) AS BIGINT) syy
+        |    CAST(sum(y) AS BIGINT) sy, sum(x * y) sxy,
+        |    sum(x * x) sxx, sum(y * y) syy
         |  FROM m GROUP BY 1),
         |d AS (SELECT *,
         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,

@@ -726,10 +726,14 @@ object Relational {
         $"o_custkey" === $"c_custkey")
       .join(broadcast(table(s, dir, "nation")
         .select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+    // second moments widen to DECIMAL(38,0): y is total spend in cents
+    // (~1e8 at sf1), so Σy² passes 9.2e18 around 6k customers/nation —
+    // the q135 widening rule; the products themselves still fit BIGINT
     val agg = m.groupBy($"n_name").agg(
       count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
-      sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
-      sum($"y" * $"y").as("syy"))
+      sum(($"x" * $"y").cast(DecimalType(38, 0))).as("sxy"),
+      sum(($"x" * $"x").cast(DecimalType(38, 0))).as("sxx"),
+      sum(($"y" * $"y").cast(DecimalType(38, 0))).as("syy"))
     val vx = expr("cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)")
     val vy = expr("cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)")
     val cov = expr("cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)")
