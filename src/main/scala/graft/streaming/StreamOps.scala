@@ -12,6 +12,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the previous value after. Streaming queries take
+    * their STATE partition count from this conf at first checkpoint —
+    * and unlike batch shuffles, AQE never coalesces it: every
+    * micro-batch pays one state-store (RocksDB instance open/commit/
+    * snapshot) per partition per stateful operator. Production sizes
+    * state partitions to key cardinality; these replay lifecycles carry
+    * ≤ ~1M keys, where 32 partitions is pure fixed cost (measured: q92
+    * 9.7→4.5 s, q96 9.7→4.4, q159 5.3→3.4 at sf0.1 with 8). Batch
+    * stages planned inside `body` still coalesce under AQE, so only the
+    * intended state sizing changes.
+    */
+  private[graft] def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** The reference's `store` pipeline (`/root/reference/triton.go:90-137`)
     * as one Structured Streaming query: micro-batches append to the
     * date/client-partitioned `.tri` archive, offsets commit to the
@@ -1034,13 +1053,20 @@ object StreamOps {
     * crosses it — the production mechanism for "session ended because
     * time passed, not because data arrived".
     *
-    * Drain choreography (replay determinism): `maxFilesPerTrigger=1`
-    * with two ascending global sentinel files (+2h, +4h) gives three
-    * micro-batches — sentinel 1 advances the watermark past every real
-    * expiry, and the timers FIRE while batch 3 (sentinel 2) runs,
-    * because timer expiry is checked against the watermark each batch.
-    * Sentinel keys are negative user ids, filtered after the sink.
-    * State is per-user O(1) (one session tuple + one timer) on RocksDB.
+    * Drain choreography (replay determinism): `maxFilesPerTrigger` is
+    * set to the REAL part-file count, so batch 1 carries every real row
+    * (the processor sorts per user per batch — one batch means exact
+    * session semantics whatever the input's part-file layout), and the
+    * two later-mtime global sentinel files (+2h, +4h) land in batches 2
+    * and 3 — sentinel 1 advances the watermark past every real expiry,
+    * and the timers FIRE while batch 3 (sentinel 2) runs, because timer
+    * expiry is checked against the watermark each batch. (One file per
+    * batch was the original shape; it made row order depend on part-file
+    * mtime ties — a same-ms tie that flipped two files could drop
+    * still-open sessions' rows as late. All-real-in-one-batch removes
+    * the ordering dependence entirely.) Sentinel keys are negative user
+    * ids, filtered after the sink. State is per-user O(1) (one session
+    * tuple + one timer) on RocksDB.
     */
   def timerSessionsStreamed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1076,10 +1102,14 @@ object StreamOps {
         .listFiles().filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.move(staged.toPath, srcDir.resolve(s"$name.parquet"))
     }
+    val nRealFiles = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"${srcDir.toString}/events.parquet"))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     sentinel(2, -1L, "sentinel1")
     sentinel(4, -2L, "sentinel2")
     val stream0 = s.readStream.schema(raw.schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"${srcDir.toString}/*.parquet")
+      .option("maxFilesPerTrigger", math.max(1, nRealFiles).toString)
+      .parquet(s"${srcDir.toString}/*.parquet")
     val stream =
       if (tsIsNanosLong) stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else if (tsIsNtz) stream0.withColumn("ts",
