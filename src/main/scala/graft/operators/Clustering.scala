@@ -246,7 +246,8 @@ object Clustering {
     * rank frame shuffles per round — 5 rounds = 5 small shuffles plus
     * one cached big build, the same discipline a 100 TB Pregel runs.
     */
-  def bipartitePagerank(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+  def bipartitePagerank(s: SparkSession, dir: String, iters: Int = 5,
+                        ckptRounds: Boolean = false): DataFrame = {
     import s.implicits._
     val edges = OpCache.memoDir("prEdges", s.sparkContext.applicationId, dir, "",
       {
@@ -269,6 +270,10 @@ object Clustering {
         .select($"dst", expr("r div deg").as("contrib"))
         .groupBy($"dst").agg(sum($"contrib").as("c"))
         .select($"dst".as("node"), (lit(150000L) + expr("(85 * c) div 100")).as("r"))
+      // probe knob (Q142Probe): truncate the per-round lineage — the
+      // rank frame is node-bounded, so materializing it is cheap while
+      // re-analyzing an unrolling plan is not
+      if (ckptRounds) ranks = ranks.localCheckpoint()
     }
     val sdeg = edges.select($"src", $"deg").distinct()
       .where($"src" % 2 === 1)
