@@ -200,6 +200,11 @@ object SparkEntry {
     "q162_cluster_capped_sample" -> ((s, d) => operators.Clustering.clusterCappedSample(s, d)),
     "q163_matryoshka_eval" -> ((s, d) => Similarity.matryoshkaEval(s, d)),
     "q164_broadcast_plan_audit" -> ((s, d) => Relational.broadcastPlanAudit(s, d)),
+    "q165_cumulative_users" -> ((s, d) => EventOps.cumulativeUsers(s, d)),
+    "q166_bench_leak_report" -> ((s, d) => TextAnalysis.benchLeakReport(s, d)),
+    "q167_stream_jdbc_upsert" -> ((s, d) => graft.streaming.StreamOps.streamJdbcUpsert(s, d)),
+    "q168_mad_outliers" -> ((s, d) => TextAnalysis.madOutliers(s, d)),
+    "q169_variant_ingest" -> ((s, d) => EventOps.variantIngest(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2671,6 +2676,76 @@ object SparkEntry {
         |  floor((CASE WHEN first_rel IS NOT NULL THEN CAST(1.0 AS DOUBLE) / CAST(first_rel AS DOUBLE) ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS mrr,
         |  floor((CASE WHEN idcg_q > 0 THEN CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE) ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS ndcg
         |FROM pm CROSS JOIN ic ORDER BY method""".stripMargin,
+
+    // q165: first-touch day per user, then a day-bounded running sum —
+    // integer arithmetic end to end.
+    "q165_cumulative_users" ->
+      """WITH fu AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS day FROM events GROUP BY 1),
+        |nu AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM fu GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+        |FROM nu ORDER BY day""".stripMargin,
+
+    // q166: the Spark side matches 60-bit trigram hashes, the oracle the
+    // trigram strings — equality is the q49 hash-collision-free argument.
+    // Leak threshold as the integer form hits*2 >= item_nsh (no FP
+    // boundary); items with zero hits re-enter via the left join.
+    "q166_bench_leak_report" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts) - 1)]) shs FROM t),
+        |b AS (SELECT doc_id AS bench_id, CAST(len(shs) AS BIGINT) AS item_nsh, unnest(shs) AS g FROM sh WHERE doc_id % 97 = 0 AND len(shs) > 0),
+        |c AS (SELECT doc_id, unnest(shs) AS g FROM sh WHERE doc_id % 97 <> 0),
+        |ph AS (SELECT b.bench_id, any_value(b.item_nsh) AS item_nsh, c.doc_id, CAST(count(*) AS BIGINT) AS hits
+        |       FROM b JOIN c USING (g) GROUP BY b.bench_id, c.doc_id),
+        |pi AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_docs_hit,
+        |         CAST(sum(CASE WHEN hits * 2 >= item_nsh THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking_docs,
+        |         floor(max(CAST(hits AS DOUBLE) / item_nsh) * 1000000.0 + 0.5) / 1000000.0 AS max_containment
+        |       FROM ph GROUP BY bench_id),
+        |items AS (SELECT doc_id AS bench_id, CAST(len(shs) AS BIGINT) AS item_nsh FROM sh WHERE doc_id % 97 = 0 AND len(shs) > 0)
+        |SELECT items.bench_id, items.item_nsh,
+        |  CAST(coalesce(pi.n_docs_hit, 0) AS BIGINT) AS n_docs_hit,
+        |  CAST(coalesce(pi.n_leaking_docs, 0) AS BIGINT) AS n_leaking_docs,
+        |  coalesce(pi.max_containment, 0.0) AS max_containment
+        |FROM items LEFT JOIN pi USING (bench_id) ORDER BY items.bench_id""".stripMargin,
+
+    // q167: the oracle is the plain batch rollup — if the ledger ever
+    // double-applies a replayed batch, every n/sum_cents doubles and the
+    // hash goes red; same cents form as q119.
+    "q167_stream_jdbc_upsert" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // q168: exact medians — Spark percentile() and DuckDB quantile_cont
+    // both linear-interpolate, and token counts are integers so the
+    // interpolated halves are exact doubles; the k=5 multiply is one
+    // identical IEEE op per engine.
+    "q168_mad_outliers" ->
+      """WITH l AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws FROM documents),
+        |m AS (SELECT source, quantile_cont(n_ws, 0.5) AS med FROM l GROUP BY 1),
+        |a AS (SELECT l.source, abs(l.n_ws - m.med) AS adev FROM l JOIN m USING (source)),
+        |d AS (SELECT source, quantile_cont(adev, 0.5) AS mad FROM a GROUP BY 1)
+        |SELECT a.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  floor(any_value(m.med) * 1000000.0 + 0.5) / 1000000.0 AS med_tokens,
+        |  floor(any_value(d.mad) * 1000000.0 + 0.5) / 1000000.0 AS mad_tokens,
+        |  CAST(sum(CASE WHEN adev > mad * 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM a JOIN d USING (source) JOIN m USING (source)
+        |GROUP BY a.source ORDER BY a.source""".stripMargin,
+
+    // q169: the VARIANT path must agree with plain JSON extraction — the
+    // q14 contract extended with missing-key and max aggregates.
+    "q169_variant_ingest" ->
+      """WITH t AS (SELECT event_type,
+        |    CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS ok,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(sum(1 - ok) AS BIGINT) AS n_corrupt,
+        |  CAST(sum(CASE WHEN ok = 1 AND k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_k_missing,
+        |  CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_k,
+        |  max(k) AS max_k,
+        |  count(*) AS n
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   // The retrieval CTE chain shared by q120 (hybrid RRF) and q129 (eval):

@@ -1434,4 +1434,58 @@ object EventOps {
         $"mean_gap3")
       .orderBy($"user_id", $"event_id")
   }
+
+  /** Daily new-user and cumulative-user curve (q165): each user counts
+    * once, on their FIRST day — the audience-growth companion to q88's
+    * retention triangle (same first-touch frame) and the exact form of
+    * the running-distinct curve q18 approximates with HLL.
+    *
+    * Scale shape: events collapse to one row per user (min-day agg,
+    * map-side combined), then to one row per day; only the day-bounded
+    * frame crosses the final single-partition running-sum window — a
+    * few thousand rows for decades of days, so the non-parallel window
+    * is a constant, not a scan.
+    */
+  def cumulativeUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val firstDay = events(s, dir)
+      .groupBy($"user_id")
+      .agg(min(expr("ts_us div 86400000000")).as("day"))
+    val newUsers = firstDay.groupBy($"day").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, 0)
+    newUsers
+      .select($"day", $"new_users", sum($"new_users").over(w).as("cum_users"))
+      .orderBy($"day")
+  }
+
+  /** Event property ingest through Spark 4's VARIANT type (q169): the
+    * q14 JSON-props decode re-expressed on the engine's binary
+    * semi-structured path — `parse_json` shreds each props payload once
+    * into VARIANT and `try_variant_get` extracts typed fields without
+    * re-parsing text per extraction (a real ingest does dozens of
+    * extractions, which is where VARIANT's parse-once pays). Corrupt
+    * payloads surface as NULL variants and count as dead letters, the
+    * same skip-and-count contract as S4/q113.
+    *
+    * Scale shape: per-row kernel, no shuffle until the event_type
+    * rollup; VARIANT columns are columnar binary, so a 100 TB ingest
+    * avoids the JSON-string reparse tax on every downstream read.
+    */
+  def variantIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .select($"event_type",
+        try_parse_json($"props").as("v"))
+      .select($"event_type",
+        $"v".isNull.as("corrupt"),
+        try_variant_get($"v", "$.k", "bigint").as("k"))
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"corrupt", 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when($"corrupt".unary_! && $"k".isNull, 1L).otherwise(0L)).as("n_k_missing"),
+        sum(coalesce($"k", lit(0L))).as("sum_k"),
+        max($"k").as("max_k"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
 }

@@ -1222,4 +1222,82 @@ object TextAnalysis {
       .select($"doc_id", $"source", $"len", $"glen".as("norm_len"))
       .orderBy($"doc_id")
   }
+
+  /** Per-benchmark-item leak report (q166): q49/q75 answer "which DOCS
+    * are contaminated"; this answers the decontamination auditor's dual —
+    * "which BENCHMARK ITEMS are compromised, how badly, and by how many
+    * corpus docs". Containment is asymmetric: |doc ∩ item| / |item|, so a
+    * long doc that swallowed a short eval item scores 1.0 even though the
+    * doc-side overlap fraction is tiny (exactly the case q49's symmetric
+    * screen under-weights). Threshold at containment >= 0.5 via the
+    * integer form hits*2 >= item_nsh — no FP compare at the boundary.
+    *
+    * Scale shape: the benchmark side is eval-suite-bounded (explodes to
+    * item trigram hashes and BROADCASTS); the corpus shingle stream probes
+    * it without shuffling corpus-sized data — only true (doc, item) hash
+    * hits reach the pair aggregate, which is bounded by actual leakage,
+    * not corpus size. Items with zero hits re-enter via the left join so
+    * every benchmark row reports.
+    */
+  def benchLeakReport(s: SparkSession, dir: String, benchMod: Long = 97): DataFrame = {
+    import s.implicits._
+    val sh = TextDedup.hashedShinglesCached(s, dir)
+    val bench = sh.where($"doc_id" % benchMod === 0 && size($"hshs") > 0)
+      .select($"doc_id".as("bench_id"), size($"hshs").cast("long").as("item_nsh"),
+        explode($"hshs").as("h"))
+    val corpus = sh.where($"doc_id" % benchMod =!= 0)
+      .select($"doc_id", explode($"hshs").as("h"))
+    val pairHits = corpus.join(broadcast(bench), Seq("h"))
+      .groupBy($"bench_id", $"doc_id")
+      .agg(first($"item_nsh").as("item_nsh"), count(lit(1)).as("hits"))
+    val perItem = pairHits.groupBy($"bench_id")
+      .agg(
+        count(lit(1)).as("n_docs_hit"),
+        sum(when($"hits" * 2 >= $"item_nsh", 1L).otherwise(0L)).as("n_leaking_docs"),
+        graft.Tables.round6(max($"hits".cast("double") / $"item_nsh"))
+          .as("max_containment"))
+    sh.where($"doc_id" % benchMod === 0 && size($"hshs") > 0)
+      .select($"doc_id".as("bench_id"), size($"hshs").cast("long").as("item_nsh"))
+      .join(perItem, Seq("bench_id"), "left")
+      .select($"bench_id", $"item_nsh",
+        coalesce($"n_docs_hit", lit(0L)).as("n_docs_hit"),
+        coalesce($"n_leaking_docs", lit(0L)).as("n_leaking_docs"),
+        coalesce($"max_containment", lit(0.0)).as("max_containment"))
+      .orderBy($"bench_id")
+  }
+
+  /** Robust per-source length outliers via median/MAD (q168): the
+    * quality-monitoring cut that survives the heavy tails mean/stddev
+    * drowns in — a source whose scraper started emitting boilerplate
+    * 10x-length docs moves the MAD count immediately but barely moves a
+    * stddev already inflated by the tail. Outlier rule: |len - median| >
+    * 5 * MAD (one multiply on exact-half-representable doubles, so the
+    * comparison is the same IEEE decision in both engines; k=5 ≈ the
+    * 3.5-sigma consistency cut at normality).
+    *
+    * Scale shape: two exact percentiles per source over the integer
+    * length column (sort-based within source partitions, the q40
+    * discipline), then a per-row flag — no corpus-sized shuffle beyond
+    * the percentile aggs themselves.
+    */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lens = table(s, dir, "documents")
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_ws"))
+    val med = lens.groupBy($"source")
+      .agg(expr("percentile(n_ws, 0.5)").as("med"))
+    val adev = lens.join(med, "source")
+      .select($"source", $"n_ws", abs($"n_ws" - $"med").as("adev"), $"med")
+    val mad = adev.groupBy($"source")
+      .agg(expr("percentile(adev, 0.5)").as("mad"), first($"med").as("med"))
+    adev.drop("med").join(mad, "source")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        graft.Tables.round6(first($"med")).as("med_tokens"),
+        graft.Tables.round6(first($"mad")).as("mad_tokens"),
+        sum(when($"adev" > $"mad" * 5.0, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy($"source")
+  }
 }

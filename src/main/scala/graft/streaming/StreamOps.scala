@@ -230,6 +230,109 @@ object StreamOps {
       .orderBy($"c_mktsegment")
   }
 
+  /** Exactly-once streaming upsert into a JDBC store (q167): the
+    * foreachBatch MERGE pattern every production pipeline uses to land
+    * micro-batch rollups in an OLTP table — Spark's offset log guarantees
+    * each batch is DELIVERED at least once, and a batch-id ledger row,
+    * committed in the SAME transaction as the data, upgrades that to
+    * exactly-once (the transactional twin of C3's commit-after-durable
+    * and the reference's select-then-upsert checkpoint txn,
+    * `/root/reference/triton/checkpoint.go:27-78`). The registered query
+    * then REPLAYS batch 0 against the finished table — the duplicate
+    * ledger key makes it a no-op; if the ledger failed, every count
+    * doubles and the batch oracle catches it. Embedded Derby stands in
+    * for the warehouse exactly as it does for C1.
+    *
+    * Scale shape: per-batch work collapses to an event_type-bounded
+    * rollup before any row touches JDBC, so the OLTP side sees O(types)
+    * upserts per batch regardless of stream volume.
+    */
+  def streamJdbcUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val dbName = s"upsert${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$dbName;create=true")
+    def ddl(sql: String): Unit = {
+      val st = conn.createStatement()
+      try st.executeUpdate(sql)
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+      finally st.close()
+    }
+    ddl("""CREATE TABLE graft_rollup (
+          |  event_type VARCHAR(64) NOT NULL PRIMARY KEY,
+          |  n BIGINT NOT NULL, sum_cents BIGINT NOT NULL)""".stripMargin)
+    ddl("CREATE TABLE graft_applied (batch_id BIGINT NOT NULL PRIMARY KEY)")
+    /** Apply one micro-batch transactionally; false = ledger says the
+      * batch already landed (the at-least-once duplicate), nothing
+      * written.
+      */
+    def applyBatch(batch: DataFrame, id: Long): Boolean = {
+      val rows = batch
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+        .collect() // event_type-bounded
+      conn.synchronized {
+        val auto = conn.getAutoCommit
+        conn.setAutoCommit(false)
+        try {
+          val led = conn.prepareStatement("INSERT INTO graft_applied VALUES (?)")
+          led.setLong(1, id)
+          val freshBatch =
+            try { led.executeUpdate(); true }
+            catch {
+              case e: java.sql.SQLException if e.getSQLState == "23505" => false
+            }
+          led.close()
+          if (!freshBatch) { conn.rollback(); false }
+          else {
+            rows.foreach { r =>
+              val (et, n, sc) = (r.getString(0), r.getLong(1), r.getLong(2))
+              val up = conn.prepareStatement(
+                "UPDATE graft_rollup SET n = n + ?, sum_cents = sum_cents + ? WHERE event_type = ?")
+              up.setLong(1, n); up.setLong(2, sc); up.setString(3, et)
+              if (up.executeUpdate() == 0) {
+                val ins = conn.prepareStatement("INSERT INTO graft_rollup VALUES (?, ?, ?)")
+                ins.setString(1, et); ins.setLong(2, n); ins.setLong(3, sc)
+                ins.executeUpdate(); ins.close()
+              }
+              up.close()
+            }
+            conn.commit()
+            true
+          }
+        } catch { case e: Throwable => conn.rollback(); throw e }
+        finally conn.setAutoCommit(auto)
+      }
+    }
+    try {
+      val stream = s.readStream.schema(raw.schema).parquet(s"$dir/[e]vents.parquet")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) => applyBatch(b, id); () }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // at-least-once poison: replay the whole source as batch 0 — the
+      // ledger must reject it or the oracle sees doubled counts
+      require(!applyBatch(raw, 0L), "q167: ledger accepted a replayed batch id")
+      val st = conn.createStatement()
+      val rs = st.executeQuery(
+        "SELECT event_type, n, sum_cents FROM graft_rollup ORDER BY event_type")
+      val out = Iterator.continually(rs)
+        .takeWhile(_.next())
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+        .toList
+      rs.close(); st.close()
+      out.toDF("event_type", "n", "sum_cents").coalesce(1)
+        .orderBy($"event_type")
+    } finally {
+      conn.close()
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$dbName;drop=true")
+      catch { case e: java.sql.SQLException if e.getSQLState == "08006" => () }
+    }
+  }
+
   /** Streaming near-duplicate detection during ingest: each arriving
     * document computes the same 32-hash minhash signature as the batch
     * detector (`TextDedup.minhashLshPairs` — shared seeds, so estimates
