@@ -2686,13 +2686,13 @@ object SparkEntry {
         |  CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
         |FROM nu ORDER BY day""".stripMargin,
 
-    // q166: the Spark side matches 60-bit trigram hashes, the oracle the
-    // trigram strings — equality is the q49 hash-collision-free argument.
+    // q166: the Spark side matches 60-bit 8-gram hashes, the oracle the
+    // 8-gram strings — equality is the q49 hash-collision-free argument.
     // Leak threshold as the integer form hits*2 >= item_nsh (no FP
     // boundary); items with zero hits re-enter via the left join.
     "q166_bench_leak_report" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
-        |sh AS (SELECT doc_id, list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts) - 1)]) shs FROM t),
+        |sh AS (SELECT doc_id, list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] for i in range(1, len(ts) - 6)]) shs FROM t),
         |b AS (SELECT doc_id AS bench_id, CAST(len(shs) AS BIGINT) AS item_nsh, unnest(shs) AS g FROM sh WHERE doc_id % 97 = 0 AND len(shs) > 0),
         |c AS (SELECT doc_id, unnest(shs) AS g FROM sh WHERE doc_id % 97 <> 0),
         |ph AS (SELECT b.bench_id, any_value(b.item_nsh) AS item_nsh, c.doc_id, CAST(count(*) AS BIGINT) AS hits

