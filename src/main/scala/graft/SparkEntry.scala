@@ -205,6 +205,11 @@ object SparkEntry {
     "q167_stream_jdbc_upsert" -> ((s, d) => graft.streaming.StreamOps.streamJdbcUpsert(s, d)),
     "q168_mad_outliers" -> ((s, d) => TextAnalysis.madOutliers(s, d)),
     "q169_variant_ingest" -> ((s, d) => EventOps.variantIngest(s, d)),
+    "q170_forward_fill" -> ((s, d) => EventOps.forwardFillHourly(s, d)),
+    "q171_maxsim_retrieval" -> ((s, d) => Similarity.maxsimRetrieval(s, d)),
+    "q172_label_propagation" -> ((s, d) => operators.Clustering.labelPropagation(s, d)),
+    "q173_percentile_bands" -> ((s, d) => EventOps.hourlyPercentileBands(s, d)),
+    "q174_negative_samples" -> ((s, d) => Pipeline.negativeSamples(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2746,6 +2751,98 @@ object SparkEntry {
         |  max(k) AS max_k,
         |  count(*) AS n
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q170: dense type x hour axis generated from global bounds; the
+    // fill is last_value IGNORE NULLS over the bounded axis, -1 before a
+    // type's first observation (q158's sentinel convention).
+    "q170_forward_fill" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_epoch,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(epoch_us(ts) // 3600000000) AS h0, max(epoch_us(ts) // 3600000000) AS h1 FROM events),
+        |ax AS (SELECT et.event_type, unnest(generate_series(b.h0, b.h1)) AS hour_epoch
+        |  FROM (SELECT DISTINCT event_type FROM events) et, b)
+        |SELECT ax.event_type, ax.hour_epoch,
+        |  CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+        |  CAST(coalesce(last_value(h.sum_cents IGNORE NULLS) OVER
+        |    (PARTITION BY ax.event_type ORDER BY ax.hour_epoch
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS BIGINT) AS filled_cents
+        |FROM ax LEFT JOIN h ON ax.event_type = h.event_type AND ax.hour_epoch = h.hour_epoch
+        |ORDER BY ax.event_type, ax.hour_epoch""".stripMargin,
+
+    // q171: every subcosine is the q24 fixed-order fold on a 16-dim
+    // slice; the per-query-chunk MAX and the 4-term left-to-right sum
+    // are reproduced literally, so the score chain is one identical
+    // IEEE computation per engine.
+    "q171_maxsim_retrieval" ->
+      """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM vv WHERE vec_id % 1000 = 0),
+        |qc AS (SELECT q.vec_id AS qid, r.c AS qcc, list_slice(q.v, r.c*16+1, r.c*16+16) AS cv,
+        |    sqrt(list_reduce(list_transform(list_slice(q.v, r.c*16+1, r.c*16+16), x -> x*x), (a,b) -> a+b)) AS nrm
+        |  FROM q, range(4) r(c)),
+        |dd AS (SELECT vv.vec_id AS did, r.c AS dcc, list_slice(vv.v, r.c*16+1, r.c*16+16) AS cv,
+        |    sqrt(list_reduce(list_transform(list_slice(vv.v, r.c*16+1, r.c*16+16), x -> x*x), (a,b) -> a+b)) AS nrm
+        |  FROM vv, range(4) r(c)),
+        |sub AS (SELECT qc.qid, dd.did, qc.qcc,
+        |    max(CASE WHEN qc.nrm * dd.nrm = 0 THEN 0.0
+        |        ELSE list_reduce(list_transform(range(1, 17), i -> qc.cv[i] * dd.cv[i]), (a,b) -> a+b) / (qc.nrm * dd.nrm) END) AS m
+        |  FROM qc JOIN dd ON dd.did <> qc.qid GROUP BY 1, 2, 3),
+        |sc AS (SELECT qid, did,
+        |    max(CASE WHEN qcc = 0 THEN m END) + max(CASE WHEN qcc = 1 THEN m END)
+        |  + max(CASE WHEN qcc = 2 THEN m END) + max(CASE WHEN qcc = 3 THEN m END) AS score
+        |  FROM sub GROUP BY 1, 2),
+        |rk AS (SELECT qid, did, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, did ASC) AS rk FROM sc)
+        |SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank, did AS vec_id,
+        |  floor(score * 1000000.0 + 0.5) / 1000000.0 AS maxsim
+        |FROM rk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // q172: three synchronous rounds unrolled; the vote is count DESC
+    // then label ASC — a deterministic argmax in both engines. Edge CTE
+    // is q148's support-filtered co-purchase build.
+    "q172_label_propagation" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM op a JOIN op b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT pa, pb FROM pr GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+        |l0 AS (SELECT DISTINCT u, u AS lbl FROM sym),
+        |l1 AS (SELECT u, nl AS lbl FROM (
+        |  SELECT s.u, l.lbl AS nl, row_number() OVER (PARTITION BY s.u ORDER BY count(*) DESC, l.lbl ASC) AS rk
+        |  FROM sym s JOIN l0 l ON s.v = l.u GROUP BY s.u, l.lbl) WHERE rk = 1),
+        |l2 AS (SELECT u, nl AS lbl FROM (
+        |  SELECT s.u, l.lbl AS nl, row_number() OVER (PARTITION BY s.u ORDER BY count(*) DESC, l.lbl ASC) AS rk
+        |  FROM sym s JOIN l1 l ON s.v = l.u GROUP BY s.u, l.lbl) WHERE rk = 1),
+        |l3 AS (SELECT u, nl AS lbl FROM (
+        |  SELECT s.u, l.lbl AS nl, row_number() OVER (PARTITION BY s.u ORDER BY count(*) DESC, l.lbl ASC) AS rk
+        |  FROM sym s JOIN l2 l ON s.v = l.u GROUP BY s.u, l.lbl) WHERE rk = 1)
+        |SELECT u AS part_id, lbl AS label FROM l3 ORDER BY part_id""".stripMargin,
+
+    // q173: percentiles on integer cents — interpolated positions use
+    // the same (n-1)*q / lo + (hi-lo)*frac chain in both engines.
+    "q173_percentile_bands" ->
+      """WITH t AS (SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, hour_of_day, count(*) AS n_events,
+        |  floor(quantile_cont(cents, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS p50_cents,
+        |  floor(quantile_cont(cents, 0.9) * 1000000.0 + 0.5) / 1000000.0 AS p90_cents,
+        |  floor(quantile_cont(cents, 0.99) * 1000000.0 + 0.5) / 1000000.0 AS p99_cents
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q174: hash60 reproduced as md5 arithmetic (the q42 idiom); self
+    // draws are rejected rows in both engines, misses drop in the join.
+    "q174_negative_samples" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+        |n AS (SELECT max(doc_id) + 1 AS n FROM d),
+        |p AS (SELECT d.doc_id, js.j,
+        |    CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || '#' || CAST(js.j AS VARCHAR)), 1, 15)) AS BIGINT) % n.n AS BIGINT) AS neg_id,
+        |    d.source AS pos_source
+        |  FROM d, n, (SELECT unnest([1, 2, 3]) AS j) js)
+        |SELECT p.doc_id, CAST(p.j AS BIGINT) AS j, p.neg_id, p.pos_source, d2.source AS neg_source
+        |FROM p JOIN d d2 ON p.neg_id = d2.doc_id
+        |WHERE p.neg_id <> p.doc_id
+        |ORDER BY 1, 2""".stripMargin,
   )
 
   // The retrieval CTE chain shared by q120 (hybrid RRF) and q129 (eval):

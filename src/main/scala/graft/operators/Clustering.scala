@@ -344,16 +344,31 @@ object Clustering {
     * permutations. The one corpus-sized op is the pair groupBy
     * (map-side combined).
     */
+  /** Support-filtered co-purchase edge frame shared by q148 (triangles)
+    * and q172 (label propagation): distinct (order, part) self-joined
+    * within order, pairs kept at >= minSupport co-occurrences. Memoized
+    * through OpCache (dir-stamped) — the order self-join is the dominant
+    * build cost and both graph operators read the identical frame.
+    */
+  private[operators] def copurchaseEdges(s: SparkSession, dir: String,
+                                         minSupport: Int): DataFrame =
+    OpCache.memoDir("copurchaseEdges", s.sparkContext.applicationId, dir,
+      s"$minSupport", {
+        import s.implicits._
+        val op = graft.Tables.table(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_partkey").distinct()
+        op.as("a").join(op.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+          .groupBy($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+          .agg(count(lit(1)).as("c"))
+          .where($"c" >= minSupport)
+          .cache()
+      })
+
   def copurchaseTriangles(s: SparkSession, dir: String,
                           minSupport: Int = 2): DataFrame = {
     import s.implicits._
-    val op = graft.Tables.table(s, dir, "lineitem")
-      .select($"l_orderkey", $"l_partkey").distinct()
-    val edges = op.as("a").join(op.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
-      .groupBy($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
-      .agg(count(lit(1)).as("c"))
-      .where($"c" >= minSupport)
+    val edges = copurchaseEdges(s, dir, minSupport)
     val e1 = edges.select($"pa".as("a"), $"pb".as("b"), $"c".as("c1"))
     val e2 = edges.select($"pa".as("b2"), $"pb".as("c"), $"c".as("c2"))
     val e3 = edges.select($"pa".as("a3"), $"pb".as("c3"), $"c".as("c3s"))
@@ -393,5 +408,43 @@ object Clustering {
         $"keep_rank".cast("long").as("keep_rank"),
         ($"keep_rank" <= cap).as("kept"))
       .orderBy($"doc_id")
+  }
+
+  /** Synchronous label propagation (q172): community detection on the
+    * co-purchase graph — the third graph primitive after CC (q48 family,
+    * min-label convergence) and PageRank (q142, rank diffusion). LPA
+    * finds DENSE regions: each round every node adopts its neighbors'
+    * most frequent label, ties to the SMALLEST label, for exactly
+    * `rounds` synchronous rounds (fixed count keeps it deterministic and
+    * oracle-unrollable; async LPA is order-dependent by construction).
+    * Nodes keep their own label only when a round leaves them isolated —
+    * every node here has degree >= 1, so labels always come from the
+    * neighbor vote.
+    *
+    * Scale shape: the edge frame is the memoized q148 co-purchase build;
+    * each round is one edge-sized join + a (node, label)-bounded
+    * count/argmax — the Pregel discipline of q142, 3 small shuffles for
+    * 3 rounds. The vote tie-break (count DESC, label ASC) is a
+    * deterministic window, partitioned by node.
+    */
+  def labelPropagation(s: SparkSession, dir: String, rounds: Int = 3,
+                       minSupport: Int = 2): DataFrame = {
+    import s.implicits._
+    val e = copurchaseEdges(s, dir, minSupport)
+    val sym = e.select($"pa".as("u"), $"pb".as("v"))
+      .unionByName(e.select($"pb".as("u"), $"pa".as("v")))
+    var labels = sym.select($"u").distinct().select($"u", $"u".as("lbl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"u").orderBy($"c".desc, $"nl".asc)
+    for (_ <- 1 to rounds) {
+      labels = sym.join(labels.withColumnRenamed("u", "v2"), sym("v") === $"v2")
+        .select(sym("u"), $"lbl".as("nl"))
+        .groupBy($"u", $"nl").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" === 1)
+        .select($"u", $"nl".as("lbl"))
+    }
+    labels.select($"u".as("part_id"), $"lbl".as("label"))
+      .orderBy($"part_id")
   }
 }

@@ -1458,6 +1458,67 @@ object EventOps {
       .orderBy($"day")
   }
 
+  /** Gap-filled hourly series with forward-fill imputation (q170): the
+    * time-series preprocessing step every monitoring/feature pipeline
+    * runs — densify the hour axis so silent hours EXIST as rows (n=0),
+    * then carry the last observed hourly revenue forward
+    * (`last(ignoreNulls)` over an ordered per-type window; -1 sentinel
+    * before a type's first observation, the q158 convention). q86 scores
+    * observed buckets only and documents the gap caveat; this is the
+    * densified dual it points to.
+    *
+    * Scale shape: the dense axis is types x hours (bounded, generated —
+    * never a corpus-sized shuffle); the fill window partitions by type
+    * over that bounded frame. The only event-sized work is the initial
+    * hourly rollup, map-side combined.
+    */
+  def forwardFillHourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = events(s, dir)
+      .select($"event_type", expr("ts_us div 3600000000").as("hour_epoch"),
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+      .groupBy($"event_type", $"hour_epoch")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("sum_cents"))
+    // global hour bounds: two scalars, broadcast by construction
+    val bounds = events(s, dir)
+      .agg(min(expr("ts_us div 3600000000")).as("h0"),
+        max(expr("ts_us div 3600000000")).as("h1"))
+    val axis = hourly.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(expr("sequence(h0, h1)")).as("hour_epoch"))
+    val w = Window.partitionBy($"event_type").orderBy($"hour_epoch")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    axis.join(hourly, Seq("event_type", "hour_epoch"), "left")
+      .select($"event_type", $"hour_epoch",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce(last($"sum_cents", ignoreNulls = true).over(w), lit(-1L))
+          .as("filled_cents"))
+      .orderBy($"event_type", $"hour_epoch")
+  }
+
+  /** Hour-of-day value percentile bands per event type (q173): the ops
+    * dashboard's "p50/p90/p99 by hour" panel — seasonality of the value
+    * distribution, not just its volume (q127 profiles counts; this
+    * profiles the distribution tails that page people).
+    *
+    * Percentiles run on integer CENTS so the interpolated midpoints are
+    * exact halves — the q168 cross-engine discipline. Output is types x
+    * 24 rows; the aggregate is sort-based within (type, hod) groups.
+    */
+  def hourlyPercentileBands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .select($"event_type", expr("(ts_us div 3600000000) % 24").as("hour_of_day"),
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+      .groupBy($"event_type", $"hour_of_day")
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.Tables.round6(expr("percentile(cents, 0.5)")).as("p50_cents"),
+        graft.Tables.round6(expr("percentile(cents, 0.9)")).as("p90_cents"),
+        graft.Tables.round6(expr("percentile(cents, 0.99)")).as("p99_cents"))
+      .orderBy($"event_type", $"hour_of_day")
+  }
+
   /** Event property ingest through Spark 4's VARIANT type (q169): the
     * q14 JSON-props decode re-expressed on the engine's binary
     * semi-structured path — `parse_json` shreds each props payload once

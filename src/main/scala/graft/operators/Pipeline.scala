@@ -473,4 +473,33 @@ object Pipeline {
       .withColumn("leaked", $"split_a" =!= $"split_b")
       .orderBy($"split_a", $"split_b")
   }
+
+  /** Deterministic negative sampling for contrastive training (q174):
+    * each document draws `negK` pseudo-random partners by hashing
+    * (doc_id, draw index) into the id space — the in-batch-negatives /
+    * DPO-pair generator, seedless like every sampler here (q44/q80/
+    * q118): any engine, any run, any backfill regenerates the same
+    * pairs. Accidental self-draws are skipped (the standard rejection;
+    * the row simply doesn't emit, so ~1/n of draws vanish rather than
+    * biasing toward self). Ids that miss (sparse id space) drop in the
+    * join — on the dense generator ids every draw lands.
+    *
+    * Scale shape: 3 rows per doc, one equi-join on the drawn id to
+    * fetch the negative's metadata (shuffle on ids, corpus-linear); the
+    * id-space size is one scalar agg. No candidate list materializes.
+    */
+  def negativeSamples(s: SparkSession, dir: String, negK: Int = 3): DataFrame = {
+    import s.implicits._
+    val d = table(s, dir, "documents").select($"doc_id", $"source")
+    val n = d.agg(max($"doc_id")).head.getLong(0) + 1 // id-space bound, one scalar
+    val draws = d
+      .select($"doc_id", $"source".as("pos_source"),
+        explode(expr(s"sequence(1, $negK)")).as("j"))
+      .withColumn("neg_id",
+        expr(s"hash60(concat(cast(doc_id as string), '#', cast(j as string))) % ${n}L"))
+      .where($"neg_id" =!= $"doc_id")
+    draws.join(d.select($"doc_id".as("neg_id"), $"source".as("neg_source")), Seq("neg_id"))
+      .select($"doc_id", $"j".cast("long").as("j"), $"neg_id", $"pos_source", $"neg_source")
+      .orderBy($"doc_id", $"j")
+  }
 }

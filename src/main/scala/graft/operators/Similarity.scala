@@ -1428,4 +1428,103 @@ object Similarity {
       .na.fill(0L, Seq("n_overlap"))
       .orderBy($"query_id")
   }
+
+  /** Late-interaction (multi-vector) MaxSim retrieval (q171): each
+    * vector is treated as 4 contiguous 16-dim sub-vectors (the ColBERT
+    * shape with deterministic chunking standing in for per-token
+    * vectors) and score(q, d) = Σ over query chunks of the MAX cosine
+    * against any doc chunk — the late-interaction scoring single-vector
+    * cosine (q24) cannot express, because a doc chunk only has to match
+    * ONE facet of the query. Query panel is vec_id % 1000 (a 10x
+    * smaller panel than q24's %100 — MaxSim is 4x the FLOPs per pair).
+    *
+    * Scale shape: unlike q24's by-spec baseline (which shuffles every
+    * (query, candidate) score into the ranking window), the kernel keeps
+    * a per-query bounded top-k HEAP per partition under the exact global
+    * order (score DESC, vec_id ASC), so only queries x k x partitions
+    * rows shuffle — top-k of a union of per-partition top-k is exact by
+    * selection-order argument. Chunk sums run in fixed ascending order;
+    * the oracle reproduces every subcosine, max, and 4-term sum.
+    */
+  def maxsimRetrieval(s: SparkSession, dir: String, k: Int = 5,
+                      queryMod: Long = 1000): DataFrame = {
+    import s.implicits._
+    val nChunks = 4
+    val qPrep = table(s, dir, "embeddings").where($"vec_id" % queryMod === 0)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))"))
+      .as[(Long, Array[Double])].collect()
+      .map { case (id, v) =>
+        val cw = v.length / nChunks
+        val norms = Array.tabulate(nChunks) { c =>
+          var ss = 0.0; var i = c * cw
+          while (i < (c + 1) * cw) { ss += v(i) * v(i); i += 1 }
+          math.sqrt(ss)
+        }
+        (id, v, norms)
+      }.sortBy(_._1)
+    val bq = s.sparkContext.broadcast(qPrep)
+    // candidate ordering for the heaps: EXACTLY the output order
+    // (score DESC, vec_id ASC); the heap evicts its current worst
+    val worse = (a: (Double, Long), b: (Double, Long)) =>
+      a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)
+    val partTopK = table(s, dir, "embeddings")
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = bq.value
+        val heaps = new java.util.HashMap[Long, java.util.PriorityQueue[(Double, Long)]]()
+        val cmp = new java.util.Comparator[(Double, Long)] {
+          def compare(a: (Double, Long), b: (Double, Long)): Int =
+            if (worse(a, b)) -1 else if (worse(b, a)) 1 else 0
+        }
+        it.foreach { case (did, dv) =>
+          val cw = dv.length / nChunks
+          val dn = new Array[Double](nChunks)
+          var c = 0
+          while (c < nChunks) {
+            var ss = 0.0; var i = c * cw
+            while (i < (c + 1) * cw) { ss += dv(i) * dv(i); i += 1 }
+            dn(c) = math.sqrt(ss); c += 1
+          }
+          qs.foreach { case (qid, qv, qn) =>
+            if (qid != did) {
+              var score = 0.0
+              var qc = 0
+              while (qc < nChunks) {
+                var m = Double.NegativeInfinity
+                var dc = 0
+                while (dc < nChunks) {
+                  val den = qn(qc) * dn(dc)
+                  var sub = 0.0
+                  if (den != 0.0) {
+                    var dot = 0.0; var i = 0
+                    while (i < cw) { dot += qv(qc * cw + i) * dv(dc * cw + i); i += 1 }
+                    sub = dot / den
+                  }
+                  if (sub > m) m = sub
+                  dc += 1
+                }
+                score += m
+                qc += 1
+              }
+              var h = heaps.get(qid)
+              if (h == null) { h = new java.util.PriorityQueue[(Double, Long)](k + 1, cmp); heaps.put(qid, h) }
+              if (h.size < k) h.add((score, did))
+              else if (worse(h.peek(), (score, did))) { h.poll(); h.add((score, did)); () }
+            }
+          }
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        heaps.forEach { (qid, h) =>
+          h.forEach(t => out += ((qid, t._2, t._1)))
+        }
+        out.iterator
+      }.toDF("query_id", "vec_id", "score")
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"vec_id".asc)
+    partTopK.withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .select($"query_id", $"rank".cast("long").as("rank"), $"vec_id",
+        graft.Tables.round6($"score").as("maxsim"))
+      .orderBy($"query_id", $"rank")
+  }
 }
