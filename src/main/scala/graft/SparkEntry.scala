@@ -2805,8 +2805,8 @@ object SparkEntry {
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM op a JOIN op b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |e AS (SELECT pa, pb FROM pr GROUP BY 1, 2 HAVING count(*) >= 2),
-        |sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+        |e AS MATERIALIZED (SELECT pa, pb FROM pr GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
         |l0 AS (SELECT DISTINCT u, u AS lbl FROM sym),
         |l1 AS (SELECT u, nl AS lbl FROM (
         |  SELECT s.u, l.lbl AS nl, row_number() OVER (PARTITION BY s.u ORDER BY count(*) DESC, l.lbl ASC) AS rk
