@@ -11,6 +11,9 @@ import graft.functions.MsgPackExpressions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension (SURVEY preference tier c): the native
+    // backward as-of join — LogicalPlan + Strategy + SparkPlan
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("to_msgpack"),
       MsgPackExpressions.info("to_msgpack", "to_msgpack(value) - encode value as MessagePack bytes"),

@@ -210,6 +210,7 @@ object SparkEntry {
     "q172_label_propagation" -> ((s, d) => operators.Clustering.labelPropagation(s, d)),
     "q173_percentile_bands" -> ((s, d) => EventOps.hourlyPercentileBands(s, d)),
     "q174_negative_samples" -> ((s, d) => Pipeline.negativeSamples(s, d)),
+    "q175_asof_native" -> ((s, d) => EventOps.asOfNativeClick(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2843,6 +2844,26 @@ object SparkEntry {
         |FROM p JOIN d d2 ON p.neg_id = d2.doc_id
         |WHERE p.neg_id <> p.doc_id
         |ORDER BY 1, 2""".stripMargin,
+
+    // q175: strict-backward as-of, ties at equal click ts to the
+    // greatest click_id — exactly AsOfJoinExec's held-row overwrite
+    // order. delta_us is NULL-propagating on unmatched purchases.
+    "q175_asof_native" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (SELECT purchase_id, click_id, click_us FROM (
+        |  SELECT p.purchase_id, c.click_id, c.click_us,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY c.click_us DESC, c.click_id DESC) AS rk
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.click_us <= p.purchase_us
+        |    AND p.purchase_us - c.click_us <= 7200000000) WHERE rk = 1)
+        |SELECT p.user_id, p.purchase_id, p.purchase_us,
+        |  m.click_id, m.click_us, p.purchase_us - m.click_us AS delta_us
+        |FROM p LEFT JOIN m USING (purchase_id)
+        |ORDER BY purchase_id""".stripMargin,
   )
 
   // The retrieval CTE chain shared by q120 (hybrid RRF) and q129 (eval):

@@ -1435,6 +1435,35 @@ object EventOps {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Backward as-of click attribution through the NATIVE as-of join
+    * (q175): each purchase takes the latest click by the same user at or
+    * before it, within 2 h — q99's family, but strict-backward semantics
+    * (the attribution rule most pipelines actually ship) and a different
+    * engine path: q99 composes windows over a unioned event stream (one
+    * shuffle+sort over purchases AND clicks together), while this runs
+    * [[graft.plans.AsOfJoinExec]] — per-side exchanges, per-partition
+    * single-pass merge, O(1) state (see AsOfJoin.scala). Ties at equal
+    * click ts break to the greatest click_id, pinned in the oracle.
+    */
+  def asOfNativeClick(s: SparkSession, dir: String,
+                      tolUs: Long = 2L * 3600L * 1000000L): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts_us".as("purchase_us"))
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id".as("click_user"), $"event_id".as("click_id"),
+        $"ts_us".as("click_us"))
+    graft.plans.AsOf.asofBackward(purchases, clicks,
+        leftKey = "user_id", leftTs = "purchase_us",
+        rightKey = "click_user", rightTs = "click_us",
+        rightTiebreak = "click_id", tolUs = tolUs)
+      .select($"user_id", $"purchase_id", $"purchase_us",
+        $"click_id", $"click_us",
+        ($"purchase_us" - $"click_us").as("delta_us"))
+      .orderBy($"purchase_id")
+  }
+
   /** Daily new-user and cumulative-user curve (q165): each user counts
     * once, on their FIRST day — the audience-growth companion to q88's
     * retention triangle (same first-touch frame) and the exact form of

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Intent pins for the native as-of join (q175): backward-match
+  * semantics on a hand fixture (tolerance edges, ties, no-match, null
+  * keys), and PLAN assertions — the custom exec must actually plan, with
+  * one exchange per side and no Window (the structural win over the
+  * q16/q99 union-window shape).
+  */
+class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
+
+  private def frames() = {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 1000L), // exact-ts click available (ts <= is inclusive)
+      (1L, 101L, 1500L), // two clicks at same ts 1400 -> greatest id wins
+      (1L, 102L, 9999999999L), // beyond tolerance from any click
+      (2L, 103L, 500L), // user with no clicks at all
+      (3L, 104L, 2000L) // click exists but only AFTER -> no match
+    ).toDF("user_id", "purchase_id", "purchase_us")
+    val right = Seq(
+      (1L, 900L, 1000L),
+      (1L, 901L, 1400L),
+      (1L, 902L, 1400L), // tie on ts with 901 -> 902 must win
+      (3L, 903L, 2001L)
+    ).toDF("click_user", "click_id", "click_us")
+    (left, right)
+  }
+
+  test("q175 semantics: inclusive backward match, tie to greatest id, tolerance and no-match nulls") {
+    val (l, r) = frames()
+    val got = graft.plans.AsOf.asofBackward(l, r,
+        "user_id", "purchase_us", "click_user", "click_us", "click_id",
+        tolUs = 1000L)
+      .select("purchase_id", "click_id")
+      .collect().map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSeq.sorted
+    assert(got == Seq((100L, 900L), (101L, 902L), (102L, -1L), (103L, -1L), (104L, -1L)))
+  }
+
+  test("q175 plan: AsOfJoinExec plans with one exchange per side and no Window") {
+    val (l, r) = frames()
+    val df = graft.plans.AsOf.asofBackward(l, r,
+      "user_id", "purchase_us", "click_user", "click_us", "click_id", 1000L)
+    df.collect() // force AQE finalization
+    // AQE's toString prints the final AND initial plans — assert on the
+    // final section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("AsOfJoin"), s"custom exec missing:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 exchanges (one per side), got $exchanges:\n$plan")
+    assert(!plan.contains("Window"), s"window sneaked in:\n$plan")
+  }
+
+  test("q175 null keys never match and do not derail the merge") {
+    import spark.implicits._
+    val l = Seq((Some(1L), 10L, 100L), (None, 11L, 100L))
+      .toDF("user_id", "purchase_id", "purchase_us")
+    val r = Seq((Some(1L), 90L, 50L), (None, 91L, 50L))
+      .toDF("click_user", "click_id", "click_us")
+    val got = graft.plans.AsOf.asofBackward(l, r,
+        "user_id", "purchase_us", "click_user", "click_us", "click_id", 1000L)
+      .select("purchase_id", "click_id")
+      .collect().map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSeq.sorted
+    assert(got == Seq((10L, 90L), (11L, -1L)))
+  }
+
+  test("q175 equals the window-composed backward reference on real events") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val native = operators.EventOps.asOfNativeClick(spark, dir)
+    // independent reference: windowed last-click-before, same tie rule
+    val ev = graft.Tables.events(spark, dir)
+    val p = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts_us".as("purchase_us"))
+    val c = ev.where($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts_us".as("click_us"))
+    val joined = p.join(c, Seq("user_id"), "left")
+      .where($"click_us".isNull ||
+        ($"click_us" <= $"purchase_us" && $"purchase_us" - $"click_us" <= 7200000000L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"purchase_id").orderBy($"click_us".desc, $"click_id".desc)
+    val ref = p.join(
+        joined.withColumn("rk", row_number().over(w)).where($"rk" === 1)
+          .select($"purchase_id", $"click_id", $"click_us"),
+        Seq("purchase_id"), "left")
+      .select($"user_id", $"purchase_id", $"purchase_us", $"click_id", $"click_us",
+        ($"purchase_us" - $"click_us").as("delta_us"))
+    assert(native.exceptAll(ref).isEmpty && ref.exceptAll(native).isEmpty)
+  }
+}
