@@ -211,6 +211,10 @@ object SparkEntry {
     "q173_percentile_bands" -> ((s, d) => EventOps.hourlyPercentileBands(s, d)),
     "q174_negative_samples" -> ((s, d) => Pipeline.negativeSamples(s, d)),
     "q175_asof_native" -> ((s, d) => EventOps.asOfNativeClick(s, d)),
+    "q176_recon_report" -> ((s, d) => Relational.reconReport(s, d)),
+    "q177_rfm_segments" -> ((s, d) => EventOps.rfmSegments(s, d)),
+    "q178_dataset_card" -> ((s, d) => TextAnalysis.datasetCard(s, d)),
+    "q179_late_data_audit" -> ((s, d) => EventOps.lateDataAudit(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2864,6 +2868,82 @@ object SparkEntry {
         |  m.click_id, m.click_us, p.purchase_us - m.click_us AS delta_us
         |FROM p LEFT JOIN m USING (purchase_id)
         |ORDER BY purchase_id""".stripMargin,
+
+    // q176: exact-integer ledger classes — ec*(100-d)*(100+t) per line
+    // (scale 1e4 vs cents), header scaled identically, so "match" is
+    // integer equality in both engines; the full outer is the one join
+    // type the rest of the suite didn't exercise.
+    "q176_recon_report" ->
+      """WITH l AS (SELECT l_orderkey,
+        |    sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |      * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS derived_u
+        |  FROM lineitem GROUP BY 1),
+        |o AS (SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000 AS header_u FROM orders),
+        |c AS (SELECT CASE WHEN l.l_orderkey IS NULL THEN 'no_lines'
+        |                  WHEN o.o_orderkey IS NULL THEN 'no_order'
+        |                  WHEN o.header_u = l.derived_u THEN 'match'
+        |                  ELSE 'mismatch' END AS status,
+        |             coalesce(abs(o.header_u - l.derived_u), 0) AS d
+        |      FROM o FULL JOIN l ON o.o_orderkey = l.l_orderkey)
+        |SELECT status, count(*) AS n, CAST(sum(d) AS BIGINT) AS sum_abs_diff_u
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q177: fixed integer thresholds (no ntile); averages as one
+    // explicit integer-sum division per engine.
+    "q177_rfm_segments" ->
+      """WITH u AS (SELECT user_id, max(epoch_us(ts) // 86400000000) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_cents
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT max(epoch_us(ts) // 86400000000) AS d0 FROM events),
+        |x AS (SELECT u.user_id, d.d0 - u.last_day AS recency_days, u.frequency, u.monetary_cents,
+        |      CASE WHEN u.frequency >= 20 AND d.d0 - u.last_day <= 7 THEN 'champion'
+        |           WHEN d.d0 - u.last_day <= 7 THEN 'recent'
+        |           WHEN u.frequency >= 20 THEN 'frequent'
+        |           WHEN d.d0 - u.last_day >= 30 THEN 'at_risk'
+        |           ELSE 'regular' END AS segment
+        |      FROM u, d)
+        |SELECT segment, count(*) AS n_users,
+        |  CAST(sum(monetary_cents) AS BIGINT) AS sum_cents,
+        |  floor(CAST(sum(frequency) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_frequency,
+        |  floor(CAST(sum(recency_days) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_recency_days
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q178: q19's normalization for the dup field; one row.
+    "q178_dataset_card" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        |  FROM documents)
+        |SELECT count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources,
+        |  CAST(sum(n_ws) AS BIGINT) AS n_tokens,
+        |  count(*) - count(DISTINCT h) AS n_exact_dup_docs,
+        |  floor(CAST(sum(n_ws) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_doc_tokens,
+        |  CAST(sum(CASE WHEN n_ws < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs
+        |FROM t""".stripMargin,
+
+    // q179: the EVICTION cut replayed in integer ms — a late row
+    // survives iff its hour window's END is above the mid-sentinel
+    // watermark (= ms-truncated corpus max ts): Spark drops a late row
+    // only when its window was evicted in a PRIOR batch, which the
+    // operator pins there by construction (measured rule — a late row
+    // below the watermark whose window is still in state MERGES).
+    "q179_late_data_audit" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+        |ot AS (SELECT * FROM e WHERE event_id % 50 <> 0),
+        |lt AS (SELECT * FROM e WHERE event_id % 50 = 0),
+        |wm AS (SELECT max(us) // 1000 AS wm_ms FROM e),
+        |kl AS (SELECT l.event_type, CAST(count(*) AS BIGINT) AS n FROM lt l, wm
+        |  WHERE ((l.us // 3600000000) + 1) * 3600000 > wm.wm_ms GROUP BY 1),
+        |tot AS (SELECT event_type, count(*) AS n_total FROM e GROUP BY 1),
+        |onn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_ot FROM ot GROUP BY 1)
+        |SELECT t.event_type, t.n_total,
+        |  CAST(coalesce(o.n_ot, 0) + coalesce(k.n, 0) AS BIGINT) AS n_survived,
+        |  CAST(t.n_total - coalesce(o.n_ot, 0) - coalesce(k.n, 0) AS BIGINT) AS n_late_dropped
+        |FROM tot t LEFT JOIN onn o USING (event_type) LEFT JOIN kl k USING (event_type)
+        |ORDER BY event_type""".stripMargin,
   )
 
   // The retrieval CTE chain shared by q120 (hybrid RRF) and q129 (eval):

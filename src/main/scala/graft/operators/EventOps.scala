@@ -1578,4 +1578,141 @@ object EventOps {
         count(lit(1)).as("n"))
       .orderBy($"event_type")
   }
+
+  /** RFM segmentation (q177): the classic per-user recency/frequency/
+    * monetary feature block plus a fixed-threshold segment label — the
+    * churn-model input and lifecycle-marketing cut. Thresholds are FIXED
+    * constants (not ntile ranks): scale-safe (no global window — q102
+    * documents why rank-based binning needs special machinery) and
+    * cross-engine exact (integer compares only).
+    *
+    * Scale shape: one user-bounded aggregate over events, one broadcast
+    * scalar (the corpus max day), a per-row CASE, then a segments-sized
+    * rollup. Nothing exceeds user cardinality.
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perUser = events(s, dir)
+      .groupBy($"user_id")
+      .agg(
+        max(expr("ts_us div 86400000000")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(floor($"value" * 100 + 0.5).cast("long")).as("monetary_cents"))
+    val maxDay = events(s, dir).agg(max(expr("ts_us div 86400000000")).as("d0"))
+    perUser.crossJoin(broadcast(maxDay))
+      .select($"user_id", ($"d0" - $"last_day").as("recency_days"),
+        $"frequency", $"monetary_cents")
+      .withColumn("segment",
+        when($"frequency" >= 20 && $"recency_days" <= 7, "champion")
+          .when($"recency_days" <= 7, "recent")
+          .when($"frequency" >= 20, "frequent")
+          .when($"recency_days" >= 30, "at_risk")
+          .otherwise("regular"))
+      .groupBy($"segment")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum($"monetary_cents").as("sum_cents"),
+        graft.Tables.round6(avg($"frequency")).as("avg_frequency"),
+        graft.Tables.round6(avg($"recency_days")).as("avg_recency_days"))
+      .orderBy($"segment")
+  }
+
+  /** Watermark lateness audit (q179): makes Append-mode late-data DROPS
+    * visible instead of silent — the observability piece every
+    * watermarked pipeline needs when sink counts drift from batch
+    * counts. Spark's REAL aggregate-lateness rule (established by
+    * measurement, not the docs' shorthand): a late row is dropped iff
+    * its window was already EVICTED — i.e. window end <= the watermark
+    * of a PRIOR batch; a row below the watermark whose window is still
+    * in state merges and emits once. So the audit pins the eviction
+    * point deterministically: batch 1 = on-time data (event_id % 50
+    * != 0), batch 2 = a mid-sentinel at max(on-time)+10min whose batch
+    * END evicts exactly the windows closed at max(on-time), batch 3 =
+    * the late slice (drops iff hour-window end <= max(on-time), both
+    * classes populated), batch 4 = the +4h drain sentinel. Batch
+    * composition is exact because every staged group is PADDED to the
+    * on-time file count with 1-row '__sentinel' files (mtime-ordered
+    * groups, maxFilesPerTrigger = group size — the q159 discipline
+    * generalized to multiple controlled batches). The oracle replays
+    * the mod-50 rule and the eviction cut in integer ms.
+    *
+    * Scale shape: the on-time pass-through is file-parallel; only the
+    * ~2% late slice coalesces to one file; state is hour-bounded; the
+    * report is types-sized.
+    */
+  def lateDataAudit(s: SparkSession, dir: String,
+                    lateMod: Long = 50): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val ev = events(s, dir).select($"event_id", $"event_type",
+      timestamp_micros($"ts_us").as("ts"))
+    val work = java.nio.file.Files.createTempDirectory("q179_late")
+    def move1(stage: String, name: String): Unit = {
+      val f = new java.io.File(work.resolve(stage).toString)
+        .listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(work.resolve("src").toString, name)): Unit
+    }
+    try {
+      // cap the on-time file count so group padding stays cheap
+      ev.where($"event_id" % lateMod =!= 0).repartition(4)
+        .write.parquet(work.resolve("src").toString)
+      val nGroup = math.max(1, new java.io.File(work.resolve("src").toString)
+        .listFiles().count(_.getName.endsWith(".parquet")))
+      val maxTs = ev.agg(max($"ts")).head.getTimestamp(0)
+      var stageId = 0
+      def sentinelFile(name: String, tsMs: Long): Unit = {
+        stageId += 1
+        Seq((-1L, "__sentinel", new java.sql.Timestamp(tsMs)))
+          .toDF("event_id", "event_type", "ts")
+          .coalesce(1).write.parquet(work.resolve(s"stage$stageId").toString)
+        move1(s"stage$stageId", name)
+      }
+      def pad(group: String, tsMs: Long): Unit =
+        (2 to nGroup).foreach(i => sentinelFile(f"zz_${group}%s_pad$i%02d.parquet", tsMs))
+      // group 2: mid sentinel at max+10min -> its batch END evicts
+      // every window closed at max(on-time) (wm = max exactly)
+      val midMs = maxTs.getTime + 600000L
+      sentinelFile("zz_a_mid.parquet", midMs)
+      pad("a", midMs)
+      // group 3: the late slice (+ pads that do not move the watermark)
+      ev.where($"event_id" % lateMod === 0)
+        .coalesce(1).write.parquet(work.resolve("stage_late").toString)
+      move1("stage_late", "zz_b_late.parquet")
+      pad("b", midMs)
+      // group 4: drain sentinel far past every window end
+      val endMs = maxTs.getTime + 4L * 3600L * 1000L
+      sentinelFile("zz_c_end.parquet", endMs)
+      pad("c", endMs)
+      val schema = s.read.parquet(work.resolve("src").toString).schema
+      val counts = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", nGroup.toString)
+        .parquet(s"${work.resolve("src").toString}/*.parquet")
+        .withWatermark("ts", "10 minutes")
+        .groupBy($"event_type", window($"ts", "1 hour"))
+        .agg(count(lit(1)).as("n"))
+      val q = counts.writeStream.outputMode(OutputMode.Append)
+        .format("parquet").option("path", work.resolve("out").toString)
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val survived = s.read.parquet(work.resolve("out").toString)
+        .where($"event_type" =!= "__sentinel")
+        .groupBy($"event_type").agg(sum($"n").as("n_survived"))
+      val total = ev.groupBy($"event_type").agg(count(lit(1)).as("n_total"))
+      val rep = total.join(survived, Seq("event_type"), "left")
+        .select($"event_type", $"n_total",
+          coalesce($"n_survived", lit(0L)).as("n_survived"),
+          ($"n_total" - coalesce($"n_survived", lit(0L))).as("n_late_dropped"))
+      val rows = rep.collect() // types-bounded; decouples from work-dir cleanup
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), rep.schema)
+        .orderBy($"event_type")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(work.toFile)
+    }
+  }
 }

@@ -829,4 +829,42 @@ object Relational {
       .withColumn("n_sort_merge_joins", lit(occurrences("SortMergeJoin")))
       .orderBy($"r_name")
   }
+
+  /** Order-book reconciliation (q176): the full-outer audit every
+    * warehouse runs between a header table and its detail rollup —
+    * orders vs the lineitem-derived total. Classes: `no_lines` (header
+    * without details — q90's soft-edge orphans), `no_order` (details
+    * without a header), `match` / `mismatch` on the totals. Arithmetic
+    * is exact-integer: per line ec*(100-d)*(100+t) with each factor a
+    * floor(x*100+0.5) BIGINT (scale 1e4 relative to cents), the header
+    * scaled identically — so "match" is integer equality, not an FP
+    * tolerance, and both engines classify identically.
+    *
+    * Scale shape: one map-side-combined lineitem rollup, a key-clustered
+    * FULL OUTER join (both sides shuffle on orderkey once), and a
+    * 4-class aggregate. The full-outer is the one join type the rest of
+    * the suite didn't yet exercise.
+    */
+  def reconReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val derived = table(s, dir, "lineitem")
+      .select($"l_orderkey",
+        (floor($"l_extendedprice" * 100 + 0.5).cast("long") *
+          (lit(100L) - floor($"l_discount" * 100 + 0.5).cast("long")) *
+          (lit(100L) + floor($"l_tax" * 100 + 0.5).cast("long"))).as("line_u"))
+      .groupBy($"l_orderkey").agg(sum($"line_u").as("derived_u"))
+    val headers = table(s, dir, "orders")
+      .select($"o_orderkey",
+        (floor($"o_totalprice" * 100 + 0.5).cast("long") * 10000L).as("header_u"))
+    headers.join(derived, $"o_orderkey" === $"l_orderkey", "full_outer")
+      .select(
+        when($"l_orderkey".isNull, "no_lines")
+          .when($"o_orderkey".isNull, "no_order")
+          .when($"header_u" === $"derived_u", "match")
+          .otherwise("mismatch").as("status"),
+        coalesce(abs($"header_u" - $"derived_u"), lit(0L)).as("abs_diff_u"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n"), sum($"abs_diff_u").as("sum_abs_diff_u"))
+      .orderBy($"status")
+  }
 }

@@ -1309,4 +1309,26 @@ object TextAnalysis {
         sum(when($"adev" > $"mad" * 5.0, 1L).otherwise(0L)).as("n_outliers"))
       .orderBy($"source")
   }
+
+  /** One-row dataset card (q178): the summary block a dataset release
+    * ships — corpus size, source count, token mass, exact-duplicate
+    * count (q19's normalization), mean length, short-doc tail. Every
+    * field is a single-pass aggregate; the card is the cheap headline
+    * the per-operator reports (q19/q40/q81/q85...) break down.
+    */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"source",
+        size(split($"text", " ")).cast("long").as("n_ws"),
+        md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("h"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"),
+        sum($"n_ws").as("n_tokens"),
+        (count(lit(1)) - countDistinct($"h")).as("n_exact_dup_docs"),
+        graft.Tables.round6(sum($"n_ws").cast("double") / count(lit(1)))
+          .as("mean_doc_tokens"),
+        sum(when($"n_ws" < 20, 1L).otherwise(0L)).as("n_short_docs"))
+  }
 }
