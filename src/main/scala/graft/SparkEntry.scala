@@ -214,7 +214,7 @@ object SparkEntry {
     "q176_recon_report" -> ((s, d) => Relational.reconReport(s, d)),
     "q177_rfm_segments" -> ((s, d) => EventOps.rfmSegments(s, d)),
     "q178_dataset_card" -> ((s, d) => TextAnalysis.datasetCard(s, d)),
-    "q179_late_data_audit" -> ((s, d) => EventOps.lateDataAudit(s, d)),
+    "q179_late_data_audit" -> ((s, d) => graft.streaming.StreamOps.withStatePartitions(s, 8)(EventOps.lateDataAudit(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(

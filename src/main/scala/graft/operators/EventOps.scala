@@ -1630,11 +1630,12 @@ object EventOps {
     * END evicts exactly the windows closed at max(on-time), batch 3 =
     * the late slice (drops iff hour-window end <= max(on-time), both
     * classes populated), batch 4 = the +4h drain sentinel. Batch
-    * composition is exact because every staged group is PADDED to the
-    * on-time file count with 1-row '__sentinel' files (mtime-ordered
+    * composition is exact because every staged group is written as ONE
+    * job repartitioned to exactly the on-time file count (mtime-ordered
     * groups, maxFilesPerTrigger = group size — the q159 discipline
-    * generalized to multiple controlled batches). The oracle replays
-    * the mod-50 rule and the eviction cut in integer ms.
+    * generalized to multiple controlled batches; which rows share a
+    * file within a group is irrelevant, only group membership is). The
+    * oracle replays the mod-50 rule and the eviction cut in integer ms.
     *
     * Scale shape: the on-time pass-through is file-parallel; only the
     * ~2% late slice coalesces to one file; state is hour-bounded; the
@@ -1647,43 +1648,45 @@ object EventOps {
     val ev = events(s, dir).select($"event_id", $"event_type",
       timestamp_micros($"ts_us").as("ts"))
     val work = java.nio.file.Files.createTempDirectory("q179_late")
-    def move1(stage: String, name: String): Unit = {
-      val f = new java.io.File(work.resolve(stage).toString)
-        .listFiles().filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(f.toPath,
-        java.nio.file.Paths.get(work.resolve("src").toString, name)): Unit
-    }
     try {
-      // cap the on-time file count so group padding stays cheap
-      ev.where($"event_id" % lateMod =!= 0).repartition(4)
+      ev.where($"event_id" % lateMod =!= 0)
         .write.parquet(work.resolve("src").toString)
       val nGroup = math.max(1, new java.io.File(work.resolve("src").toString)
         .listFiles().count(_.getName.endsWith(".parquet")))
       val maxTs = ev.agg(max($"ts")).head.getTimestamp(0)
-      var stageId = 0
-      def sentinelFile(name: String, tsMs: Long): Unit = {
-        stageId += 1
-        Seq((-1L, "__sentinel", new java.sql.Timestamp(tsMs)))
-          .toDF("event_id", "event_type", "ts")
-          .coalesce(1).write.parquet(work.resolve(s"stage$stageId").toString)
-        move1(s"stage$stageId", name)
+      // each group = ONE write job repartitioned to exactly nGroup files,
+      // moved into the source dir (mtime separates groups)
+      // underfilled groups are safe for the LATE and END groups (their
+      // files spill into later batches, where the eviction threshold is
+      // identical); the MID group must be exact — sentinels() guarantees
+      // nGroup non-empty partitions by construction, so stageGroup
+      // writes the frame's own partitioning verbatim
+      def stageGroup(group: String, df: DataFrame): Unit = {
+        val stage = work.resolve(s"stage_$group").toString
+        df.write.parquet(stage)
+        new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).zipWithIndex
+          .foreach { case (f, i) =>
+            java.nio.file.Files.move(f.toPath, java.nio.file.Paths.get(
+              work.resolve("src").toString, f"zz_${group}%s_$i%03d.parquet")): Unit
+          }
       }
-      def pad(group: String, tsMs: Long): Unit =
-        (2 to nGroup).foreach(i => sentinelFile(f"zz_${group}%s_pad$i%02d.parquet", tsMs))
-      // group 2: mid sentinel at max+10min -> its batch END evicts
-      // every window closed at max(on-time) (wm = max exactly)
+      // one row per partition => exactly nGroup files, DETERMINISTICALLY
+      // (range(n).repartition(n) round-robins from a random start per
+      // input split and can leave empty partitions — measured: a 4-file
+      // mid group let two late files into the mid batch at sf1)
+      def sentinels(tsMs: Long): DataFrame =
+        s.range(0L, nGroup.toLong, 1L, nGroup).select(lit(-1L).as("event_id"),
+          lit("__sentinel").as("event_type"),
+          lit(new java.sql.Timestamp(tsMs)).as("ts"))
+      // group 2: mid sentinels at max+10min -> that batch's END evicts
+      // every window closed at max(all ts) (wm = the ms-truncated max)
       val midMs = maxTs.getTime + 600000L
-      sentinelFile("zz_a_mid.parquet", midMs)
-      pad("a", midMs)
-      // group 3: the late slice (+ pads that do not move the watermark)
-      ev.where($"event_id" % lateMod === 0)
-        .coalesce(1).write.parquet(work.resolve("stage_late").toString)
-      move1("stage_late", "zz_b_late.parquet")
-      pad("b", midMs)
-      // group 4: drain sentinel far past every window end
-      val endMs = maxTs.getTime + 4L * 3600L * 1000L
-      sentinelFile("zz_c_end.parquet", endMs)
-      pad("c", endMs)
+      stageGroup("a_mid", sentinels(midMs))
+      // group 3: the late slice (repartitioned, watermark unmoved)
+      stageGroup("b_late", ev.where($"event_id" % lateMod === 0).repartition(nGroup))
+      // group 4: drain sentinels far past every window end
+      stageGroup("c_end", sentinels(maxTs.getTime + 4L * 3600L * 1000L))
       val schema = s.read.parquet(work.resolve("src").toString).schema
       val counts = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", nGroup.toString)
