@@ -68,6 +68,30 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(got == Seq((10L, 90L), (11L, -1L)))
   }
 
+  test("asof over BUCKETED inputs plans with ZERO exchanges — the declared distribution composes with storage co-location") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS asof_l"); spark.sql("DROP TABLE IF EXISTS asof_r")
+    val (l, r) = frames()
+    // bucket both sides on the join key: EnsureRequirements sees the
+    // ClusteredDistribution requirement already satisfied by the scan
+    l.write.bucketBy(4, "user_id").sortBy("user_id", "purchase_us").saveAsTable("asof_l")
+    r.write.bucketBy(4, "click_user").sortBy("click_user", "click_us").saveAsTable("asof_r")
+    try {
+      val df = graft.plans.AsOf.asofBackward(
+        spark.table("asof_l"), spark.table("asof_r"),
+        "user_id", "purchase_us", "click_user", "click_us", "click_id", 1000L)
+      val got = df.select("purchase_id", "click_id")
+        .collect().map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSeq.sorted
+      assert(got == Seq((100L, 900L), (101L, 902L), (102L, -1L), (103L, -1L), (104L, -1L)))
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("AsOfJoin"), s"custom exec missing:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed as-of must not shuffle either side:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS asof_l"); spark.sql("DROP TABLE IF EXISTS asof_r")
+    }
+  }
+
   test("q175 equals the window-composed backward reference on real events") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
