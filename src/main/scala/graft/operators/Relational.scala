@@ -842,8 +842,7 @@ object Relational {
     *
     * Scale shape: one map-side-combined lineitem rollup, a key-clustered
     * FULL OUTER join (both sides shuffle on orderkey once), and a
-    * 4-class aggregate. The full-outer is the one join type the rest of
-    * the suite didn't yet exercise.
+    * 4-class aggregate.
     */
   def reconReport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
