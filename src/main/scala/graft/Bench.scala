@@ -166,25 +166,29 @@ object Bench {
         "BENCH_LAST.json")), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     // self-limiting: the line + sbt's trailing "[success] Total time"
-    // (~70 chars) must fit the 2000-char window together. Full names for
-    // 90+ queries don't (r09 cut 30 entries — exactly where a fast-tail
-    // regression would hide), so the compact line keys each entry by its
-    // unambiguous "qNN" prefix — 1:1 with the registry name — which fits
-    // the ENTIRE map; BENCH_LAST.json keeps the full-name map. If the
-    // registry ever outgrows even short keys, the slowest-first fill +
-    // queries_omitted count below degrades gracefully.
+    // (~75 chars) must fit the 2000-char window together. Full names for
+    // 90+ queries don't (r09 cut 30 entries), and even "qNN"-prefix keys
+    // with %.1f-second values overflow past ~160 queries (r10 cut 23 —
+    // exactly where a fast-tail regression would hide). So the compact
+    // line carries the ENTIRE map as "queries_ds": unambiguous "qNN"
+    // registry-name prefixes -> integer DECISECONDS (0.1 s resolution,
+    // the same precision the old per-query %.1f carried in ~40% fewer
+    // bytes); BENCH_LAST.json keeps the full-name full-precision map.
+    // "queries_omitted" is emitted unconditionally so the fidelity gate
+    // is auditable at a glance; the overflow fill below only engages if
+    // the registry someday outgrows even deciseconds.
     val base = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","detail":"BENCH_LAST.json""""
     val entries = stats.sortBy(-_._2._1)
-      .map { case (k, (m, _, _)) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$m%.1f" }
+      .map { case (k, (m, _, _)) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + math.round(m * 10).toString }
     val buf = new StringBuilder
     var omitted = 0
     entries.foreach { e =>
-      if (base.length + buf.length + e.length + 60 <= 1800) {
+      if (base.length + buf.length + e.length + 60 <= 1880) {
         if (buf.nonEmpty) buf.append(','); buf.append(e)
       } else omitted += 1
     }
-    val omittedField = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-    println(s"""$base$omittedField,"queries":{$buf}}""")
+    println(s"""$base,"queries_omitted":$omitted,"queries_ds":{$buf}}""")
     spark.stop()
   }
 }

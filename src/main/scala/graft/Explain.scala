@@ -8,7 +8,10 @@ package graft
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = Tables.session("graft-explain", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    // 32 = the harness contract (same default as Bench/Verify/Cli/Smoke
+    // since the round-10 core-count correction): plans inspected here
+    // should be the plans the measured runs execute
+    val spark = Tables.session("graft-explain", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>

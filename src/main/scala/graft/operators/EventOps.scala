@@ -17,6 +17,11 @@ import graft.Tables.{events, table}
   */
 object EventOps {
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** The reference `cat` query (`/root/reference/triton.go:344-367`,
     * `/root/reference/triton/store_reader.go:54-111`): scan an archive date
     * range for one client, ordered. Date-range predicate + client predicate
@@ -777,13 +782,19 @@ object EventOps {
     import s.implicits._
     val ev = events(s, dir).select($"event_id", $"ts_us", $"user_id", $"event_type")
     val work = java.nio.file.Files.createTempDirectory("q112_orc")
-    val out = work.resolve("orc").toString
-    ev.write.orc(out)
-    s.read.orc(out)
-      .groupBy($"event_type")
-      .agg(count(lit(1)).as("n"), sum($"user_id").as("sum_user"),
-        min($"ts_us").as("min_ts_us"), max($"ts_us").as("max_ts_us"))
-      .orderBy($"event_type")
+    try {
+      val out = work.resolve("orc").toString
+      ev.write.orc(out)
+      val report = s.read.orc(out)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"user_id").as("sum_user"),
+          min($"ts_us").as("min_ts_us"), max($"ts_us").as("max_ts_us"))
+      // bounded: one row per event type — collect so the corpus-sized ORC
+      // copy can be deleted under the returned plan (q100's discipline)
+      val rows = report.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), report.schema)
+        .orderBy($"event_type")
+    } finally deleteRecursively(work.toFile)
   }
 
   /** CSV ingest with TYPE-level dead-lettering (q113): next to q100's
@@ -801,31 +812,37 @@ object EventOps {
     import org.apache.spark.sql.types._
     val ev = events(s, dir).select($"event_id", $"ts_us", $"user_id", $"event_type")
     val work = java.nio.file.Files.createTempDirectory("q113_csv")
-    val out = work.resolve("csv").toString
-    ev.select(concat_ws(",", $"event_id", $"ts_us",
-        when($"event_id" % 41 === 0, lit("not_a_number"))
-          .otherwise($"user_id".cast("string")),
-        $"event_type").as("value"))
-      .write.text(out)
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts_us", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("_corrupt", StringType)))
-    val parsed = s.read.schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt")
-      .csv(out)
-    // ONE pass: routing good/dead inside the grouping key sidesteps
-    // Spark's only-the-corrupt-column-referenced pruning restriction and
-    // reads the files once; the dead group's typed aggregates are
-    // all-NULL by construction, matching the oracle's NULL row
-    parsed
-      .groupBy(when($"_corrupt".isNull, $"event_type")
-        .otherwise(lit("_dead")).as("kind"))
-      .agg(count(lit(1)).as("n"),
-        sum(when($"_corrupt".isNull, $"user_id")).as("sum_user"),
-        max(when($"_corrupt".isNull, $"ts_us")).as("max_ts_us"))
-      .orderBy($"kind")
+    try {
+      val out = work.resolve("csv").toString
+      ev.select(concat_ws(",", $"event_id", $"ts_us",
+          when($"event_id" % 41 === 0, lit("not_a_number"))
+            .otherwise($"user_id".cast("string")),
+          $"event_type").as("value"))
+        .write.text(out)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts_us", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("_corrupt", StringType)))
+      val parsed = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+      // ONE pass: routing good/dead inside the grouping key sidesteps
+      // Spark's only-the-corrupt-column-referenced pruning restriction and
+      // reads the files once; the dead group's typed aggregates are
+      // all-NULL by construction, matching the oracle's NULL row
+      val rolled = parsed
+        .groupBy(when($"_corrupt".isNull, $"event_type")
+          .otherwise(lit("_dead")).as("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(when($"_corrupt".isNull, $"user_id")).as("sum_user"),
+          max(when($"_corrupt".isNull, $"ts_us")).as("max_ts_us"))
+      // bounded: types + the dead row — collect so the corpus-sized CSV
+      // copy can be deleted on every exit path (q100's discipline)
+      val rows = rolled.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), rolled.schema)
+        .orderBy($"kind")
+    } finally deleteRecursively(work.toFile)
   }
 
   /** Latest-state snapshot from the event log (q114): the CDC-read
@@ -868,20 +885,26 @@ object EventOps {
       .select($"event_id", $"user_id", $"event_type",
         floor($"value" * 100 + 0.5).cast("long").as("cents"))
     val work = java.nio.file.Files.createTempDirectory("q115_evo")
-    val root = work.resolve("data")
-    ev.where($"event_id" % 2 === 0)
-      .select($"event_id", $"user_id", $"event_type")
-      .write.parquet(root.resolve("v1").toString)
-    ev.where($"event_id" % 2 === 1)
-      .write.parquet(root.resolve("v2").toString)
-    s.read.option("mergeSchema", "true")
-      .option("recursiveFileLookup", "true")
-      .parquet(root.toString)
-      .groupBy($"event_type")
-      .agg(count(lit(1)).as("n_rows"),
-        count($"cents").as("n_with_value"),
-        sum($"cents").as("sum_cents"))
-      .orderBy($"event_type")
+    try {
+      val root = work.resolve("data")
+      ev.where($"event_id" % 2 === 0)
+        .select($"event_id", $"user_id", $"event_type")
+        .write.parquet(root.resolve("v1").toString)
+      ev.where($"event_id" % 2 === 1)
+        .write.parquet(root.resolve("v2").toString)
+      val rolled = s.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(root.toString)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          count($"cents").as("n_with_value"),
+          sum($"cents").as("sum_cents"))
+      // bounded: one row per event type — collect so the corpus-sized
+      // v1/v2 copies can be deleted on every exit path
+      val rows = rolled.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), rolled.schema)
+        .orderBy($"event_type")
+    } finally deleteRecursively(work.toFile)
   }
 
   /** DAU/WAU stickiness (q106): per day, distinct active users that day

@@ -784,14 +784,16 @@ object Relational {
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n_items"), sum($"cents").as("revenue_cents"))
       val rows = joined.collect().toSeq // bounded: one row per priority
-      val plan = joined.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==")(0)
-      val joinIdx = plan.indexOf("SortMergeJoin")
+      // typed plan traversal, not plan-string substring matching: a
+      // shuffle spelled differently (rangepartitioning, an operator
+      // rename in a Spark upgrade) must still count, or the pinned
+      // n_join_exchanges=0 gate could silently pass over a real shuffle
+      val smjs = planNodes(joined.queryExecution.executedPlan).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
       val exchanges =
-        if (joinIdx < 0) Long.MaxValue // not the co-located plan at all
-        else plan.substring(joinIdx)
-          .sliding("Exchange hashpartitioning".length)
-          .count(_ == "Exchange hashpartitioning").toLong
+        if (smjs.isEmpty) Long.MaxValue // not the co-located plan at all
+        else smjs.map(j => countShuffles(j)).sum
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), joined.schema)
         .withColumn("n_join_exchanges", lit(exchanges))
         .orderBy($"o_orderpriority")
@@ -820,15 +822,43 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"),
         sum(expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)")).as("acctbal_cents"))
     val rows = joined.collect().toSeq // bounded: one row per region
-    val plan = joined.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
-    def occurrences(needle: String): Long =
-      plan.sliding(needle.length).count(_ == needle).toLong
+    // typed node counts (see bucketedJoinAudit): the audit survives plan
+    // string renames across Spark upgrades
+    val nodes = planNodes(joined.queryExecution.executedPlan)
+    val nBhj = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]).toLong
+    val nSmj = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]).toLong
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), joined.schema)
-      .withColumn("n_broadcast_joins", lit(occurrences("BroadcastHashJoin")))
-      .withColumn("n_sort_merge_joins", lit(occurrences("SortMergeJoin")))
+      .withColumn("n_broadcast_joins", lit(nBhj))
+      .withColumn("n_sort_merge_joins", lit(nSmj))
       .orderBy($"r_name")
   }
+
+  /** Flatten an EXECUTED physical plan into its node list, expanding the
+    * wrappers that hide subtrees from a plain `TreeNode.collect`: AQE's
+    * `AdaptiveSparkPlanExec` (final plan behind a field), materialized
+    * `QueryStageExec` leaves (the staged exchange is `.plan`), and
+    * `ReusedExchangeExec` (counts as the exchange it reuses — a reused
+    * shuffle is still a shuffle read on this edge).
+    */
+  private def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    p match {
+      case a: AdaptiveSparkPlanExec => planNodes(a.executedPlan)
+      case q: QueryStageExec => q +: planNodes(q.plan)
+      case r: ReusedExchangeExec => r +: planNodes(r.child)
+      case other => other +: other.children.flatMap(planNodes)
+    }
+  }
+
+  /** Number of shuffle-exchange nodes in `p`'s expanded subtree — typed
+    * (`ShuffleExchangeLike`), so any partitioning spelling counts. */
+  private def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Long =
+    planNodes(p).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]).toLong
 
   /** Order-book reconciliation (q176): the full-outer audit every
     * warehouse runs between a header table and its detail rollup —

@@ -1410,11 +1410,17 @@ object Similarity {
         "sqrt(aggregate(v, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double)))"))
     val queries = vecs.where($"vec_id" % 100 === 0)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    // zero-norm guard (maxsimRetrieval's den != 0 convention): a vector
+    // whose first `dims` components are all zero would otherwise produce
+    // NaN/Infinity, and NaN sorts GREATEST under desc — silently polluting
+    // the truncated top-k. -Infinity instead ranks such rows last.
+    val dot = expr(
+      """aggregate(zip_with(v, qv, (a, b) -> cast(a as double) * cast(b as double)),
+        | cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
     val scored = vecs.join(broadcast(queries), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
-        expr("""aggregate(zip_with(v, qv, (a, b) -> cast(a as double) * cast(b as double)),
-               | cast(0.0 as double), (acc, x) -> acc + x) / (nrm * qn)""".stripMargin)
-          .as("c"))
+        when($"nrm" =!= 0.0 && $"qn" =!= 0.0, dot / ($"nrm" * $"qn"))
+          .otherwise(lit(Double.NegativeInfinity)).as("c"))
     val trunc = scored
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"query_id")

@@ -160,6 +160,10 @@ object AsOf {
     }
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "asofBackward: rename right-side columns first — outputs concatenate")
+    // the merge's `lts - heldTs <= tol` check assumes a non-negative
+    // tolerance; a negative one would silently produce an all-null right
+    // side rather than an error
+    require(tolUs >= 0, s"asofBackward: tolUs must be >= 0, got $tolUs")
     val spark = left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     GraftSqlBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
       long(attr(lp, leftKey, "left")), long(attr(lp, leftTs, "left")),
