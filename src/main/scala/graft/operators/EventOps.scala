@@ -1487,6 +1487,39 @@ object EventOps {
       .orderBy($"purchase_id")
   }
 
+  /** NEAREST-direction as-of through the native operator (q183): the
+    * exact q99 semantics — nearest click within ±2 h, ties backward,
+    * same-instant clicks split by (ts, event_id) interleaving — under
+    * q99's own oracle text, but executed by [[graft.plans.AsOfJoinExec]]
+    * instead of q99's union+double-window composition. Hash equality
+    * with q99 is the point: the custom physical operator's
+    * direction/tolerance logic is certified by the same DuckDB row the
+    * window form passes, while the PLAN (per-side exchanges, no unioned
+    * sort, no Window — pinned in AsOfJoinSpec) is the one that survives
+    * a skewed 100 TB event log.
+    */
+  def asOfNearestClickNative(s: SparkSession, dir: String,
+                             tolUs: Long = 2L * 3600L * 1000000L): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts_us".as("purchase_us"))
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id".as("click_user"), $"event_id".as("c_id"),
+        $"ts_us".as("c_us"))
+    graft.plans.AsOf.asofNearest(purchases, clicks,
+        leftKey = "user_id", leftTs = "purchase_us", leftTiebreak = "purchase_id",
+        rightKey = "click_user", rightTs = "c_us",
+        rightTiebreak = "c_id", tolUs = tolUs)
+      .select($"user_id", $"purchase_id", $"purchase_us",
+        $"c_id".as("click_id"), $"c_us".as("click_us"),
+        // both directions are non-negative distances; abs covers back
+        // (p >= c) and forward (c >= p) in one expression, matching the
+        // oracle's CASE arms exactly
+        when($"c_us".isNotNull, abs($"c_us" - $"purchase_us")).as("delta_us"))
+      .orderBy($"purchase_id")
+  }
+
   /** Daily new-user and cumulative-user curve (q165): each user counts
     * once, on their FIRST day — the audience-growth companion to q88's
     * retention triangle (same first-touch frame) and the exact form of

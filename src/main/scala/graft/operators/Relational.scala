@@ -509,6 +509,55 @@ object Relational {
       .orderBy($"col_name")
   }
 
+  /** Sketch-based ANALYZE profile (q180): [[columnStatsProfile]]'s exact
+    * ndv swapped for HyperLogLog (`approx_count_distinct`, rsd 0.02) —
+    * the form production ANALYZE actually runs. The exact q139 plans a
+    * 6x Expand of the scan (one duplicated pass per distinct aggregate —
+    * measured 11.7-16 s + 0.5 GB spill at sf10, the heaviest non-spec
+    * batch query); the sketches are ordinary aggregate buffers, so this
+    * is ONE plain map-side-combined aggregate over one scan — no Expand,
+    * no spill, and the plan that still works when a column's ndv is a
+    * billion. min/max/null counts stay exact (they always combine).
+    * Estimates are engine-specific by design → rows-only under the
+    * driver; `AuditOpsSpec` pins each column's estimate within the HLL
+    * error envelope of q139's exact counts, the q18/q54 gating pattern.
+    */
+  def columnStatsApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders").select(
+      $"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_orderpriority",
+      expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"),
+      expr("cast(datediff(cast(o_orderdate as date), date '1970-01-01') as bigint)")
+        .as("eday"))
+    val a = o.agg(
+      count(lit(1)).as("n"),
+      sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("nn_key"),
+      approx_count_distinct($"o_orderkey", 0.02).as("nd_key"),
+      min($"o_orderkey").as("mn_key"), max($"o_orderkey").as("mx_key"),
+      sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("nn_cust"),
+      approx_count_distinct($"o_custkey", 0.02).as("nd_cust"),
+      min($"o_custkey").as("mn_cust"), max($"o_custkey").as("mx_cust"),
+      sum(when($"o_orderstatus".isNull, 1L).otherwise(0L)).as("nn_status"),
+      approx_count_distinct($"o_orderstatus", 0.02).as("nd_status"),
+      sum(when($"o_orderpriority".isNull, 1L).otherwise(0L)).as("nn_prio"),
+      approx_count_distinct($"o_orderpriority", 0.02).as("nd_prio"),
+      sum(when($"cents".isNull, 1L).otherwise(0L)).as("nn_cents"),
+      approx_count_distinct($"cents", 0.02).as("nd_cents"),
+      min($"cents").as("mn_cents"), max($"cents").as("mx_cents"),
+      sum(when($"eday".isNull, 1L).otherwise(0L)).as("nn_eday"),
+      approx_count_distinct($"eday", 0.02).as("nd_eday"),
+      min($"eday").as("mn_eday"), max($"eday").as("mx_eday"))
+    a.select(expr("""stack(6,
+        'orders.o_orderkey',        n, nn_key,    nd_key,    mn_key,            mx_key,
+        'orders.o_custkey',         n, nn_cust,   nd_cust,   mn_cust,           mx_cust,
+        'orders.o_orderstatus',     n, nn_status, nd_status, cast(-1 as bigint), cast(-1 as bigint),
+        'orders.o_orderpriority',   n, nn_prio,   nd_prio,   cast(-1 as bigint), cast(-1 as bigint),
+        'orders.o_totalprice_cents',n, nn_cents,  nd_cents,  mn_cents,          mx_cents,
+        'orders.o_orderdate_eday',  n, nn_eday,   nd_eday,   mn_eday,           mx_eday
+      ) AS (col_name, n_rows, n_null, n_distinct, min_val, max_val)"""))
+      .orderBy($"col_name")
+  }
+
   /** Chi-square independence screen (q145): is order status independent
     * of order priority? One row per contingency cell with observed
     * count, expected count, and the cell's chi-square contribution,

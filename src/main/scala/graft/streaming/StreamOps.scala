@@ -20,15 +20,38 @@ object StreamOps {
     * snapshot) per partition per stateful operator. Production sizes
     * state partitions to key cardinality; these replay lifecycles carry
     * ≤ ~1M keys, where 32 partitions is pure fixed cost (measured: q92
-    * 9.7→4.5 s, q96 9.7→4.4, q159 5.3→3.4 at sf0.1 with 8). Batch
-    * stages planned inside `body` still coalesce under AQE, so only the
-    * intended state sizing changes.
+    * 9.7→4.5 s, q96 9.7→4.4, q159 5.3→3.4 at sf0.1 with 8; round-11
+    * StreamCostProbe then measured 8→2 collapsing per-batch state-store
+    * open/commit again — q92 state_ms 9100→1100, wall 3.0→2.4; q96
+    * 3.5→2.7; q159 3.3→3.0; q179 3.9→3.5 — with 4 between the two, so 2
+    * is the registered setting). Batch stages planned inside `body`
+    * still coalesce under AQE — but note AQE only shrinks: a heavy BATCH
+    * tail inside `body` is capped at `n`, so operators with real batch
+    * tails (q59's exact-verify) keep a larger `n`.
     */
   private[graft] def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, n.toString)
     try body finally s.conf.set(key, prev)
+  }
+
+  /** [[withStatePartitions]] plus `noDataMicroBatches.enabled=false` —
+    * for lifecycles that emit ON ARRIVAL (inner stream-stream join,
+    * `dropDuplicatesWithinWatermark`, Complete-mode aggregation,
+    * TimeMode.None `transformWithState`, flatMapGroupsWithState whose
+    * output happens in handleInput): their trailing no-data micro-batch
+    * only EVICTS state the one-shot replay is about to discard, at one
+    * full batch cycle of cost (measured: q92 2.86→2.07 s — the final
+    * batch's state commit is the whole difference; output identical,
+    * same oracle row). NEVER for Append-mode window/session/outer-join
+    * queries — eviction IS their emission (q47/q72/q96/q159/q179).
+    */
+  private[graft] def withArrivalTuning[T](s: SparkSession, n: Int)(body: => T): T = {
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.get(ndKey)
+    s.conf.set(ndKey, "false")
+    try withStatePartitions(s, n)(body) finally s.conf.set(ndKey, prev)
   }
 
   /** The reference's `store` pipeline (`/root/reference/triton.go:90-137`)

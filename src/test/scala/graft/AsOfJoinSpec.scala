@@ -92,6 +92,60 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q183 nearest semantics: both directions, tie to backward, same-ts tiebreak interleaving") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, 100L, 1000L), // back Δ600 vs fwd Δ500 -> forward wins
+      (1L, 101L, 2000L), // back Δ500 vs fwd Δ500 -> TIE -> backward wins
+      (1L, 102L, 5000L), // nearest click Δ2500 > tol -> null
+      (2L, 103L, 500L),  // no clicks at all -> null
+      (3L, 104L, 1000L), // two same-instant clicks, ids straddle 104 -> Δ0 tie -> backward (id 50)
+      (4L, 105L, 1000L)  // one same-instant click with GREATER id -> forward, Δ0
+    ).toDF("user_id", "purchase_id", "purchase_us")
+    val r = Seq(
+      (1L, 910L, 400L), (1L, 911L, 1500L), (1L, 912L, 2500L),
+      (3L, 50L, 1000L), (3L, 200L, 1000L),
+      (4L, 500L, 1000L)
+    ).toDF("click_user", "click_id", "click_us")
+    val got = graft.plans.AsOf.asofNearest(l, r,
+        "user_id", "purchase_us", "purchase_id",
+        "click_user", "click_us", "click_id", tolUs = 1000L)
+      .select("purchase_id", "click_id")
+      .collect().map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSeq.sorted
+    assert(got == Seq((100L, 911L), (101L, 911L), (102L, -1L),
+      (103L, -1L), (104L, 50L), (105L, 500L)))
+  }
+
+  test("q183 plan: nearest AsOfJoinExec plans with one exchange per side and no Window") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 1000L)).toDF("user_id", "purchase_id", "purchase_us")
+    val r = Seq((1L, 910L, 400L)).toDF("click_user", "click_id", "click_us")
+    val df = graft.plans.AsOf.asofNearest(l, r,
+      "user_id", "purchase_us", "purchase_id",
+      "click_user", "click_us", "click_id", 1000L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("AsOfJoin"), s"custom exec missing:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 exchanges (one per side), got $exchanges:\n$plan")
+    assert(!plan.contains("Window"), s"window sneaked in:\n$plan")
+  }
+
+  test("negative tolerance is rejected up front, not silently all-null") {
+    val (l, r) = frames()
+    intercept[IllegalArgumentException] {
+      graft.plans.AsOf.asofBackward(l, r,
+        "user_id", "purchase_us", "click_user", "click_us", "click_id", -1L)
+    }
+  }
+
+  test("q183 equals the q99 window composition on real events") {
+    val dir = "/root/testdata/sf0.001"
+    val native = operators.EventOps.asOfNearestClickNative(spark, dir)
+    val ref = operators.EventOps.asOfNearestClick(spark, dir)
+    assert(native.exceptAll(ref).isEmpty && ref.exceptAll(native).isEmpty)
+  }
+
   test("q175 equals the window-composed backward reference on real events") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"

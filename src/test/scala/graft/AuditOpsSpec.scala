@@ -88,6 +88,32 @@ class AuditOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got == Seq(("s", 5L, 3.0, 1.0, 1L)))
   }
 
+  test("q180 approx column stats: exact fields identical, ndv inside the HLL envelope, no Expand") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = operators.Relational.columnStatsProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val approxDf = operators.Relational.columnStatsApprox(spark, dir)
+    val approx = approxDf.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (colName, (n, nn, nd, mn, mx)) =>
+      val (an, ann, and_, amn, amx) = approx(colName)
+      // everything except ndv combines exactly — must be identical
+      assert((an, ann, amn, amx) == ((n, nn, mn, mx)), s"$colName exact fields drifted")
+      // rsd 0.02 -> 3-sigma ~ 6%; +2 absolute slack covers tiny-ndv
+      // columns where the integer envelope would round to zero
+      val tol = math.max(2L, math.ceil(nd * 0.06).toLong)
+      assert(math.abs(and_ - nd) <= tol,
+        s"$colName: approx ndv $and_ vs exact $nd exceeds 3-sigma envelope $tol")
+    }
+    // the point of the sketch path: ONE plain aggregate, no 6x Expand of
+    // the scan (q139's exact distinct counts plan one duplicated pass per
+    // aggregate — its measured sf10 cost)
+    approxDf.collect() // finalize AQE
+    val plan = approxDf.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Expand"), s"sketch profile must not Expand the scan:\n$plan")
+  }
+
   test("q169 variant ingest: corrupt payloads and missing keys count, valid k sums") {
     val dir = eventsFixture(Seq(
       (1L, 10L, 1L, "view", 0.0, """{"k": 7}"""),
