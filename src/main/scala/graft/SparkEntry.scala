@@ -216,6 +216,7 @@ object SparkEntry {
     "q178_dataset_card" -> ((s, d) => TextAnalysis.datasetCard(s, d)),
     "q179_late_data_audit" -> ((s, d) => graft.streaming.StreamOps.withStatePartitions(s, 2)(EventOps.lateDataAudit(s, d))),
     "q180_column_stats_approx" -> ((s, d) => Relational.columnStatsApprox(s, d)),
+    "q181_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
     "q183_asof_nearest_native" -> ((s, d) => EventOps.asOfNearestClickNative(s, d)),
   )
 

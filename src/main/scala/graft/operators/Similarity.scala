@@ -42,6 +42,7 @@ object Similarity {
     // corpus — drop it with the Datasets (and stop old-appId entries
     // accumulating across sessions)
     codebooks.clear()
+    pqCodebookCache.clear()
   }
 
   /** (vec_id, v as double[], norm) rows — the shared input shape. */
@@ -581,6 +582,274 @@ object Similarity {
     val centsDf = cents.toSeq.toDF("cell", "cv", "cn")
     ivfSearch(s, assigned, centsDf,
       queryDs(s, queries).toDF("query_id", "qv", "qn"), k, nProbe)
+  }
+
+  /** Per-subspace product-quantization codebooks (Jégou, Douze, Schmid
+    * 2011, "Product quantization for nearest neighbor search"): the
+    * UNIT-NORMALIZED vector splits into `nSub` contiguous subvectors and
+    * each subspace learns `nCodes` centroids by the same deterministic
+    * sample-bounded k-means discipline as [[kmeansCodebook]] (hash60
+    * training sample, Gonzalez init seeded at the smallest hash, fixed
+    * Lloyd rounds, ties to the smaller index) — L2 in each subspace,
+    * the PQ-standard objective. Memoized like the coarse codebook.
+    * Returns pq(m)(code) = centroid subvector.
+    */
+  private def pqCodebooks(s: SparkSession, dir: String,
+                          nSub: Int, nCodes: Int,
+                          iters: Int): Array[Array[Array[Double]]] = {
+    val key = s"${s.sparkContext.applicationId}|$dir|$nSub|$nCodes|$iters"
+    pqCodebookCache.computeIfAbsent(key, _ => buildPqCodebooks(s, dir, nSub, nCodes, iters))
+  }
+
+  private val pqCodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  private def buildPqCodebooks(s: SparkSession, dir: String,
+                               nSub: Int, nCodes: Int,
+                               iters: Int): Array[Array[Array[Double]]] = {
+    import s.implicits._
+    val vecs = memoCache("annIvfKmeans", s, dir, vecDs(s, dir).cache())
+      .toDF("vec_id", "v", "nrm")
+    // one bounded corpus pass: 64 training points per code (above the
+    // FAISS 39-per-centroid floor), hash60-ordered for reproducibility
+    val sample = vecs
+      .withColumn("h", expr("hash60(cast(vec_id as string))"))
+      .orderBy($"h".asc, $"vec_id".asc)
+      .limit(64 * nCodes)
+      .select($"vec_id", $"v", $"nrm")
+      .as[(Long, Array[Double], Double)]
+      .collect()
+      .sortBy(_._1) // fixed fold/tie order
+    val dim = sample.head._2.length
+    require(dim % nSub == 0, s"PQ: dim $dim not divisible by $nSub subspaces")
+    val subDim = dim / nSub
+    def subvec(v: Array[Double], nrm: Double, m: Int): Array[Double] = {
+      val out = new Array[Double](subDim)
+      val inv = if (nrm == 0.0) 0.0 else 1.0 / nrm
+      var i = 0
+      while (i < subDim) { out(i) = v(m * subDim + i) * inv; i += 1 }
+      out
+    }
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var acc = 0.0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    Array.tabulate(nSub) { m =>
+      val pts = sample.map { case (_, v, n) => subvec(v, n, m) }
+      // Gonzalez init: seed at the hash-smallest sample point, each next
+      // center is the point farthest (L2) from its nearest chosen center,
+      // ties to the earlier index
+      val centers = scala.collection.mutable.ArrayBuffer[Array[Double]](pts.head)
+      val bestD = Array.fill(pts.length)(Double.MaxValue)
+      while (centers.length < math.min(nCodes, pts.length)) {
+        val last = centers.last
+        var worstIdx = 0; var worst = -1.0
+        var i = 0
+        while (i < pts.length) {
+          val d = l2(pts(i), last)
+          if (d < bestD(i)) bestD(i) = d
+          if (bestD(i) > worst) { worst = bestD(i); worstIdx = i }
+          i += 1
+        }
+        centers += pts(worstIdx)
+      }
+      var cents = centers.toArray
+      var round = 0
+      while (round < iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](subDim))
+        val counts = new Array[Long](cents.length)
+        var i = 0
+        while (i < pts.length) {
+          var best = 0; var bd = Double.MaxValue; var j = 0
+          while (j < cents.length) {
+            val d = l2(pts(i), cents(j))
+            if (d < bd) { bd = d; best = j } // strict <: ties to smaller code
+            j += 1
+          }
+          val sv = sums(best); var k = 0
+          while (k < subDim) { sv(k) += pts(i)(k); k += 1 }
+          counts(best) += 1
+          i += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0L) old
+          else {
+            val nv = new Array[Double](subDim)
+            var k = 0
+            while (k < subDim) { nv(k) = sums(c)(k) / counts(c); k += 1 }
+            nv
+          }
+        }
+        round += 1
+      }
+      cents
+    }
+  }
+
+  /** The compressed inverted file behind [[annIvfPq]]: (cell, vec_id,
+    * nSub-byte code) — encode once per corpus, memoized; this frame is
+    * what the probe scan moves at 100 TB.
+    */
+  private def pqIndex(s: SparkSession, dir: String,
+                      assigned: DataFrame,
+                      bPq: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+                      subDim: Int, subKey: String): DataFrame = {
+    import s.implicits._
+    memoCacheSub("annIvfPqIdx", s, dir, subKey, {
+      assigned.select($"cell", $"vec_id", $"v", $"nrm")
+        .as[(Int, Long, Array[Double], Double)]
+        .mapPartitions { it =>
+          val cb = bPq.value
+          it.map { case (cell, id, v, nrm) =>
+            val code = new Array[Byte](cb.length)
+            val inv = if (nrm == 0.0) 0.0 else 1.0 / nrm
+            var m = 0
+            while (m < cb.length) {
+              val cs = cb(m)
+              var best = 0; var bd = Double.MaxValue; var c = 0
+              while (c < cs.length) {
+                var d = 0.0; var i = 0
+                while (i < subDim) {
+                  val x = v(m * subDim + i) * inv - cs(c)(i)
+                  d += x * x; i += 1
+                }
+                if (d < bd) { bd = d; best = c }
+                c += 1
+              }
+              code(m) = best.toByte
+              m += 1
+            }
+            (cell, id, code)
+          }
+        }.toDF("cell", "vec_id", "code").cache()
+    }).toDF("cell", "vec_id", "code")
+  }
+
+  /** Distinct code widths (bytes per vector) in the PQ inverted file —
+    * the recall spec's compression pin. */
+  private[graft] def annIvfPqCodeWidths(s: SparkSession, dir: String,
+      nCells: Int = 64, iters: Int = 5, nSub: Int = 8, nCodes: Int = 256,
+      pqIters: Int = 3): Set[Int] = {
+    import s.implicits._
+    val vecs = memoCache("annIvfKmeans", s, dir, vecDs(s, dir).cache())
+      .toDF("vec_id", "v", "nrm")
+    val cents = kmeansCodebook(s, dir, nCells, iters)
+    val assigned = memoCacheSub("annIvfKmeansIdx", s, dir, s"$nCells|$iters",
+      assignCells(s, vecs, cents).cache()).toDF("cell", "vec_id", "v", "nrm")
+    val pq = pqCodebooks(s, dir, nSub, nCodes, pqIters)
+    val bPq = s.sparkContext.broadcast(pq)
+    pqIndex(s, dir, assigned, bPq, pq(0)(0).length,
+      s"$nCells|$iters|$nSub|$nCodes|$pqIters")
+      .select(length($"code").cast("int"))
+      .distinct().as[Int].collect().toSet
+  }
+
+  /** IVF-PQ ANN (q181): the 100 TB MEMORY shape — [[annIvfKmeans]]'s
+    * coarse cells with the in-cell scan running over PRODUCT-QUANTIZED
+    * codes (8 subspaces x 256 centroids = 8 bytes/vector, 64x less than
+    * the 64 raw doubles) via asymmetric distance computation, then an
+    * exact re-rank of a bounded ADC shortlist from the raw vectors —
+    * the standard IVFPQ+refine serving stack (q53 scans raw doubles in
+    * probed cells; q68 quantizes but nothing consumed it — this fuses
+    * both seams). Per (query, partition) the ADC cost is one
+    * nSub x nCodes lookup table (bounded by the query panel), then 8
+    * adds per candidate instead of a 64-dim dot.
+    *
+    * Scale shape: index build is O(1) corpus passes (coarse codebook +
+    * PQ codebooks from one bounded sample each, one assign+encode pass,
+    * all memoized); the probe scan moves (cell, id, 8-byte code) rows
+    * only; raw vectors are touched for queries x `kAdc` shortlist rows.
+    * Estimates are engine-specific -> rows-only; SimilarityRecallSpec
+    * gates recall@5 vs exact brute force, pins the 8-byte code width,
+    * and checks probe-all-cells + corpus-wide shortlist reproduces the
+    * exact top-k (ADC orders the shortlist, the refine makes it exact).
+    */
+  def annIvfPq(s: SparkSession, dir: String, k: Int = 5, nCells: Int = 64,
+               nProbe: Int = 8, iters: Int = 5, nSub: Int = 8,
+               nCodes: Int = 256, pqIters: Int = 3, kAdc: Int = 32): DataFrame =
+    annIvfPq(s, dir, harnessQueries(s, dir), k, nCells, nProbe, iters,
+      nSub, nCodes, pqIters, kAdc)
+
+  /** [[annIvfPq]] over an arbitrary `(vec_id, embedding)` query frame. */
+  def annIvfPq(s: SparkSession, dir: String, queries: DataFrame, k: Int,
+               nCells: Int, nProbe: Int, iters: Int, nSub: Int,
+               nCodes: Int, pqIters: Int, kAdc: Int): DataFrame = {
+    import s.implicits._
+    val vecs = memoCache("annIvfKmeans", s, dir, vecDs(s, dir).cache())
+      .toDF("vec_id", "v", "nrm")
+    if (vecs.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("query_id", "rank", "neighbor_id", "cosine")
+    val cents = kmeansCodebook(s, dir, nCells, iters)
+    val assigned = memoCacheSub("annIvfKmeansIdx", s, dir, s"$nCells|$iters",
+      assignCells(s, vecs, cents).cache()).toDF("cell", "vec_id", "v", "nrm")
+    val pq = pqCodebooks(s, dir, nSub, nCodes, pqIters)
+    val subDim = pq(0)(0).length
+    val bPq = s.sparkContext.broadcast(pq)
+    val codes = pqIndex(s, dir, assigned, bPq, subDim,
+      s"$nCells|$iters|$nSub|$nCodes|$pqIters")
+    val centsDf = cents.toSeq.toDF("cell", "cv", "cn")
+    val qds = queryDs(s, queries).toDF("query_id", "qv", "qn")
+    val probed = qds.crossJoin(broadcast(centsDf))
+      .withColumn("csim",
+        aggregate(zip_with($"qv", $"cv", _ * _), lit(0.0), _ + _) / ($"qn" * $"cn"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"csim".desc, $"cell".asc)))
+      .where($"crk" <= nProbe)
+      .select($"query_id", $"cell", $"qv", $"qn")
+    // ADC pass over codes only: per-partition LUT memo keyed by query id
+    // (bounded by the query panel: nSub*nCodes doubles each)
+    val adcScored = probed.join(codes, Seq("cell"))
+      .where($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", $"code", $"qv", $"qn")
+      .as[(Long, Long, Array[Byte], Array[Double], Double)]
+      .mapPartitions { it =>
+        val cb = bPq.value
+        val nS = cb.length; val nC = cb(0).length
+        val luts = new java.util.HashMap[Long, Array[Double]]()
+        it.map { case (q, id, code, qv, qn) =>
+          var lut = luts.get(q)
+          if (lut == null) {
+            lut = new Array[Double](nS * nC)
+            val inv = if (qn == 0.0) 0.0 else 1.0 / qn
+            var m = 0
+            while (m < nS) {
+              var c = 0
+              while (c < nC) {
+                var acc = 0.0; var i = 0
+                while (i < subDim) { acc += qv(m * subDim + i) * inv * cb(m)(c)(i); i += 1 }
+                lut(m * nC + c) = acc
+                c += 1
+              }
+              m += 1
+            }
+            luts.put(q, lut)
+          }
+          var adc = 0.0; var m = 0
+          while (m < nS) { adc += lut(m * nC + (code(m) & 0xff)); m += 1 }
+          (q, id, adc)
+        }
+      }.toDF("query_id", "vec_id", "adc")
+    val shortlist = adcScored
+      .withColumn("ark", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"adc".desc, $"vec_id".asc)))
+      .where($"ark" <= kAdc)
+      .select($"query_id", $"vec_id")
+    // exact refine: raw vectors for the bounded shortlist only
+    shortlist
+      .join(vecs, Seq("vec_id"))
+      .join(qds, Seq("query_id"))
+      .select($"query_id", $"vec_id", $"qv", $"qn", $"v", $"nrm")
+      .as[(Long, Long, Array[Double], Double, Array[Double], Double)]
+      .mapPartitions(_.map { case (q, id, qv, qn, v, n) => (q, id, dot(v, qv) / (n * qn)) })
+      .toDF("query_id", "vec_id", "cosine")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)))
+      .where($"rank" <= k)
+      .select($"query_id", $"rank".cast("long").as("rank"), $"vec_id".as("neighbor_id"),
+        graft.Tables.round6($"cosine").as("cosine"))
+      .orderBy($"query_id", $"rank")
   }
 
   /** SemDeDup-style semantic dedup (q77, after Abbas et al. 2023,

@@ -107,6 +107,44 @@ class SimilarityRecallSpec extends AnyFunSuite with SparkFixture {
     assert(all.collect().map(_.toSeq).toSeq === exactDf.collect().map(_.toSeq).toSeq)
   }
 
+  test("IVF-PQ ANN (q181): recall@5 close to q53's raw-vector scan, exact under full probe + corpus shortlist") {
+    val dir = "/root/testdata/sf0.01"
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exactDf = Similarity.annBruteForce(spark, dir)
+    val exact = topk(exactDf)
+    val approx = topk(Similarity.annIvfPq(spark, dir))
+    assert(approx.keySet === exact.keySet, "every query must return neighbors")
+    val recalls = exact.map { case (q, t) => (t & approx(q)).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    // the PQ shortlist can only LOSE recall relative to q53's raw in-cell
+    // scan (same probed cells, 64x less data read); the gate is the q53
+    // floor minus a bounded ADC toll — a collapse below it means the
+    // codes stopped ranking, not just quantization noise
+    val rawScan = topk(Similarity.annIvfKmeans(spark, dir))
+    val rawRecall = exact.map { case (q, t) => (t & rawScan(q)).size.toDouble / t.size }
+      .sum / exact.size
+    info(f"q181 mean recall@5 $mean%.3f vs q53 raw-scan $rawRecall%.3f")
+    assert(mean >= rawRecall - 0.15 && mean >= 0.45,
+      f"q181 recall $mean%.3f collapsed vs the raw in-cell scan $rawRecall%.3f")
+
+    // compression pinned: the scanned representation is nSub = 8 bytes a
+    // vector (vs 64 doubles = 512 B raw — the 64x the operator exists for)
+    val codeLens = Similarity.annIvfPqCodeWidths(spark, dir)
+    assert(codeLens == Set(8), s"code width drifted: $codeLens")
+
+    // machinery check: probe ALL cells and let the shortlist cover the
+    // corpus — the exact refine must then reproduce brute force
+    // bit-for-bit (same kernel, same rounding)
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet").count().toInt
+    val all = Similarity.annIvfPq(spark, dir, spark.read.parquet(s"$dir/embeddings.parquet")
+        .where("vec_id % 100 = 0").selectExpr("vec_id", "embedding"),
+      k = 5, nCells = 64, nProbe = 64, iters = 5, nSub = 8, nCodes = 256,
+      pqIters = 3, kAdc = corpus)
+    assert(all.collect().map(_.toSeq).toSeq === exactDf.collect().map(_.toSeq).toSeq)
+  }
+
   test("q71 kNN vote equals a hand-derived majority over the exact top-k") {
     val dir = sfDir
     val knn = Similarity.annBruteForce(spark, dir).collect()
