@@ -217,6 +217,7 @@ object SparkEntry {
     "q179_late_data_audit" -> ((s, d) => graft.streaming.StreamOps.withStatePartitions(s, 2)(EventOps.lateDataAudit(s, d))),
     "q180_column_stats_approx" -> ((s, d) => Relational.columnStatsApprox(s, d)),
     "q181_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
+    "q182_sequence_packing_bpe" -> ((s, d) => Pipeline.sequencePackingBpe(s, d)),
     "q183_asof_nearest_native" -> ((s, d) => EventOps.asOfNearestClickNative(s, d)),
   )
 

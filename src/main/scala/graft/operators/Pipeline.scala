@@ -90,10 +90,21 @@ object Pipeline {
   def sequencePacking(s: SparkSession, dir: String, budget: Long = 256L,
                       rangeSize: Long = 256L): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val docs = table(s, dir, "documents")
       .select($"lang", expr(s"cast(doc_id as bigint) DIV $rangeSize").as("grp"),
         $"doc_id", size(split($"text", " ")).cast("long").as("ntok"))
+    packIntoBins(s, docs, budget)
+  }
+
+  /** The shared greedy-packing tail of [[sequencePacking]] /
+    * [[sequencePackingBpe]]: `docs` is any (lang, grp, doc_id, ntok)
+    * frame; only the token-counting front end differs between the
+    * whitespace and subword surfaces.
+    */
+  private def packIntoBins(s: SparkSession, docs: DataFrame,
+                           budget: Long): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val packed = docs.repartition($"lang", $"grp")
       .sortWithinPartitions($"lang", $"grp", $"doc_id")
       .as[(String, Long, Long, Long)]
@@ -126,6 +137,55 @@ object Pipeline {
       .groupBy($"lang", $"bin")
       .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"))
       .orderBy($"lang", $"bin")
+  }
+
+  /** Sequence packing in SUBWORD tokens (q182): [[sequencePacking]]'s
+    * greedy bins with the budget denominated in real BPE pieces instead
+    * of whitespace tokens — what a trainer actually consumes (a 256-
+    * whitespace-token budget is a different byte mass per language; the
+    * subword count is the sequence length the model sees). The piece
+    * counter is [[TextAnalysis.bpeRanks]]' SHARED rank table — the same
+    * broadcast q95's profile encodes with, so the budgeting here cannot
+    * drift from the tokenizer-trainer surface; the per-partition
+    * word→pieces memo is the q95 kernel verbatim.
+    *
+    * Scale shape: q95's one vocab-bounded count + driver merge loop
+    * (memoized), one broadcast, a per-row count kernel, then the same
+    * ONE-shuffle parallel packing as q52. Engine-specific recursion
+    * (the merge loop) → rows-only under the driver; PipelineCleaningSpec
+    * pins conservation against q95's piece totals, the budget bound, and
+    * dense bin numbering.
+    */
+  def sequencePackingBpe(s: SparkSession, dir: String, budget: Long = 256L,
+                         rangeSize: Long = 256L, nMerges: Int = 64,
+                         vocabCap: Int = 65536): DataFrame = {
+    import s.implicits._
+    val ranks = TextAnalysis.bpeRanks(s, dir, nMerges, vocabCap)
+    val bRanks = s.sparkContext.broadcast(ranks)
+    val docs = table(s, dir, "documents")
+      .select($"lang", $"doc_id", $"text").as[(String, Long, String)]
+      .mapPartitions { it =>
+        val rk = bRanks.value
+        val memo = new java.util.HashMap[String, Long]()
+        it.map { case (lang, id, text) =>
+          var pieces = 0L
+          text.split(' ').foreach { w =>
+            if (w.nonEmpty) {
+              var n = memo.getOrDefault(w, 0L)
+              if (n == 0L) { // 0 impossible for a non-empty word
+                n = graft.functions.Bpe.encode(w, rk).length.toLong
+                if (memo.size > (1 << 20)) memo.clear() // vocab blowup guard
+                memo.put(w, n)
+              }
+              pieces += n
+            }
+          }
+          (lang, id, pieces)
+        }
+      }.toDF("lang", "doc_id", "ntok")
+      .select($"lang", expr(s"cast(doc_id as bigint) DIV $rangeSize").as("grp"),
+        $"doc_id", $"ntok")
+    packIntoBins(s, docs, budget)
   }
 
   /** Token-window chunking (q58): split each document into fixed-size

@@ -931,17 +931,34 @@ object TextAnalysis {
     * PipelineCleaningSpec pins the merge/encode semantics on a
     * hand-computed fixture plus round-trip and determinism invariants.
     */
+  /** The corpus-trained BPE merge ranks, memoized per (session, dir,
+    * nMerges, vocabCap): ONE vocab-bounded word-count aggregate + the
+    * driver-local merge loop, shared by every subword-denominated
+    * consumer (q95's profile, q182's packing) so trainer and consumer
+    * CANNOT drift — one rank table, one tokenization.
+    */
+  private[graft] def bpeRanks(s: SparkSession, dir: String, nMerges: Int,
+                              vocabCap: Int): Map[(String, String), Int] = {
+    val key = s"${s.sparkContext.applicationId}|$dir|$nMerges|$vocabCap"
+    bpeRankCache.computeIfAbsent(key, _ => {
+      import s.implicits._
+      val wc = table(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("w"))
+        .where(length($"w") > 0)
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"w".asc).limit(vocabCap)
+        .as[(String, Long)].collect()
+      graft.functions.Bpe.train(wc.toSeq, nMerges).zipWithIndex.toMap
+    })
+  }
+
+  private val bpeRankCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[(String, String), Int]]()
+
   def subwordProfile(s: SparkSession, dir: String, nMerges: Int = 64,
                      vocabCap: Int = 65536): DataFrame = {
     import s.implicits._
-    val wc = table(s, dir, "documents")
-      .select(explode(split($"text", " ")).as("w"))
-      .where(length($"w") > 0)
-      .groupBy($"w").agg(count(lit(1)).as("c"))
-      .orderBy($"c".desc, $"w".asc).limit(vocabCap)
-      .as[(String, Long)].collect()
-    val ranks = graft.functions.Bpe.train(wc, nMerges)
-      .zipWithIndex.toMap
+    val ranks = bpeRanks(s, dir, nMerges, vocabCap)
     val bRanks = s.sparkContext.broadcast(ranks)
     table(s, dir, "documents")
       .select($"source", $"text").as[(String, String)]

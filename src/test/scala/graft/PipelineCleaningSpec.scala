@@ -80,6 +80,36 @@ class PipelineCleaningSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(4) === math.floor(bytes.toDouble / pieces * 1e6 + 0.5) / 1e6)
   }
 
+  test("q182 BPE packing: conservation vs q95's piece totals, budget bound, dense bins, shared ranks") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val budget = 256L
+    val bins = operators.Pipeline.sequencePackingBpe(spark, dir, budget = budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(bins.nonEmpty)
+    // (1) conservation: total packed pieces == q95's corpus piece total —
+    // the two surfaces share ONE rank table, so a drift here means the
+    // budgeting tokenizer and the profiled tokenizer diverged
+    val packedPieces = bins.map(_._4).sum
+    val profiled = operators.TextAnalysis.subwordProfile(spark, dir)
+      .agg(sum(col("sum_pieces"))).collect().head.getLong(0)
+    assert(packedPieces === profiled,
+      s"packed $packedPieces pieces but q95 profiled $profiled")
+    // (2) budget: a bin over budget must be a single oversized document
+    bins.filter(_._4 > budget).foreach { case (lang, bin, nDocs, nTok) =>
+      assert(nDocs === 1L, s"bin ($lang,$bin) holds $nDocs docs at $nTok > $budget tokens")
+    }
+    // (3) dense per-lang numbering starting at 0
+    bins.groupBy(_._1).foreach { case (lang, rows) =>
+      val ids = rows.map(_._2).sorted
+      assert(ids === (0L until ids.length).toArray.toSeq.toArray, s"$lang bins not dense")
+    }
+    // (4) deterministic: a second run reproduces the first bit-for-bit
+    val again = operators.Pipeline.sequencePackingBpe(spark, dir, budget = budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === bins.toSeq)
+  }
+
   test("q63 counts and redacted checksum match the injection rule") {
     val docs = Seq(0L -> "alpha beta", 1L -> "gamma", 5L -> "t one two")
     val dir = writeDocs(docs)
