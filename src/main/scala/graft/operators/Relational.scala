@@ -672,15 +672,7 @@ object Relational {
     */
   def spearmanCorr(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val perCust = table(s, dir, "orders")
-      .groupBy($"o_custkey").agg(
-        count(lit(1)).as("n_orders"),
-        sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).as("spend_cents"))
-    val cust = table(s, dir, "customer").select($"c_custkey", $"c_nationkey")
-    val nation = table(s, dir, "nation").select($"n_nationkey", $"n_name")
-    val m = perCust.join(cust, perCust("o_custkey") === cust("c_custkey"))
-      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
-      .select($"n_name", $"c_custkey", $"n_orders", $"spend_cents")
+    val m = spearmanBase(s, dir)
     def rank2(v: Column, name: String): Column = {
       // doubled average rank = min_rank + max_rank, both from one
       // nation-partitioned sort: rank() is the min, min+ties−1 the max
@@ -688,7 +680,56 @@ object Relational {
       val wt = Window.partitionBy($"n_name", v)
       (rank().over(w) * 2 + count(lit(1)).over(wt) - 1).as(name)
     }
-    m.select($"n_name", rank2($"n_orders", "rx"), rank2($"spend_cents", "ry"))
+    spearmanFromRanks(s,
+      m.select($"n_name", rank2($"n_orders", "rx"), rank2($"spend_cents", "ry")))
+  }
+
+  /** The documented 100x FALLBACK for [[spearmanCorr]] — the q102
+    * distributed-rank machinery in place of the per-nation row windows,
+    * for the corpus where one nation IS the data and a nation-partitioned
+    * sort becomes a single giant task. The doubled average rank
+    * decomposes over the (nation, value) GRID: r2 = min+max rank =
+    * 2·(#smaller) + (#equal) + 1 = 2·off + kn + 1, so the per-ROW window
+    * disappears entirely — one bounded-grid prefix-sum window and a join
+    * back, nothing sorted at corpus scale. `RobustStatsSpec` pins value
+    * equality with the window form (the executable proof the other
+    * partitioned-rank statistics' fallback comments lean on).
+    */
+  private[graft] def spearmanCorrGridRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = spearmanBase(s, dir)
+    def rank2Grid(df: DataFrame, vcol: String, out: String): DataFrame = {
+      val wOff = Window.partitionBy($"n_name").orderBy(col(vcol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // grid = distinct (nation, value) pairs — vocab-bounded, not
+      // corpus-bounded; the only window runs over it
+      val grid = df.groupBy($"n_name", col(vcol)).agg(count(lit(1)).as("kn"))
+        .withColumn("off", coalesce(sum($"kn").over(wOff), lit(0L)))
+        .select($"n_name", col(vcol), ($"off" * 2 + $"kn" + 1).as(out))
+      df.join(grid, Seq("n_name", vcol))
+    }
+    val ranked = rank2Grid(rank2Grid(m, "n_orders", "rx"), "spend_cents", "ry")
+    spearmanFromRanks(s, ranked.select($"n_name", $"rx", $"ry"))
+  }
+
+  /** Shared (nation, per-customer x/y) frame behind both Spearman forms. */
+  private def spearmanBase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = table(s, dir, "orders")
+      .groupBy($"o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).as("spend_cents"))
+    val cust = table(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val nation = table(s, dir, "nation").select($"n_nationkey", $"n_name")
+    perCust.join(cust, perCust("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"c_custkey", $"n_orders", $"spend_cents")
+  }
+
+  /** Shared 6·Σd² tail over (n_name, rx, ry) doubled-integer ranks. */
+  private def spearmanFromRanks(s: SparkSession, ranked: DataFrame): DataFrame = {
+    import s.implicits._
+    ranked
       .withColumn("d", $"rx" - $"ry")
       .groupBy($"n_name").agg(
         count(lit(1)).as("n_customers"),

@@ -41,6 +41,33 @@ class StatsGraphImageSpec extends AnyFunSuite with SparkFixture {
       ("CHARLIE", 500000L)))
   }
 
+  test("q147 grid-rank fallback equals the window form — single giant nation AND real data") {
+    import spark.implicits._
+    // (1) the 100x shape the fallback exists for: ONE nation holds every
+    // customer, so the window form's nation-partitioned sort would be a
+    // single giant task; the grid-rank form must produce the same rho
+    val dir = Files.createTempDirectory("q147grid").toString
+    Seq((0L, "ONLY")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    (1L to 40L).map(c => (c, 0L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // heavy ties in both coordinates exercise the 2·off + kn + 1 identity
+    val orders = (1L to 40L).flatMap { c =>
+      val n = (c % 4 + 1).toInt // order counts cycle 1..4 -> tie groups
+      (0 until n).map(i => (c * 100 + i, c, ((c % 7) + 1) * 2.50))
+    }
+    orders.toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val window = Relational.spearmanCorr(spark, dir).collect().map(_.toSeq).toSeq
+    val grid = Relational.spearmanCorrGridRank(spark, dir).collect().map(_.toSeq).toSeq
+    assert(grid == window, "grid-rank fallback diverged on the single-nation corpus")
+    // (2) real data, all nations: the equality is semantic, not a
+    // single-partition artifact
+    val w2 = Relational.spearmanCorr(spark, sfDir).collect().map(_.toSeq).toSeq
+    val g2 = Relational.spearmanCorrGridRank(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(g2 == w2, "grid-rank fallback diverged on the multi-nation corpus")
+  }
+
   test("q148 triangles need every edge frequent, oriented once") {
     import spark.implicits._
     val dir = Files.createTempDirectory("q148fix").toString
