@@ -27,6 +27,10 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // see Tables.session: the default 100-entry codegen cache thrashes
+      // at 180+ queries and every cache miss re-runs a fragment JIT-cold
+      // (the measured q142 in-suite inflation mechanism)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -75,6 +75,14 @@ object Tables {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // default 100 codegen-cache entries thrash under a 180+-query
+      // workload: evicted fragments recompile as FRESH classes, whose
+      // first execution runs JIT-cold — measured as q142's "in-suite
+      // inflation" (3.0 s solo vs 6.3 s after any ~20-query prefix,
+      // identical IO/GC, 2.4x task CPU, gone by the very next run).
+      // 5000 entries keep every suite fragment's compiled class live;
+      // cost is metaspace, not heap. (Q142Probe2 + b142 bisect, round 11)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // opt-in state-store provider for the streaming queries (q43/q47/

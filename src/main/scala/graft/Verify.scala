@@ -21,6 +21,9 @@ object Verify {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
       // default; read as raw nanos and normalize in graft.operators.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // see Tables.session: 100-entry codegen cache thrashes at 180+
+      // queries (the measured q142 in-suite JIT-cold mechanism)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
     val spark = (if (master.startsWith("local-cluster"))
         builder.config("spark.executor.extraClassPath",
