@@ -51,6 +51,21 @@ object Q175Probe {
     val r = windowRef()
     require(n.exceptAll(r).isEmpty && r.exceptAll(n).isEmpty, "content diverged")
     println("Q175PROBE content_equal=true")
+
+    // the NEAREST direction (q183), same discipline: native AsOfJoinExec
+    // vs q99's union+double-window composition — IDENTICAL semantics,
+    // certified by one shared oracle text; alternating passes, content
+    // cross-check each run
+    time("nwarmup")(operators.EventOps.asOfNearestClickNative(spark, sfDir))
+    for (_ <- 1 to 3) {
+      val a = time("nnative")(operators.EventOps.asOfNearestClickNative(spark, sfDir))
+      val b = time("nwindow")(operators.EventOps.asOfNearestClick(spark, sfDir))
+      require(a == b, s"nearest row counts diverged: $a vs $b")
+    }
+    val nn = operators.EventOps.asOfNearestClickNative(spark, sfDir)
+    val nr = operators.EventOps.asOfNearestClick(spark, sfDir)
+    require(nn.exceptAll(nr).isEmpty && nr.exceptAll(nn).isEmpty, "nearest content diverged")
+    println("Q175PROBE nearest_content_equal=true")
     spark.stop()
   }
 }
