@@ -55,12 +55,23 @@ object Q175Probe {
     // the NEAREST direction (q183), same discipline: native AsOfJoinExec
     // vs q99's union+double-window composition — IDENTICAL semantics,
     // certified by one shared oracle text; alternating passes, content
-    // cross-check each run
-    time("nwarmup")(operators.EventOps.asOfNearestClickNative(spark, sfDir))
+    // cross-check each run.
+    // MEASUREMENT TRAP (hit live): timing `count()` is INVALID for the
+    // window side here — q99's window-derived columns feed only the
+    // OUTPUT (no filter depends on them), so ColumnPruning deletes the
+    // Window nodes under count() and the "window form" times an empty
+    // projection. (The backward windowRef above is immune: its
+    // `rk === 1` filter forces the window.) Time a full-column noop
+    // WRITE instead — the same materialization Bench uses.
+    def timeNoop(tag: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      println(f"Q175PROBE $tag%-8s ${(System.nanoTime() - t0) / 1e9}%.2f s (noop)")
+    }
+    timeNoop("nwarmup")(operators.EventOps.asOfNearestClickNative(spark, sfDir))
     for (_ <- 1 to 3) {
-      val a = time("nnative")(operators.EventOps.asOfNearestClickNative(spark, sfDir))
-      val b = time("nwindow")(operators.EventOps.asOfNearestClick(spark, sfDir))
-      require(a == b, s"nearest row counts diverged: $a vs $b")
+      timeNoop("nnative")(operators.EventOps.asOfNearestClickNative(spark, sfDir))
+      timeNoop("nwindow")(operators.EventOps.asOfNearestClick(spark, sfDir))
     }
     val nn = operators.EventOps.asOfNearestClickNative(spark, sfDir)
     val nr = operators.EventOps.asOfNearestClick(spark, sfDir)

@@ -82,7 +82,7 @@ object SparkEntry {
     "q56_incremental_dedup" -> ((s, d) => TextDedup.incrementalDedup(s, d)),
     "q57_embed_dedup_clusters" -> ((s, d) => operators.Clustering.embedDedupClusters(s, d)),
     "q58_token_chunks" -> ((s, d) => Pipeline.tokenChunks(s, d)),
-    "q59_stream_incremental_dedup" -> ((s, d) => streaming.StreamOps.withArrivalTuning(s, 8)(streaming.StreamOps.incrementalDedupStreamed(s, d))),
+    "q59_stream_incremental_dedup" -> ((s, d) => streaming.StreamOps.withArrivalTuning(s, math.max(8, streaming.StreamOps.statePartitionsFor(s, d, "documents")))(streaming.StreamOps.incrementalDedupStreamed(s, d))),
     "q60_audio_meta" -> ((s, d) => Multimodal.audioMeta(s, d)),
     "q61_image_resize" -> ((s, d) => Multimodal.imageResize(s, d)),
     "q62_audio_energy" -> ((s, d) => Multimodal.audioEnergy(s, d)),
@@ -95,7 +95,7 @@ object SparkEntry {
     "q69_line_dedup_keep_first" -> ((s, d) => TextDedup.lineDedupKeepFirst(s, d)),
     "q70_dup_ngram_fraction" -> ((s, d) => TextAnalysis.dupNgramFraction(s, d)),
     "q71_knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)),
-    "q72_stream_sessionize" -> ((s, d) => graft.streaming.StreamOps.withStatePartitions(s, 2)(graft.streaming.StreamOps.sessionizeStreamed(s, d))),
+    "q72_stream_sessionize" -> ((s, d) => graft.streaming.StreamOps.withStatePartitions(s, graft.streaming.StreamOps.statePartitionsFor(s, d))(graft.streaming.StreamOps.sessionizeStreamed(s, d))),
     "q73_cross_source_overlap" -> ((s, d) => TextAnalysis.crossSourceOverlap(s, d)),
     "q74_user_cardinality_exact" -> ((s, d) => EventOps.userCardinalityExact(s, d)),
     "q75_contamination_bloom" -> ((s, d) => TextAnalysis.contaminationBloom(s, d)),
@@ -114,8 +114,8 @@ object SparkEntry {
     "q88_retention_cohorts" -> ((s, d) => EventOps.retentionCohorts(s, d)),
     "q89_gif_frame_sample" -> ((s, d) => Multimodal.gifFrameSample(s, d)),
     "q90_integrity_audit" -> ((s, d) => Relational.integrityAudit(s, d)),
-    "q91_stream_running_counts" -> ((s, d) => graft.streaming.StreamOps.withArrivalTuning(s, 2)(graft.streaming.StreamOps.runningCountsStreamed(s, d))),
-    "q92_stream_stream_join" -> ((s, d) => graft.streaming.StreamOps.withArrivalTuning(s, 2)(graft.streaming.StreamOps.streamStreamJoin(s, d))),
+    "q91_stream_running_counts" -> ((s, d) => graft.streaming.StreamOps.withArrivalTuning(s, graft.streaming.StreamOps.statePartitionsFor(s, d))(graft.streaming.StreamOps.runningCountsStreamed(s, d))),
+    "q92_stream_stream_join" -> ((s, d) => graft.streaming.StreamOps.withArrivalTuning(s, graft.streaming.StreamOps.statePartitionsFor(s, d))(graft.streaming.StreamOps.streamStreamJoin(s, d))),
     "q93_event_transitions" -> ((s, d) => EventOps.eventTransitions(s, d)),
     // rows-only BY DESIGN (like q25/q53): IVF neighbor sets are
     // engine-specific; SimilarityRecallSpec gates probe-all exactness
@@ -125,7 +125,7 @@ object SparkEntry {
     // one SQL query; PipelineCleaningSpec pins merges/encode on a hand
     // fixture + round-trip/determinism invariants
     "q95_subword_bpe" -> ((s, d) => TextAnalysis.subwordProfile(s, d)),
-    "q96_stream_abandonment" -> ((s, d) => graft.streaming.StreamOps.withStatePartitions(s, 2)(graft.streaming.StreamOps.streamAbandonment(s, d))),
+    "q96_stream_abandonment" -> ((s, d) => graft.streaming.StreamOps.withStatePartitions(s, graft.streaming.StreamOps.statePartitionsFor(s, d))(graft.streaming.StreamOps.streamAbandonment(s, d))),
     "q97_bigram_entropy" -> ((s, d) => TextAnalysis.bigramCrossEntropy(s, d)),
     "q98_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "q99_asof_nearest" -> ((s, d) => EventOps.asOfNearestClick(s, d)),
@@ -133,7 +133,7 @@ object SparkEntry {
     "q101_above_avg_orders" -> ((s, d) => Relational.aboveCustomerAvgOrders(s, d)),
     "q102_curriculum_bins" -> ((s, d) => Pipeline.curriculumBins(s, d)),
     "q103_fuzzy_name_pairs" -> ((s, d) => TextDedup.fuzzyNamePairs(s, d)),
-    "q104_stream_dedup" -> ((s, d) => graft.streaming.StreamOps.withArrivalTuning(s, 2)(graft.streaming.StreamOps.streamDedupWithinWatermark(s, d))),
+    "q104_stream_dedup" -> ((s, d) => graft.streaming.StreamOps.withArrivalTuning(s, graft.streaming.StreamOps.statePartitionsFor(s, d))(graft.streaming.StreamOps.streamDedupWithinWatermark(s, d))),
     "q105_order_histogram" -> ((s, d) => Relational.orderValueHistogram(s, d)),
     "q106_stickiness" -> ((s, d) => EventOps.stickiness(s, d)),
     // rows-only BY DESIGN (like q25/q53): float-sum order makes the
@@ -194,7 +194,7 @@ object SparkEntry {
     "q156_split_leakage" -> ((s, d) => Pipeline.splitLeakage(s, d)),
     "q157_ols_trend" -> ((s, d) => Relational.olsTrend(s, d)),
     "q158_lag_features" -> ((s, d) => EventOps.lagFeatures(s, d)),
-    "q159_stream_timer_sessions" -> ((s, d) => graft.streaming.StreamOps.withStatePartitions(s, 2)(graft.streaming.StreamOps.timerSessionsStreamed(s, d))),
+    "q159_stream_timer_sessions" -> ((s, d) => graft.streaming.StreamOps.withStatePartitions(s, graft.streaming.StreamOps.statePartitionsFor(s, d))(graft.streaming.StreamOps.timerSessionsStreamed(s, d))),
     "q160_audio_resample" -> ((s, d) => Multimodal.audioResample(s, d)),
     "q161_bucketed_join_audit" -> ((s, d) => Relational.bucketedJoinAudit(s, d)),
     "q162_cluster_capped_sample" -> ((s, d) => operators.Clustering.clusterCappedSample(s, d)),

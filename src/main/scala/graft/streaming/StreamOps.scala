@@ -54,6 +54,37 @@ object StreamOps {
     try withStatePartitions(s, n)(body) finally s.conf.set(ndKey, prev)
   }
 
+  /** State partitions sized to the SOURCE VOLUME — the production rule
+    * ("size state partitions to key cardinality") made executable, using
+    * the source table's bytes as the cardinality proxy (one filesystem
+    * metadata call, no job). Fixed constants fail in one direction or
+    * the other — 2 partitions win at the sf0.1 replay (state commit is
+    * pure fixed cost) but SERIALIZE multi-million-row state at sf10
+    * (measured: q72 15.6 s at 8 parts in round 10 → 43.6 s at 2 parts →
+    * 10.9 s sized; q92 23.1 → 7.0, q96 31.4 → 12.8, q104 14.3 → 7.8),
+    * while 32 partitions tax every small replay ~0.5-1 s/query. One
+    * partition per ~4 MB of source, clamped to [2, cores]: sf0.1 → 2,
+    * sf1 → 6, sf10 → 32.
+    *
+    * ONLY for ROW-KEYED state (per-user sessions/counts, join buffers,
+    * dedup keys — q59/q72/q91/q92/q96/q104/q159): their state grows with
+    * the data. GRID-BOUNDED state (hour×type windows — q43/q47/q179) and
+    * stateless/foreachBatch lifecycles (q83/q111/q119/q130/q167) stay at
+    * 2 — their state never outgrows the grid, so extra partitions are
+    * pure commit overhead at EVERY scale (measured: q179 6.7 s at 2
+    * parts vs 11.0 s at 32, sf10, median-of-3).
+    */
+  private[graft] def statePartitionsFor(s: SparkSession, dir: String,
+                                        table: String = "events"): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val bytes =
+      try { if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L }
+      catch { case _: java.io.IOException => 0L }
+    val cores = math.max(2, s.sparkContext.defaultParallelism)
+    math.max(2L, math.min(cores.toLong, bytes / (4L << 20) + 1L)).toInt
+  }
+
   /** The reference's `store` pipeline (`/root/reference/triton.go:90-137`)
     * as one Structured Streaming query: micro-batches append to the
     * date/client-partitioned `.tri` archive, offsets commit to the
