@@ -219,6 +219,7 @@ object SparkEntry {
     "q181_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
     "q182_sequence_packing_bpe" -> ((s, d) => Pipeline.sequencePackingBpe(s, d)),
     "q183_asof_nearest_native" -> ((s, d) => EventOps.asOfNearestClickNative(s, d)),
+    "q184_spearman_grid" -> ((s, d) => Relational.spearmanCorrGridRank(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2146,26 +2147,12 @@ object SparkEntry {
     // exact BIGINTs; the single double chain runs the SAME literal
     // operation order on both engines before the e6 quantize. The 1.5
     // factor compensates the 4x of squared doubled ranks.
-    "q147_spearman_corr" ->
-      """WITH pc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
-        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents
-        |  FROM orders GROUP BY 1),
-        |m AS (SELECT n.n_name, pc.n_orders, pc.spend_cents
-        |  FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
-        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
-        |r AS (SELECT n_name,
-        |    2 * rank() OVER (PARTITION BY n_name ORDER BY n_orders)
-        |      + count(*) OVER (PARTITION BY n_name, n_orders) - 1 AS rx,
-        |    2 * rank() OVER (PARTITION BY n_name ORDER BY spend_cents)
-        |      + count(*) OVER (PARTITION BY n_name, spend_cents) - 1 AS ry
-        |  FROM m),
-        |g AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
-        |    CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2 FROM r GROUP BY 1)
-        |SELECT n_name, n_customers, sum_d2,
-        |  CASE WHEN n_customers > 1 THEN CAST(floor(1000000.0 - 1500000.0 * CAST(sum_d2 AS DOUBLE)
-        |    / (CAST(n_customers AS DOUBLE) * (CAST(n_customers AS DOUBLE) * CAST(n_customers AS DOUBLE) - 1.0))
-        |    + 0.5) AS BIGINT) ELSE 0 END AS rho_e6
-        |FROM g ORDER BY n_name""".stripMargin,
+    "q147_spearman_corr" -> q147Sql,
+
+    // q184: the SAME oracle text as q147 — the grid-rank fallback (no
+    // per-row window anywhere) must hash-equal the window form, making
+    // the 100x single-giant-partition path itself driver-gated.
+    "q184_spearman_grid" -> q147Sql,
 
     // q148: the oracle runs the same orient-once formulation (pa < pb
     // everywhere), so each triangle appears exactly once on both sides.
@@ -2979,6 +2966,30 @@ object SparkEntry {
   private lazy val zorderTermsSql: String = (0 until 8).map { i =>
     s"(((ub >> $i) & 1) << ${2 * i + 1}) + (((tb >> $i) & 1) << ${2 * i})"
   }.mkString(" + ")
+
+  // q147/q184: one oracle text for the window-ranked and grid-ranked
+  // Spearman — the doubled-rank identity r2 = 2·(#smaller)+(#equal)+1
+  // makes the fallback exactly the window form's value.
+  private lazy val q147Sql: String =
+    """WITH pc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents
+      |  FROM orders GROUP BY 1),
+      |m AS (SELECT n.n_name, pc.n_orders, pc.spend_cents
+      |  FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |r AS (SELECT n_name,
+      |    2 * rank() OVER (PARTITION BY n_name ORDER BY n_orders)
+      |      + count(*) OVER (PARTITION BY n_name, n_orders) - 1 AS rx,
+      |    2 * rank() OVER (PARTITION BY n_name ORDER BY spend_cents)
+      |      + count(*) OVER (PARTITION BY n_name, spend_cents) - 1 AS ry
+      |  FROM m),
+      |g AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+      |    CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2 FROM r GROUP BY 1)
+      |SELECT n_name, n_customers, sum_d2,
+      |  CASE WHEN n_customers > 1 THEN CAST(floor(1000000.0 - 1500000.0 * CAST(sum_d2 AS DOUBLE)
+      |    / (CAST(n_customers AS DOUBLE) * (CAST(n_customers AS DOUBLE) * CAST(n_customers AS DOUBLE) - 1.0))
+      |    + 0.5) AS BIGINT) ELSE 0 END AS rho_e6
+      |FROM g ORDER BY n_name""".stripMargin
 
   // q99/q183: one oracle text for the window-composed and the native
   // nearest as-of — hash equality between the two engine paths IS the
