@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{EventOps, Multimodal, Pipeline, Relational, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{AnnIndexStore, EventOps, Multimodal, Pipeline, Relational, Similarity, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -220,6 +220,12 @@ object SparkEntry {
     "q182_sequence_packing_bpe" -> ((s, d) => Pipeline.sequencePackingBpe(s, d)),
     "q183_asof_nearest_native" -> ((s, d) => EventOps.asOfNearestClickNative(s, d)),
     "q184_spearman_grid" -> ((s, d) => Relational.spearmanCorrGridRank(s, d)),
+    // q185/q186: the persisted-index lifecycle (build→write→load→serve)
+    // — rows-only like q181 (engine-specific estimates); AnnIndexStoreSpec
+    // pins row-for-row equality with the in-session index and vote
+    // equality through q94's knnClassifyFrom seam.
+    "q185_ann_index_serve" -> ((s, d) => AnnIndexStore.annIndexServe(s, d)),
+    "q186_knn_from_index" -> ((s, d) => AnnIndexStore.knnClassifyFromIndex(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

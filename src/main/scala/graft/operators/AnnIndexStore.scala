@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent ANN index artifacts — the piece that turns q181's IVF-PQ
+  * stack from a per-session demo into the 100 TB deployment shape: a
+  * production pipeline builds the index ONCE (an offline job), writes it
+  * as a parquet artifact, and every retrieval job afterwards loads and
+  * serves from it without repeating the k-means / PQ-training / encode
+  * passes. (The reference has no vector surface at all — this extends
+  * the mandated LLM-pipeline tier; layout follows the FAISS
+  * IVFADC convention from Jégou et al. 2011, "Product quantization for
+  * nearest neighbor search".)
+  *
+  * Artifact layout under `indexPath`:
+  *  - `meta/`   — one row: build params, dims, and the corpus dir's
+  *    content stamp (the [[OpCache.dirStamp]] convention), so serving a
+  *    stale index against a rewritten corpus is an ERROR, not a silent
+  *    wrong answer.
+  *  - `coarse/` — (cell INT, cv ARRAY<DOUBLE>, cn DOUBLE): the coarse
+  *    k-means codebook; nCells rows, loaded driver-side per job.
+  *  - `pq/`     — (sub INT, code INT, centroid ARRAY<DOUBLE>): the PQ
+  *    sub-codebooks; nSub x nCodes rows, loaded driver-side per job.
+  *  - `codes/`  — (vec_id BIGINT, code BINARY) PARTITIONED BY cell: the
+  *    coded corpus — the only corpus-sized artifact, 8 bytes/vector at
+  *    the defaults. Partitioning by cell is the scale win: the serving
+  *    kernel pushes its probed-cell set into the scan as an IN filter,
+  *    so a query job READS only nProbe cells' directories, never the
+  *    full index ([[Similarity.ivfPqServe]]'s pruning note).
+  *
+  * Serving reuses [[Similarity.ivfPqServe]] — the same kernel the
+  * in-session path runs — so artifact round-tripping cannot change
+  * results (AnnIndexStoreSpec pins row-for-row equality, and q185/q186
+  * register the served path as standing queries).
+  */
+object AnnIndexStore {
+
+  /** A loaded index: driver-resident codebooks + the lazy coded-corpus
+    * frame (reads prune to probed cells at serve time). */
+  final case class Loaded(cents: Array[(Int, Array[Double], Double)],
+                          pq: Array[Array[Array[Double]]],
+                          codes: DataFrame,
+                          nCells: Int, nSub: Int, nCodes: Int,
+                          corpusStamp: String)
+
+  /** Builds the IVF-PQ index for `dir`'s embeddings (through the same
+    * memoized builders q181 uses — a same-session build+write pays the
+    * build once) and persists it under `indexPath`.
+    */
+  def write(s: SparkSession, dir: String, indexPath: String,
+            nCells: Int = 64, iters: Int = 5, nSub: Int = 8,
+            nCodes: Int = 256, pqIters: Int = 3): Unit = {
+    import s.implicits._
+    val (cents, pq, codes) =
+      Similarity.ivfPqArtifacts(s, dir, nCells, iters, nSub, nCodes, pqIters)
+    Seq((nCells, iters, nSub, nCodes, pqIters, pq(0)(0).length,
+        OpCache.dirStamp(dir)))
+      .toDF("n_cells", "iters", "n_sub", "n_codes", "pq_iters", "sub_dim",
+        "corpus_stamp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+    cents.toSeq.toDF("cell", "cv", "cn")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/coarse")
+    pq.zipWithIndex.flatMap { case (cb, m) =>
+        cb.zipWithIndex.map { case (c, j) => (m, j, c) }
+      }.toSeq.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/pq")
+    // one directory per cell; files within a cell come from the encode
+    // pass's partitioning (at 100 TB: repartition on cell upstream if
+    // per-cell file counts matter to the consumer)
+    codes.select($"vec_id", $"code", $"cell")
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$indexPath/codes")
+  }
+
+  /** Loads codebooks driver-side and opens the coded corpus lazily. */
+  def load(s: SparkSession, indexPath: String): Loaded = {
+    import s.implicits._
+    val meta = s.read.parquet(s"$indexPath/meta").collect()(0)
+    val nCells = meta.getAs[Int]("n_cells")
+    val nSub = meta.getAs[Int]("n_sub")
+    val nCodes = meta.getAs[Int]("n_codes")
+    val subDim = meta.getAs[Int]("sub_dim")
+    val cents = s.read.parquet(s"$indexPath/coarse")
+      .select($"cell", $"cv", $"cn")
+      .as[(Int, Array[Double], Double)].collect().sortBy(_._1)
+    require(cents.length == nCells,
+      s"ANN index at $indexPath: coarse codebook has ${cents.length} cells, meta says $nCells")
+    val pqFlat = s.read.parquet(s"$indexPath/pq")
+      .select($"sub", $"code", $"centroid")
+      .as[(Int, Int, Array[Double])].collect()
+    require(pqFlat.length == nSub * nCodes,
+      s"ANN index at $indexPath: ${pqFlat.length} PQ rows, meta says ${nSub * nCodes}")
+    val pq = Array.ofDim[Array[Double]](nSub, nCodes)
+    pqFlat.foreach { case (m, j, c) =>
+      require(c.length == subDim, s"PQ centroid ($m,$j) has dim ${c.length}, meta says $subDim")
+      pq(m)(j) = c
+    }
+    val codes = s.read.parquet(s"$indexPath/codes")
+      .select($"cell".cast("int").as("cell"), $"vec_id", $"code")
+    Loaded(cents, pq, codes, nCells, nSub, nCodes,
+      meta.getAs[String]("corpus_stamp"))
+  }
+
+  /** Serves top-k ANN from a loaded artifact — probe, ADC over the
+    * pruned cell directories, exact refine against `dir`'s raw vectors.
+    * Refuses to serve an index whose recorded corpus stamp disagrees
+    * with the corpus on disk (same staleness rule as the session memos;
+    * "unstamped" — a filesystem the stamp walk can't resolve — degrades
+    * to caller-guaranteed immutability, matching [[OpCache.dirStamp]]).
+    */
+  def serve(s: SparkSession, dir: String, idx: Loaded, queries: DataFrame,
+            k: Int = 5, nProbe: Int = 8, kAdc: Int = 32): DataFrame = {
+    val now = OpCache.dirStamp(dir)
+    require(idx.corpusStamp == "unstamped" || now == "unstamped" ||
+        idx.corpusStamp == now,
+      s"ANN index was built against corpus stamp ${idx.corpusStamp} but $dir now stamps $now — rebuild the index")
+    Similarity.ivfPqServe(s, Similarity.rawVecs(s, dir), idx.cents, idx.pq,
+      idx.codes, queries, k, nProbe, kAdc)
+  }
+
+  /** q185: the registered index ROUND TRIP — first call per (session,
+    * corpus, params) builds and WRITES the artifact; every call loads it
+    * back from parquet and serves the harness query panel through the
+    * shared kernel. This is the deployment lifecycle as one query:
+    * steady-state cost is load(2 small files) + pruned probe scan, with
+    * no build anywhere on the serve path (AnnIndexStoreSpec proves it by
+    * dropping every session memo between write and serve). Engine-
+    * specific estimates → rows-only under the driver; the spec pins
+    * row-for-row equality with q181's in-session result.
+    */
+  def annIndexServe(s: SparkSession, dir: String, k: Int = 5,
+                    nCells: Int = 64, nProbe: Int = 8, iters: Int = 5,
+                    nSub: Int = 8, nCodes: Int = 256, pqIters: Int = 3,
+                    kAdc: Int = 32): DataFrame = {
+    val path = artifactPath(s, dir, nCells, iters, nSub, nCodes, pqIters)
+    serve(s, dir, load(s, path), Similarity.harnessQueries(s, dir),
+      k, nProbe, kAdc)
+  }
+
+  /** q186: kNN majority-vote classification fed from the PERSISTED
+    * index — q94's `knnClassifyFrom` seam consuming artifact-served
+    * neighbors instead of a session-built index: the label-lookup
+    * deployment shape (build the index offline, classify from it in
+    * every job). Rows-only; the spec pins vote equality with the
+    * in-session IVF-PQ feed.
+    */
+  def knnClassifyFromIndex(s: SparkSession, dir: String, k: Int = 5,
+                           nProbe: Int = 8): DataFrame =
+    Similarity.knnClassifyFrom(s, dir,
+      annIndexServe(s, dir, k = k, nProbe = nProbe))
+
+  /** One artifact per (session, corpus-stamp, params): q185's memo. The
+    * artifact OUTLIVES the memo — a fresh session pointed at the same
+    * path serves without rebuilding (that is the point) — but the
+    * registered query keys its auto-managed path by corpus stamp so a
+    * rewritten corpus triggers a rebuild instead of tripping the serve
+    * guard.
+    */
+  private def artifactPath(s: SparkSession, dir: String, nCells: Int,
+      iters: Int, nSub: Int, nCodes: Int, pqIters: Int): String = {
+    val key = s"${s.sparkContext.applicationId}|$dir|${OpCache.dirStamp(dir)}|" +
+      s"$nCells|$iters|$nSub|$nCodes|$pqIters"
+    builtPaths.computeIfAbsent(key, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+      write(s, dir, p, nCells, iters, nSub, nCodes, pqIters)
+      p
+    })
+  }
+
+  private val builtPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Test hook: forget auto-built artifact paths (files are left on
+    * disk; tmp cleanup owns them). */
+  private[graft] def clearBuiltPaths(): Unit = builtPaths.clear()
+}

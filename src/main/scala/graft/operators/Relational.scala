@@ -881,9 +881,21 @@ object Relational {
       val smjs = planNodes(joined.queryExecution.executedPlan).collect {
         case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
       }
+      // dedupe across SMJ subtrees by node identity: on a multi-join plan
+      // an exchange beneath a nested SMJ sits in every enclosing SMJ's
+      // subtree too, and summing per-SMJ would count it once per ancestor
       val exchanges =
         if (smjs.isEmpty) Long.MaxValue // not the co-located plan at all
-        else smjs.map(j => countShuffles(j)).sum
+        else {
+          val seen = java.util.Collections.newSetFromMap(
+            new java.util.IdentityHashMap[org.apache.spark.sql.execution.SparkPlan, java.lang.Boolean]())
+          smjs.flatMap(planNodes).foreach(seen.add)
+          var n = 0L
+          seen.forEach { node =>
+            if (node.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) n += 1
+          }
+          n
+        }
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), joined.schema)
         .withColumn("n_join_exchanges", lit(exchanges))
         .orderBy($"o_orderpriority")

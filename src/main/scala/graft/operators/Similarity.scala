@@ -43,6 +43,9 @@ object Similarity {
     // accumulating across sessions)
     codebooks.clear()
     pqCodebookCache.clear()
+    // BPE merge ranks are the same class of derived data (trained off the
+    // dir's documents table) — release them with the rest
+    TextAnalysis.clearBpeRankCache()
   }
 
   /** (vec_id, v as double[], norm) rows — the shared input shape. */
@@ -91,7 +94,7 @@ object Similarity {
     * divisible by 100 (~1%). This CONVENTION lives here in the callers —
     * the operators themselves take any `queries` frame.
     */
-  private def harnessQueries(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def harnessQueries(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     table(s, dir, "embeddings").where($"vec_id" % 100 === 0)
       .select($"vec_id", $"embedding")
@@ -429,6 +432,11 @@ object Similarity {
   private val codebooks =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Double], Double)]]()
 
+  /** Test hook: live (coarse, PQ) codebook memo counts —
+    * AnnIndexStoreSpec's no-rebuild-on-serve proof reads these. */
+  private[graft] def codebookCacheSizes: (Int, Int) =
+    (codebooks.size, pqCodebookCache.size)
+
   private def buildKmeansCodebook(s: SparkSession, dir: String,
                                   nCells: Int, iters: Int): Array[(Int, Array[Double], Double)] = {
     import s.implicits._
@@ -620,6 +628,9 @@ object Similarity {
       .as[(Long, Array[Double], Double)]
       .collect()
       .sortBy(_._1) // fixed fold/tie order
+    // reachable via annIvfPqCodeWidths, which has no upstream
+    // vecs.isEmpty guard — fail with the contract, not NoSuchElement
+    require(sample.nonEmpty, s"PQ: empty embeddings corpus under $dir")
     val dim = sample.head._2.length
     require(dim % nSub == 0, s"PQ: dim $dim not divisible by $nSub subspaces")
     val subDim = dim / nSub
@@ -776,19 +787,60 @@ object Similarity {
                nCells: Int, nProbe: Int, iters: Int, nSub: Int,
                nCodes: Int, pqIters: Int, kAdc: Int): DataFrame = {
     import s.implicits._
-    val vecs = memoCache("annIvfKmeans", s, dir, vecDs(s, dir).cache())
-      .toDF("vec_id", "v", "nrm")
+    val vecs = rawVecs(s, dir)
     if (vecs.isEmpty)
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("query_id", "rank", "neighbor_id", "cosine")
+    val (cents, pq, codes) = ivfPqArtifacts(s, dir, nCells, iters, nSub, nCodes, pqIters)
+    ivfPqServe(s, vecs, cents, pq, codes, queries, k, nProbe, kAdc)
+  }
+
+  /** Memoized raw-vector frame `(vec_id, v, nrm)` — the exact-refine
+    * input shared by the in-session and artifact-served paths. */
+  private[graft] def rawVecs(s: SparkSession, dir: String): DataFrame =
+    memoCache("annIvfKmeans", s, dir, vecDs(s, dir).cache())
+      .toDF("vec_id", "v", "nrm")
+
+  /** The three artifacts an IVF-PQ index IS — coarse codebook, PQ
+    * sub-codebooks, coded corpus `(cell, vec_id, code)` — built via the
+    * per-session memos. [[AnnIndexStore.write]] persists exactly this
+    * triple; [[ivfPqServe]] consumes it from either source.
+    */
+  private[graft] def ivfPqArtifacts(s: SparkSession, dir: String, nCells: Int,
+      iters: Int, nSub: Int, nCodes: Int, pqIters: Int)
+      : (Array[(Int, Array[Double], Double)], Array[Array[Array[Double]]], DataFrame) = {
+    import s.implicits._
+    val vecs = rawVecs(s, dir)
     val cents = kmeansCodebook(s, dir, nCells, iters)
     val assigned = memoCacheSub("annIvfKmeansIdx", s, dir, s"$nCells|$iters",
       assignCells(s, vecs, cents).cache()).toDF("cell", "vec_id", "v", "nrm")
     val pq = pqCodebooks(s, dir, nSub, nCodes, pqIters)
+    val codes = pqIndex(s, dir, assigned, s.sparkContext.broadcast(pq),
+      pq(0)(0).length, s"$nCells|$iters|$nSub|$nCodes|$pqIters")
+    (cents, pq, codes)
+  }
+
+  /** The probe → ADC → exact-refine serving pipeline over an EXPLICIT
+    * index triple — the seam that separates index lifetime from query
+    * lifetime: [[annIvfPq]] feeds it the per-session memoized build,
+    * [[AnnIndexStore.serve]] feeds it artifacts loaded from parquet, and
+    * both produce byte-identical results because this is the only
+    * serving kernel.
+    *
+    * The probed cell set (bounded by `nCells`) is materialized
+    * driver-side and pushed into the codes scan as an `IN` filter
+    * BEFORE the join: over [[AnnIndexStore]]'s cell-partitioned parquet
+    * that is partition PRUNING — a 100 TB serve reads only the
+    * `nProbe`-per-query union of cell directories, never the full coded
+    * corpus.
+    */
+  private[graft] def ivfPqServe(s: SparkSession, vecs: DataFrame,
+      cents: Array[(Int, Array[Double], Double)],
+      pq: Array[Array[Array[Double]]], codesIn: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int, kAdc: Int): DataFrame = {
+    import s.implicits._
     val subDim = pq(0)(0).length
     val bPq = s.sparkContext.broadcast(pq)
-    val codes = pqIndex(s, dir, assigned, bPq, subDim,
-      s"$nCells|$iters|$nSub|$nCodes|$pqIters")
     val centsDf = cents.toSeq.toDF("cell", "cv", "cn")
     val qds = queryDs(s, queries).toDF("query_id", "qv", "qn")
     val probed = qds.crossJoin(broadcast(centsDf))
@@ -798,6 +850,14 @@ object Similarity {
         Window.partitionBy($"query_id").orderBy($"csim".desc, $"cell".asc)))
       .where($"crk" <= nProbe)
       .select($"query_id", $"cell", $"qv", $"qn")
+    // partition-pruning pre-filter: the union of probed cells is a
+    // bounded driver set (<= nCells), and an IN over the codes frame's
+    // partition column lets a parquet-backed index skip every unprobed
+    // cell directory at scan time (for the in-session cached frame it's
+    // a cheap row filter). The probe subtree re-executes once for this
+    // collect — nQueries x nCells rows, noise next to the scan it prunes.
+    val probeCells = probed.select($"cell").distinct().as[Int].collect().sorted
+    val codes = codesIn.where($"cell".isin(probeCells.map(Int.box): _*))
     // ADC pass over codes only: per-partition LUT memo keyed by query id
     // (bounded by the query panel: nSub*nCodes doubles each)
     val adcScored = probed.join(codes, Seq("cell"))

@@ -955,6 +955,13 @@ object TextAnalysis {
   private val bpeRankCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[(String, String), Int]]()
 
+  /** Drops the memoized merge ranks. Called from
+    * [[Similarity.releaseCaches]] so a same-dir corpus rewrite cannot
+    * leave q95/q182 budgeting with ranks trained on the old files —
+    * the same staleness rule the codebook memos follow.
+    */
+  private[graft] def clearBpeRankCache(): Unit = bpeRankCache.clear()
+
   def subwordProfile(s: SparkSession, dir: String, nMerges: Int = 64,
                      vocabCap: Int = 65536): DataFrame = {
     import s.implicits._

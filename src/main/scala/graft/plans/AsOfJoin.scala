@@ -49,6 +49,10 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         tolUs: Long,
                         nearest: Boolean = false,
                         leftTiebreak: Option[Attribute] = None) extends BinaryNode {
+  // nearest-mode interleaving reads the left tiebreak per row; fail at
+  // plan construction, not as an isNullAt(-1) inside doExecute
+  require(!nearest || leftTiebreak.isDefined,
+    "AsOfJoinPlan: nearest=true requires leftTiebreak")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
