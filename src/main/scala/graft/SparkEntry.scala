@@ -226,6 +226,7 @@ object SparkEntry {
     // equality through q94's knnClassifyFrom seam.
     "q185_ann_index_serve" -> ((s, d) => AnnIndexStore.annIndexServe(s, d)),
     "q186_knn_from_index" -> ((s, d) => AnnIndexStore.knnClassifyFromIndex(s, d)),
+    "q187_lag_features_chunked" -> ((s, d) => EventOps.lagFeaturesChunked(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2410,21 +2411,12 @@ object SparkEntry {
 
     // q158: one (user, ts, event_id) sort serves lag/lag2/trailing
     // frame on both engines; -1 sentinels keep the columns BIGINT.
-    "q158_lag_features" ->
-      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
-        |w AS (SELECT *,
-        |    lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) l1,
-        |    lag(ts_us, 2) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) l2,
-        |    first_value(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) f3,
-        |    count(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) c3
-        |  FROM ev)
-        |SELECT event_id, user_id, event_type,
-        |  CAST(coalesce(ts_us - l1, -1) AS BIGINT) AS gap1_us,
-        |  CAST(coalesce(l1 - l2, -1) AS BIGINT) AS gap2_us,
-        |  CAST(CASE WHEN c3 > 0 THEN (ts_us - f3) // c3 ELSE -1 END AS BIGINT) AS mean_gap3
-        |FROM w ORDER BY user_id, event_id""".stripMargin,
+    "q158_lag_features" -> q158Sql,
+
+    // q187: SAME oracle text as q158 — the bucketed-window chunked form
+    // (carry-seeded (user, ts-bucket) partitions) is certified equal to
+    // the plain user-keyed window, the q183/q184 shared-truth precedent.
+    "q187_lag_features_chunked" -> q158Sql,
 
     // q159: SAME oracle text as q72 — the timer-driven transformWithState
     // sessionizer and the session_window sessionizer are certified
@@ -2972,6 +2964,25 @@ object SparkEntry {
   private lazy val zorderTermsSql: String = (0 until 8).map { i =>
     s"(((ub >> $i) & 1) << ${2 * i + 1}) + (((tb >> $i) & 1) << ${2 * i})"
   }.mkString(" + ")
+
+  // q158/q187: one oracle text for the plain user-keyed window and the
+  // skew-bounded (user, ts-bucket) chunked form — the carry seeding makes
+  // the chunked plan value-identical, so one truth certifies both.
+  private lazy val q158Sql: String =
+    """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |w AS (SELECT *,
+      |    lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) l1,
+      |    lag(ts_us, 2) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) l2,
+      |    first_value(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) f3,
+      |    count(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) c3
+      |  FROM ev)
+      |SELECT event_id, user_id, event_type,
+      |  CAST(coalesce(ts_us - l1, -1) AS BIGINT) AS gap1_us,
+      |  CAST(coalesce(l1 - l2, -1) AS BIGINT) AS gap2_us,
+      |  CAST(CASE WHEN c3 > 0 THEN (ts_us - f3) // c3 ELSE -1 END AS BIGINT) AS mean_gap3
+      |FROM w ORDER BY user_id, event_id""".stripMargin
 
   // q147/q184: one oracle text for the window-ranked and grid-ranked
   // Spearman — the doubled-rank identity r2 = 2·(#smaller)+(#equal)+1

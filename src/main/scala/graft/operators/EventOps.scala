@@ -1438,6 +1438,14 @@ object EventOps {
     */
   def lagFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    lagFeaturesCore(s, dir).orderBy($"user_id", $"event_id")
+  }
+
+  /** [[lagFeatures]] without the output presentation sort —
+    * AdversarialSkewSpec measures the window stage's task sizes here,
+    * where the final range exchange can't blur them. */
+  private[graft] def lagFeaturesCore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
     val wf = w.rowsBetween(-3, -1)
     events(s, dir)
@@ -1455,7 +1463,77 @@ object EventOps {
         coalesce($"gap1", lit(-1L)).as("gap1_us"),
         coalesce($"gap2", lit(-1L)).as("gap2_us"),
         $"mean_gap3")
-      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Skew-bounded lag features (q187): [[lagFeatures]]' exact semantics
+    * with the window partition key widened from `user_id` to
+    * `(user_id, ts-bucket)` — the registered remedy for the one shape a
+    * user-keyed window cannot survive at scale: a single user owning an
+    * unbounded share of the corpus. A window partition is processed by
+    * ONE task (AQE's skew handling splits joins and aggregations, never
+    * window partitions), so q158's plan puts a 90%-one-key corpus's
+    * whole hot key through one straggler. Here every window partition is
+    * bucket-bounded whatever the key distribution; `bucketUs` is the
+    * executor-fit knob.
+    *
+    * Exactness across bucket boundaries: the feature frame looks back at
+    * most 3 events, so each (user, bucket) partition is seeded with a
+    * CARRY of the user's last <=3 events before the bucket — built from
+    * per-(user, bucket) tail summaries (<=3 rows each, so the
+    * carry-window frame is #non-empty-buckets-sized, bounded by the time
+    * span, not the corpus — the q52/q131 two-level discipline). Any
+    * bounded-frame window feature chunks the same way; UNBOUNDED frames
+    * (running totals) instead decompose via q131's prefix-sum offsets.
+    * Hash-certified equal to q158 under the SAME oracle text (the
+    * q183/q184 precedent); AdversarialSkewSpec pins the per-task bound
+    * under a 90%-one-key corpus.
+    */
+  def lagFeaturesChunked(s: SparkSession, dir: String,
+                         bucketUs: Long = 6L * 3600L * 1000000L): DataFrame = {
+    import s.implicits._
+    lagFeaturesChunkedCore(s, dir, bucketUs).orderBy($"user_id", $"event_id")
+  }
+
+  /** [[lagFeaturesChunked]] without the output presentation sort (see
+    * [[lagFeaturesCore]]). */
+  private[graft] def lagFeaturesChunkedCore(s: SparkSession, dir: String,
+                                            bucketUs: Long): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+      .select($"event_id", $"user_id", $"ts_us", $"event_type")
+      .withColumn("bucket", expr(s"ts_us div ${bucketUs}L"))
+    // per-(user, bucket) tail: the bucket's last <=3 (ts, id) pairs —
+    // group state is bucket-bounded by construction
+    val tails = ev
+      .groupBy($"user_id", $"bucket")
+      .agg(slice(reverse(array_sort(collect_list(struct($"ts_us", $"event_id")))), 1, 3)
+        .as("tail"))
+    // carry per bucket: last <=3 events across the previous <=3 NON-EMPTY
+    // buckets (each holds >=1 event, so 3 buckets cover any 3-deep
+    // lookback); this window runs on the tails summary, not the corpus
+    val wCarry = Window.partitionBy($"user_id").orderBy($"bucket").rowsBetween(-3, -1)
+    val carryRows = tails
+      .withColumn("carry",
+        slice(reverse(array_sort(flatten(collect_list($"tail").over(wCarry)))), 1, 3))
+      .select($"user_id", $"bucket", explode($"carry").as("e"))
+      .select($"e.event_id".as("event_id"), $"user_id", $"e.ts_us".as("ts_us"),
+        lit(null).cast("string").as("event_type"), $"bucket",
+        lit(true).as("is_carry"))
+    val w = Window.partitionBy($"user_id", $"bucket").orderBy($"ts_us", $"event_id")
+    val wf = w.rowsBetween(-3, -1)
+    ev.withColumn("is_carry", lit(false)).unionByName(carryRows)
+      .withColumn("gap1", $"ts_us" - lag($"ts_us", 1).over(w))
+      .withColumn("gap2", lag($"ts_us", 1).over(w) - lag($"ts_us", 2).over(w))
+      .withColumn("_first3", first($"ts_us").over(wf))
+      .withColumn("_cnt3", count($"ts_us").over(wf))
+      .withColumn("mean_gap3",
+        when($"_cnt3" > 0, expr("(ts_us - _first3) div _cnt3"))
+          .otherwise(lit(-1L)))
+      .where(!$"is_carry")
+      .select($"event_id", $"user_id", $"event_type",
+        coalesce($"gap1", lit(-1L)).as("gap1_us"),
+        coalesce($"gap2", lit(-1L)).as("gap2_us"),
+        $"mean_gap3")
   }
 
   /** Backward as-of click attribution through the NATIVE as-of join

@@ -237,6 +237,74 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("transformWithState recovers RocksDB state across a mid-stream stop + checkpoint restart") {
+    // The recovery path production exercises weekly and no other test
+    // covered: kill a stateful query between micro-batches, restart it
+    // from the SAME checkpoint with live RocksDB state, and prove the
+    // counters continue instead of resetting. The file-source checkpoint
+    // guarantees phase-A files are NOT re-read after restart, so a
+    // continued count can only come from recovered operator state.
+    import spark.implicits._
+    val work = Files.createTempDirectory("tws_restart")
+    val src = work.resolve("src"); Files.createDirectories(src)
+    val ckpt = work.resolve("ckpt").toString
+    val sink = work.resolve("out").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def writeBatch(name: String, rows: (Long, Long)*): Unit =
+        rows.toSeq.toDF("user_id", "ts_us").coalesce(1)
+          .write.parquet(src.resolve(name).toString)
+      def runOnce(): Unit = {
+        val ds = spark.readStream
+          .schema("user_id LONG, ts_us LONG")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$src/*") // glob over the per-phase subdirs
+          .as[(Long, Long)]
+        val q = StreamOps.runningUserCountsTws(spark, ds)
+          .toDF("user_id", "n", "last_us")
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // phase A: two micro-batch commits, then the query STOPS
+      writeBatch("a1", (1L, 10L), (1L, 20L), (2L, 5L))
+      writeBatch("a2", (2L, 15L))
+      runOnce()
+      val afterA = spark.read.parquet(sink).as[(Long, Long, Long)].collect().toSet
+      assert(afterA.contains((1L, 2L, 20L)) && afterA.contains((2L, 2L, 15L)),
+        s"phase A emitted $afterA")
+      // phase B: new files land, a NEW query resumes from the checkpoint
+      writeBatch("b1", (1L, 30L), (3L, 7L))
+      runOnce()
+      val afterB = spark.read.parquet(sink).as[(Long, Long, Long)].collect().toSet
+      // u1 -> 3 proves the ValueState (2) was RECOVERED from RocksDB: the
+      // restarted query saw only one u1 row, and phase-A files were not
+      // replayed (no duplicate (1,2)-after-restart row could produce 3)
+      assert(afterB.contains((1L, 3L, 30L)),
+        s"restart did not recover user 1's count state: $afterB")
+      assert(afterB.contains((3L, 1L, 7L)))
+      // and nothing was double-counted: the running max per user is the
+      // exact batch truth over both phases
+      val finalCounts = spark.read.parquet(sink)
+        .groupBy($"user_id").agg(max($"n").as("n"), max($"last_us").as("last"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(finalCounts === Set((1L, 3L, 30L), (2L, 2L, 15L), (3L, 1L, 7L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+      StreamOps.deleteRecursively(work.toFile)
+    }
+  }
+
   test("flatMapGroupsWithState keeps running per-user counts") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
