@@ -250,14 +250,46 @@ object Clustering {
                         ckptRounds: Boolean = false): DataFrame = {
     import s.implicits._
     val edges = OpCache.memoDir("prEdges", s.sparkContext.applicationId, dir, "",
-      {
-        val pairs = graft.Tables.table(s, dir, "lineitem")
-          .select($"l_partkey", $"l_suppkey").distinct()
-        val e = pairs.select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
-          .unionByName(pairs.select(($"l_suppkey" * 2 + 1).as("src"), ($"l_partkey" * 2).as("dst")))
-        val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
-        e.join(deg, "src").repartition($"src").cache()
-      })
+      pagerankEdgesWindowed(s, dir).cache())
+    pagerankFromEdges(s, edges.toDF(), iters, ckptRounds)
+  }
+
+  /** The q142 edge-with-degree build in ONE shuffle: the per-src degree
+    * rides a count window over the src-partitioned frame, whose output
+    * partitioning is exactly the hashpartitioning(src) every Pregel
+    * round's join demands — replacing the round-11 build's
+    * groupBy(deg) + 2E-row join + repartition chain (3 extra 2E-row
+    * movements). Q142Probe3 at sf10: build 41.5 -> 20.6 s, build spill
+    * 27.4 -> 14.8 GB mem / 4.3 -> 2.5 GB disk, identical edge count and
+    * round cost (BENCH_NOTES round 12).
+    */
+  private[graft] def pagerankEdgesWindowed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = graft.Tables.table(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey").distinct()
+    val e = pairs.select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .unionByName(pairs.select(($"l_suppkey" * 2 + 1).as("src"), ($"l_partkey" * 2).as("dst")))
+    e.withColumn("deg", count(lit(1)).over(Window.partitionBy($"src")))
+  }
+
+  /** Round-11's q142 edge build, kept for the probe comparison. */
+  private[graft] def pagerankEdgesLegacy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = graft.Tables.table(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey").distinct()
+    val e = pairs.select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .unionByName(pairs.select(($"l_suppkey" * 2 + 1).as("src"), ($"l_partkey" * 2).as("dst")))
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    e.join(deg, "src").repartition($"src")
+  }
+
+  /** The Pregel rounds + supplier tail over ANY (src, dst, deg) edge
+    * frame — shared by the registered query and the build probes. */
+  private[graft] def pagerankFromEdges(s: SparkSession, edges: DataFrame,
+                                       iters: Int,
+                                       ckptRounds: Boolean = false): DataFrame = {
+    import s.implicits._
     var ranks = edges.select($"src".as("node"), $"deg").distinct()
       .select($"node", lit(1000000L).as("r"))
     for (_ <- 1 to iters) {

@@ -1026,7 +1026,7 @@ object TextAnalysis {
     */
   def sourcePsi(s: SparkSession, dir: String, nBins: Int = 16): DataFrame = {
     import s.implicits._
-    val docs = psiScores(s, table(s, dir, "documents"))
+    val docs = psiScoresCorpus(s, dir)
     val bounds = docs.agg(min($"iscore").as("mn"), max($"iscore").as("mx"))
     val binned = docs.crossJoin(broadcast(bounds))
       .select($"source",
@@ -1034,6 +1034,14 @@ object TextAnalysis {
       .groupBy($"source", $"bin").agg(count(lit(1)).as("c"))
     psiFromCounts(s, binned, nBins)
   }
+
+  /** The corpus-wide (source, iscore) frame, memoized per (session, dir)
+    * in the shared OpCache — q123's PSI grid and q130's bound-pinning
+    * pass both consume it, so the paired batch/streaming monitors pay
+    * ONE difficulty-projection scan per session instead of one each. */
+  private[graft] def psiScoresCorpus(s: SparkSession, dir: String): DataFrame =
+    OpCache.memoDir("psiScoresCorpus", s.sparkContext.applicationId, dir, "",
+      psiScores(s, table(s, dir, "documents")).cache()).toDF()
 
   /** The (source, iscore) difficulty projection shared by [[sourcePsi]]
     * and the streaming drift monitor (q130). */

@@ -652,11 +652,12 @@ object TextDedup {
   def dupSubstringCoverage(s: SparkSession, dir: String, window: Int = 8,
                            minDf: Int = 2): DataFrame =
     dupSubstringCoverageDf(table(s, dir, "documents"), window, minDf,
-      cacheKey = Some((dir, s"$window")))
+      cacheKey = Some((dir, s"$window")), packed = true)
 
   private[graft] def dupSubstringCoverageDf(docs: DataFrame, window: Int,
                                             minDf: Int,
-                                            cacheKey: Option[(String, String)] = None): DataFrame = {
+                                            cacheKey: Option[(String, String)] = None,
+                                            packed: Boolean = false): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val base = docs
@@ -686,11 +687,25 @@ object TextDedup {
     // memoize the compact (doc_id, pos, wh) frame through OpCache,
     // exactly the hashedShingles precedent: corpus-derived, two
     // consumers, spill-backed storage at scale.
-    val wins = cacheKey.map { case (d, k) => OpCache.memoDir("dupSubstrWins",
-      s.sparkContext.applicationId, d, k, wins0.cache()) }.getOrElse(wins0)
+    // packed (the registered default since round 12): (doc_id, pos) in
+    // one BIGINT (doc_id << 32 | pos), so the cached/shuffled stream is
+    // 2 longs per window instead of 3 — sound while doc_id < 2^31 and
+    // pos < 2^32 (orders of magnitude of headroom at every tested SF).
+    // Q76Probe at sf10: cold 20.9 -> 13.7 s, cache-build spill
+    // 1.9 GB -> 0, steady 5.4 -> 4.6 s (BENCH_NOTES round 12).
+    val winsShape =
+      if (packed) wins0.select((($"doc_id" * 4294967296L) + $"pos").as("dp"), $"wh")
+      else wins0
+    val family = if (packed) "dupSubstrWinsP" else "dupSubstrWins"
+    val wins = cacheKey.map { case (d, k) => OpCache.memoDir(family,
+      s.sparkContext.applicationId, d, k, winsShape.cache()) }.getOrElse(winsShape)
     val dupHashes = wins.groupBy($"wh").agg(count(lit(1)).as("c"))
       .where($"c" >= minDf).select($"wh")
-    val dups = wins.join(dupHashes, Seq("wh")).select($"doc_id", $"pos")
+    val dups0 = wins.join(dupHashes, Seq("wh"))
+    val dups =
+      if (packed) dups0.select(expr("dp div 4294967296").as("doc_id"),
+        expr("dp % 4294967296").as("pos"))
+      else dups0.select($"doc_id", $"pos")
     val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
     val spans = dups
       .withColumn("brk", when(lag($"pos", 1).over(byDoc).isNull ||
