@@ -227,6 +227,7 @@ object SparkEntry {
     "q185_ann_index_serve" -> ((s, d) => AnnIndexStore.annIndexServe(s, d)),
     "q186_knn_from_index" -> ((s, d) => AnnIndexStore.knnClassifyFromIndex(s, d)),
     "q187_lag_features_chunked" -> ((s, d) => EventOps.lagFeaturesChunked(s, d)),
+    "q188_ann_index_append" -> ((s, d) => AnnIndexStore.annIndexAppendAudit(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -119,6 +119,46 @@ object AnnIndexStore {
       idx.codes, queries, k, nProbe, kAdc)
   }
 
+  /** Incremental index APPEND — the freshness path: when the corpus dir
+    * GROWS (new embedding files land), encode only the delta with the
+    * artifact's FROZEN codebooks and append the codes to the
+    * cell-partitioned table, instead of rebuilding the whole index
+    * (codebooks are trained on a bounded sample, so a frozen codebook
+    * over a grown corpus is the standard IVF freshness trade — re-train
+    * on drift, not on every arrival). The encode rides the same kernel
+    * as the batch build ([[Similarity.encodePqCodes]]), so an appended
+    * row's (cell, code) is bit-identical to what a rebuild with these
+    * codebooks would assign — AnnIndexStoreSpec pins it. Meta is
+    * rewritten with the corpus dir's CURRENT stamp, re-arming the
+    * stale-serve guard around the grown corpus.
+    *
+    * `newVecs`: any `(vec_id, embedding)` frame (the delta). Ids must be
+    * new; serving assumes every coded id resolves in `dir`'s embeddings
+    * table for the exact refine.
+    */
+  def append(s: SparkSession, dir: String, indexPath: String,
+             newVecs: org.apache.spark.sql.DataFrame): Unit = {
+    import s.implicits._
+    val idx = load(s, indexPath)
+    val vecs = Similarity.queryDs(s, newVecs).toDF("vec_id", "v", "nrm")
+    val assigned = Similarity.assignCells(s, vecs, idx.cents)
+    Similarity.encodePqCodes(s, assigned,
+        s.sparkContext.broadcast(idx.pq), idx.pq(0)(0).length)
+      .toDF("cell", "vec_id", "code")
+      .select($"vec_id", $"code", $"cell")
+      .write.partitionBy("cell").mode("append")
+      .parquet(s"$indexPath/codes")
+    // refresh ONLY the corpus stamp; build provenance fields carry over
+    val meta = s.read.parquet(s"$indexPath/meta").collect()(0)
+    Seq((meta.getAs[Int]("n_cells"), meta.getAs[Int]("iters"),
+        meta.getAs[Int]("n_sub"), meta.getAs[Int]("n_codes"),
+        meta.getAs[Int]("pq_iters"), meta.getAs[Int]("sub_dim"),
+        OpCache.dirStamp(dir)))
+      .toDF("n_cells", "iters", "n_sub", "n_codes", "pq_iters", "sub_dim",
+        "corpus_stamp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
   /** q185: the registered index ROUND TRIP — first call per (session,
     * corpus, params) builds and WRITES the artifact; every call loads it
     * back from parquet and serves the harness query panel through the
@@ -149,6 +189,46 @@ object AnnIndexStore {
                            nProbe: Int = 8): DataFrame =
     Similarity.knnClassifyFrom(s, dir,
       annIndexServe(s, dir, k = k, nProbe = nProbe))
+
+  /** q188: the index FRESHNESS lifecycle as one self-staging query —
+    * write an artifact (off the memoized build, so no extra training),
+    * append a delta of exact twin vectors under shifted ids with the
+    * FROZEN codebooks, reload, and report the audit a production
+    * pipeline would alert on: every appended row must land in the same
+    * cell with the same 8-byte code as its original ([[append]]'s
+    * bit-identity claim as a driver-visible number — `n_appended` =
+    * `n_code_matches` or the freshness path drifted from the build).
+    * Engine-specific → rows-only; AnnIndexStoreSpec additionally pins
+    * the full grown-corpus serve with the stale-guard re-arm.
+    */
+  def annIndexAppendAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("q188_annidx")
+    try {
+      val idxPath = work.resolve("idx").toString
+      write(s, dir, idxPath)
+      val shift = 1000000000L
+      val delta = graft.Tables.table(s, dir, "embeddings")
+        .where($"vec_id" % 10 === 9)
+        .select(($"vec_id" + shift).as("vec_id"), $"embedding")
+      append(s, dir, idxPath, delta)
+      val idx = load(s, idxPath)
+      val base = idx.codes.where($"vec_id" < shift)
+        .select($"vec_id", $"cell".as("c0"), $"code".as("k0"))
+      val app = idx.codes.where($"vec_id" >= shift)
+        .select(($"vec_id" - shift).as("vec_id"), $"cell".as("c1"), $"code".as("k1"))
+      val out = app.join(base, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_appended"),
+          sum(when($"c0" === $"c1" && $"k0" === $"k1", 1L).otherwise(0L))
+            .as("n_code_matches"))
+        .crossJoin(base.agg(count(lit(1)).as("n_base")))
+        .select($"n_base", $"n_appended", $"n_code_matches")
+      val rows = out.collect().toSeq // 1 row; break lineage off the temp dir
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    } finally {
+      graft.streaming.StreamOps.deleteRecursively(work.toFile)
+    }
+  }
 
   /** One artifact per (session, corpus-stamp, params): q185's memo. The
     * artifact OUTLIVES the memo — a fresh session pointed at the same

@@ -72,7 +72,7 @@ object Similarity {
     * `(id, double[], norm)` rows. Queries need not exist in the corpus;
     * ids that do exist are excluded from their own neighbor lists.
     */
-  private def queryDs(s: SparkSession, queries: DataFrame): Dataset[(Long, Array[Double], Double)] = {
+  private[graft] def queryDs(s: SparkSession, queries: DataFrame): Dataset[(Long, Array[Double], Double)] = {
     import s.implicits._
     queries
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -707,34 +707,46 @@ object Similarity {
                       bPq: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
                       subDim: Int, subKey: String): DataFrame = {
     import s.implicits._
-    memoCacheSub("annIvfPqIdx", s, dir, subKey, {
-      assigned.select($"cell", $"vec_id", $"v", $"nrm")
-        .as[(Int, Long, Array[Double], Double)]
-        .mapPartitions { it =>
-          val cb = bPq.value
-          it.map { case (cell, id, v, nrm) =>
-            val code = new Array[Byte](cb.length)
-            val inv = if (nrm == 0.0) 0.0 else 1.0 / nrm
-            var m = 0
-            while (m < cb.length) {
-              val cs = cb(m)
-              var best = 0; var bd = Double.MaxValue; var c = 0
-              while (c < cs.length) {
-                var d = 0.0; var i = 0
-                while (i < subDim) {
-                  val x = v(m * subDim + i) * inv - cs(c)(i)
-                  d += x * x; i += 1
-                }
-                if (d < bd) { bd = d; best = c }
-                c += 1
+    memoCacheSub("annIvfPqIdx", s, dir, subKey,
+      encodePqCodes(s, assigned, bPq, subDim).cache())
+      .toDF("cell", "vec_id", "code")
+  }
+
+  /** The PQ encode kernel over an assigned `(cell, vec_id, v, nrm)`
+    * frame — one partition-local pass, no shuffle. Shared by the batch
+    * index build (via [[pqIndex]]'s memo) and [[AnnIndexStore.append]]'s
+    * incremental encode, so the append path is bit-identical to a
+    * rebuild with the same codebooks by construction. */
+  private[graft] def encodePqCodes(s: SparkSession, assigned: DataFrame,
+      bPq: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+      subDim: Int): Dataset[(Int, Long, Array[Byte])] = {
+    import s.implicits._
+    assigned.select($"cell", $"vec_id", $"v", $"nrm")
+      .as[(Int, Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val cb = bPq.value
+        it.map { case (cell, id, v, nrm) =>
+          val code = new Array[Byte](cb.length)
+          val inv = if (nrm == 0.0) 0.0 else 1.0 / nrm
+          var m = 0
+          while (m < cb.length) {
+            val cs = cb(m)
+            var best = 0; var bd = Double.MaxValue; var c = 0
+            while (c < cs.length) {
+              var d = 0.0; var i = 0
+              while (i < subDim) {
+                val x = v(m * subDim + i) * inv - cs(c)(i)
+                d += x * x; i += 1
               }
-              code(m) = best.toByte
-              m += 1
+              if (d < bd) { bd = d; best = c }
+              c += 1
             }
-            (cell, id, code)
+            code(m) = best.toByte
+            m += 1
           }
-        }.toDF("cell", "vec_id", "code").cache()
-    }).toDF("cell", "vec_id", "code")
+          (cell, id, code)
+        }
+      }
   }
 
   /** Distinct code widths (bytes per vector) in the PQ inverted file —

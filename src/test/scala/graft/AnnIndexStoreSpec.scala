@@ -72,6 +72,80 @@ class AnnIndexStoreSpec extends AnyFunSuite with SparkFixture {
     assert(ex.getMessage.contains("rebuild the index"))
   }
 
+  test("append: delta encode is bit-identical to the build kernel, stale guard re-arms, twins serve at cosine 1") {
+    import org.apache.spark.sql.functions._
+    // growable corpus sandbox: embeddings.parquet as a DIRECTORY of part
+    // files, so the corpus can grow the way a landing zone does
+    val corpus = java.nio.file.Files.createTempDirectory("annidx_grow").toString
+    val embDir = java.nio.file.Paths.get(corpus, "embeddings.parquet")
+    java.nio.file.Files.createDirectories(embDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/embeddings.parquet"),
+      embDir.resolve("part-000.parquet"))
+    val work = java.nio.file.Files.createTempDirectory("annidx_append").toString
+    AnnIndexStore.write(spark, corpus, work)
+    val idx0 = AnnIndexStore.load(spark, work)
+    def codeMap(idx: AnnIndexStore.Loaded, pred: org.apache.spark.sql.Column) =
+      idx.codes.where(pred).collect()
+        .map(r => r.getLong(1) -> ((r.getInt(0), r.getAs[Array[Byte]](2).toSeq)))
+        .toMap
+    val before = codeMap(idx0, lit(true))
+    assert(before.nonEmpty)
+
+    // the corpus grows: exact twins of every vector under shifted ids
+    val shift = 1000000000L
+    spark.read.parquet(s"$corpus/embeddings.parquet")
+      .select((col("vec_id") + shift).as("vec_id"), col("embedding"),
+        col("label"))
+      .write.mode("append").parquet(s"$corpus/embeddings.parquet")
+
+    // the pre-growth artifact must now REFUSE to serve (stamp mismatch)
+    intercept[IllegalArgumentException] {
+      AnnIndexStore.serve(spark, corpus, idx0,
+        spark.read.parquet(s"$corpus/embeddings.parquet")
+          .select("vec_id", "embedding").limit(1))
+    }
+
+    // append ONLY the delta, frozen codebooks
+    val delta = spark.read.parquet(s"$corpus/embeddings.parquet")
+      .where(col("vec_id") >= shift).select("vec_id", "embedding")
+    AnnIndexStore.append(spark, corpus, work, delta)
+    val idx1 = AnnIndexStore.load(spark, work)
+
+    // 1) appended (cell, code) equals the original build's for the same
+    //    vector — the encode kernel is shared, this pins it end-to-end
+    val appended = codeMap(idx1, col("vec_id") >= shift)
+      .map { case (id, v) => (id - shift) -> v }
+    assert(appended === before, "append path diverged from the build encode")
+    // and the original rows are untouched
+    assert(codeMap(idx1, col("vec_id") < shift) === before)
+
+    // 2) the refreshed artifact serves the grown corpus, and every
+    //    query's exact twin surfaces at cosine 1
+    val queries = spark.read.parquet(s"$corpus/embeddings.parquet")
+      .where(col("vec_id") % 100 === 0 && col("vec_id") < shift)
+      .select("vec_id", "embedding")
+    val served = AnnIndexStore.serve(spark, corpus, idx1, queries,
+      k = 5, nProbe = idx1.nCells, kAdc = 64)
+    val byQuery = served.collect().groupBy(_.getLong(0))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (q, rows) =>
+      val twin = rows.find(_.getLong(2) == q + shift)
+      assert(twin.isDefined, s"query $q: twin not in top-5")
+      assert(twin.get.getDouble(3) === 1.0, s"query $q: twin cosine != 1")
+    }
+  }
+
+  test("q188 audit: every appended twin matches its original's cell and code") {
+    val row = AnnIndexStore.annIndexAppendAudit(spark, dir).collect()(0)
+    val (nBase, nAppended, nMatches) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nAppended > 0)
+    assert(nMatches === nAppended,
+      s"append drifted from the build encode: $nMatches of $nAppended matched")
+    assert(nBase >= nAppended)
+  }
+
   test("the probed-cell IN lands as a parquet partition filter on the codes scan") {
     val work = java.nio.file.Files.createTempDirectory("annidx_prune").toString
     AnnIndexStore.write(spark, dir, work)
