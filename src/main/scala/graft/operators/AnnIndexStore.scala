@@ -203,13 +203,6 @@ object AnnIndexStore {
     */
   def annIndexAppendAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // one audit per (session, corpus stamp): the lifecycle runs once per
-    // index refresh in production, and its output is deterministic given
-    // the corpus — repeat calls (bench passes) replay the collected row
-    val memoKey = s"${s.sparkContext.applicationId}|$dir|${OpCache.dirStamp(dir)}"
-    val cached = auditMemo.get(memoKey)
-    if (cached != null)
-      return s.createDataFrame(s.sparkContext.parallelize(cached._1, 1), cached._2)
     val work = java.nio.file.Files.createTempDirectory("q188_annidx")
     try {
       val idxPath = work.resolve("idx").toString
@@ -231,15 +224,11 @@ object AnnIndexStore {
         .crossJoin(base.agg(count(lit(1)).as("n_base")))
         .select($"n_base", $"n_appended", $"n_code_matches")
       val rows = out.collect().toSeq // 1 row; break lineage off the temp dir
-      auditMemo.put(memoKey, (rows, out.schema))
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
     } finally {
       graft.streaming.StreamOps.deleteRecursively(work.toFile)
     }
   }
-
-  private val auditMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]()
 
   /** One artifact per (session, corpus-stamp, params): q185's memo. The
     * artifact OUTLIVES the memo — a fresh session pointed at the same
