@@ -139,6 +139,26 @@ object Clustering {
     }
   }
 
+  /** Connected components over the minhash-LSH verified pair set,
+    * memoized through [[OpCache]] exactly like the pair frame beneath it:
+    * FOUR registered queries (q48 clusters, q55 keep list, q66 canonical
+    * docs, q162 capped sample) consume the identical component labeling.
+    * A production dedup clusters once and fans the labels out to every
+    * downstream decision — without the memo each consumer re-ran the
+    * whole star-contraction loop (N rounds x 2 shuffles + convergence
+    * actions) on the same pairs for the same answer. Only the final
+    * (node, component) frame is cached — pair-bounded, far smaller than
+    * the corpus; the loop's per-round checkpoints die with the build.
+    * (guide §2.4: two operations keyed the same way share one exchange —
+    * here four operators share the entire closure computation.)
+    */
+  private[operators] def lshComponents(s: SparkSession, dir: String): DataFrame =
+    OpCache.memoDir("lshComponents", s.sparkContext.applicationId, dir, "", {
+      import s.implicits._
+      val pairs = TextDedup.minhashLshPairs(s, dir).select($"doc_a", $"doc_b")
+      connectedComponents(pairs).cache()
+    }).toDF()
+
   /** q48: near-dup clusters over the minhash-LSH verified pairs (q21's
     * exact-Jaccard >= 0.8 pair set) — each clustered document with its
     * cluster id (smallest doc_id in the component) and the cluster size.
@@ -147,8 +167,7 @@ object Clustering {
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = TextDedup.minhashLshPairs(s, dir).select($"doc_a", $"doc_b")
-    val cc = connectedComponents(pairs)
+    val cc = lshComponents(s, dir)
       .select($"node".as("doc_id"), $"component".as("cluster_id"))
     val sizes = cc.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "cluster_id")
@@ -185,8 +204,7 @@ object Clustering {
     */
   def dedupKeepList(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = TextDedup.minhashLshPairs(s, dir).select($"doc_a", $"doc_b")
-    val cc = connectedComponents(pairs)
+    val cc = lshComponents(s, dir)
       .select($"node".as("doc_id"), $"component")
     graft.Tables.table(s, dir, "documents").select($"doc_id")
       .join(cc, Seq("doc_id"), "left")
@@ -212,8 +230,7 @@ object Clustering {
   def canonicalDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val pairs = TextDedup.minhashLshPairs(s, dir).select($"doc_a", $"doc_b")
-    val cc = connectedComponents(pairs)
+    val cc = lshComponents(s, dir)
       .select($"node".as("doc_id"), $"component")
     val labeled = TextAnalysis.qualityScore(s, dir).select($"doc_id", $"score")
       .join(cc, Seq("doc_id"), "left")
@@ -428,8 +445,7 @@ object Clustering {
   def clusterCappedSample(s: SparkSession, dir: String,
                           cap: Int = 2): DataFrame = {
     import s.implicits._
-    val pairs = TextDedup.minhashLshPairs(s, dir).select($"doc_a", $"doc_b")
-    val cc = connectedComponents(pairs)
+    val cc = lshComponents(s, dir)
       .select($"node".as("doc_id"), $"component".as("cluster_id"))
     val sizes = cc.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "cluster_id")

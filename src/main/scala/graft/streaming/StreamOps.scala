@@ -153,14 +153,46 @@ object StreamOps {
     */
   def streamDedupWithinWatermark(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = graft.Tables.events(s, dir)
-      .select($"event_id", $"ts", $"user_id", $"event_type")
+    val raw = s.read.parquet(s"$dir/events.parquet")
     val work = java.nio.file.Files.createTempDirectory("q104_dedup")
     try {
-      val src = work.resolve("src").toString
+      // stage the original corpus by SYMLINK (zero data bytes move) and
+      // WRITE only the injected-duplicate slice (1/7 of the corpus) next
+      // to it — the previous shape wrote original+duplicates (8/7 of the
+      // corpus) through parquet per run, pure staging fixed cost. The
+      // stream sees the identical row multiset (original ∪ mod-7 slice),
+      // so the deduped sink and its per-type report are unchanged; all
+      // files land in the one AvailableNow data batch (no
+      // maxFilesPerTrigger), so batch composition cannot shift either.
+      val srcDir = work.resolve("src")
+      java.nio.file.Files.createDirectories(srcDir)
+      stageEventsFile(s, dir, srcDir)
+      raw.where($"event_id" % 7 === 0)
+        .write.parquet(work.resolve("dup_stage").toString)
+      val dupSt = java.nio.file.Files.list(work.resolve("dup_stage"))
+      try {
+        val it = dupSt.iterator(); var i = 0
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            java.nio.file.Files.move(p, srcDir.resolve(f"dup_$i%03d.parquet"))
+            i += 1
+          }
+        }
+      } finally dupSt.close()
       val out = work.resolve("out").toString
-      ev.unionAll(ev.where($"event_id" % 7 === 0)).write.parquet(src)
-      val stream = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+      // same ts normalization as graft.Tables.events (nanos-long or NTZ)
+      val stream0 = s.readStream.schema(raw.schema)
+        .parquet(s"${srcDir.toString}/*.parquet")
+      val streamTs = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          stream0.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => stream0
+      }
+      val stream = streamTs.select($"event_id", $"ts", $"user_id", $"event_type")
       val q = stream
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("event_id")
@@ -178,9 +210,10 @@ object StreamOps {
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), report.schema)
         .orderBy($"event_type")
     } finally {
-      // the work dir holds a corpus-sized doubled copy + sink + checkpoint;
-      // the report above is types-bounded and already collected, so the
-      // q47 cleanup discipline applies on every exit path
+      // the work dir holds the corpus symlink, the duplicate slice, the
+      // sink and the checkpoint; the report above is types-bounded and
+      // already collected, so the q47 cleanup discipline applies on
+      // every exit path (deleteRecursively never follows the symlink)
       deleteRecursively(work.toFile)
     }
   }
@@ -1036,18 +1069,31 @@ object StreamOps {
       raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType
     val work = java.nio.file.Files.createTempDirectory("q96_abandon")
     try {
-      // scratch input = the original file(s) + the sentinel part file
+      // scratch input = the original file(s) + the sentinel part file.
+      // SYMLINK the input instead of copying it (the q47/q72/q159
+      // zero-copy staging discipline): the copy was corpus-sized fixed
+      // cost per lifecycle run — ~0.9 GB at sf10, paid again every bench
+      // pass. File naming is irrelevant here (no maxFilesPerTrigger, so
+      // every file lands in the one data batch); only set membership
+      // matters. Falls back to a real copy where symlinks are unsupported.
       val srcDir = work.resolve("src")
       java.nio.file.Files.createDirectory(srcDir)
       val evPath = java.nio.file.Paths.get(s"$dir/events.parquet")
+      def stage(p: java.nio.file.Path, name: String): Unit = {
+        val link = srcDir.resolve(name)
+        try { java.nio.file.Files.createSymbolicLink(link, p.toAbsolutePath); () }
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            java.nio.file.Files.copy(p, link): Unit
+        }
+      }
       if (java.nio.file.Files.isDirectory(evPath)) {
         val st = java.nio.file.Files.list(evPath)
         try st.forEach { p =>
           val n = p.getFileName.toString
-          if (n.endsWith(".parquet") || n.startsWith("part-"))
-            java.nio.file.Files.copy(p, srcDir.resolve(s"a_$n")): Unit
+          if (n.endsWith(".parquet") || n.startsWith("part-")) stage(p, s"a_$n")
         } finally st.close()
-      } else java.nio.file.Files.copy(evPath, srcDir.resolve("a_events.parquet"))
+      } else stage(evPath, "a_events.parquet")
       val sentTs = raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => lit(sentUs * 1000L) // nanos convention
         case org.apache.spark.sql.types.TimestampNTZType =>
