@@ -37,12 +37,15 @@ import org.apache.spark.sql.functions._
 object AnnIndexStore {
 
   /** A loaded index: driver-resident codebooks + the lazy coded-corpus
-    * frame (reads prune to probed cells at serve time). */
+    * frame (reads prune to probed cells at serve time). `iters`/`pqIters`
+    * carry the build provenance so [[append]] can rewrite meta without
+    * re-reading it. */
   final case class Loaded(cents: Array[(Int, Array[Double], Double)],
                           pq: Array[Array[Array[Double]]],
                           codes: DataFrame,
                           nCells: Int, nSub: Int, nCodes: Int,
-                          corpusStamp: String)
+                          corpusStamp: String,
+                          iters: Int = 0, pqIters: Int = 0)
 
   /** Builds the IVF-PQ index for `dir`'s embeddings (through the same
     * memoized builders q181 uses — a same-session build+write pays the
@@ -65,10 +68,14 @@ object AnnIndexStore {
         cb.zipWithIndex.map { case (c, j) => (m, j, c) }
       }.toSeq.toDF("sub", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/pq")
-    // one directory per cell; files within a cell come from the encode
-    // pass's partitioning (at 100 TB: repartition on cell upstream if
-    // per-cell file counts matter to the consumer)
+    // one directory per cell, ONE file per cell: without the repartition
+    // every encode-pass task opens a writer per cell it touches, so the
+    // codes table lands as (tasks x cells) tiny files — listing/open
+    // overhead on every later load and the guide §6 small-files trap at
+    // scale. Hash-distributing on cell first costs one shuffle of the
+    // 8-byte codes and bounds the artifact at nCells files.
     codes.select($"vec_id", $"code", $"cell")
+      .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$indexPath/codes")
   }
@@ -99,7 +106,8 @@ object AnnIndexStore {
     val codes = s.read.parquet(s"$indexPath/codes")
       .select($"cell".cast("int").as("cell"), $"vec_id", $"code")
     Loaded(cents, pq, codes, nCells, nSub, nCodes,
-      meta.getAs[String]("corpus_stamp"))
+      meta.getAs[String]("corpus_stamp"),
+      meta.getAs[Int]("iters"), meta.getAs[Int]("pq_iters"))
   }
 
   /** Serves top-k ANN from a loaded artifact — probe, ADC over the
@@ -137,23 +145,25 @@ object AnnIndexStore {
     * table for the exact refine.
     */
   def append(s: SparkSession, dir: String, indexPath: String,
-             newVecs: org.apache.spark.sql.DataFrame): Unit = {
+             newVecs: org.apache.spark.sql.DataFrame,
+             preloaded: Option[Loaded] = None): Unit = {
     import s.implicits._
-    val idx = load(s, indexPath)
+    // a caller that already holds the loaded index (the q188 audit) skips
+    // the re-load: 3 driver collects of files this JVM just wrote
+    val idx = preloaded.getOrElse(load(s, indexPath))
     val vecs = Similarity.queryDs(s, newVecs).toDF("vec_id", "v", "nrm")
     val assigned = Similarity.assignCells(s, vecs, idx.cents)
     Similarity.encodePqCodes(s, assigned,
         s.sparkContext.broadcast(idx.pq), idx.pq(0)(0).length)
       .toDF("cell", "vec_id", "code")
       .select($"vec_id", $"code", $"cell")
+      .repartition(col("cell")) // same nCells-file discipline as the build
       .write.partitionBy("cell").mode("append")
       .parquet(s"$indexPath/codes")
     // refresh ONLY the corpus stamp; build provenance fields carry over
-    val meta = s.read.parquet(s"$indexPath/meta").collect()(0)
-    Seq((meta.getAs[Int]("n_cells"), meta.getAs[Int]("iters"),
-        meta.getAs[Int]("n_sub"), meta.getAs[Int]("n_codes"),
-        meta.getAs[Int]("pq_iters"), meta.getAs[Int]("sub_dim"),
-        OpCache.dirStamp(dir)))
+    // from the loaded index (sub_dim = the codebooks' own sub-dimension)
+    Seq((idx.nCells, idx.iters, idx.nSub, idx.nCodes, idx.pqIters,
+        idx.pq(0)(0).length, OpCache.dirStamp(dir)))
       .toDF("n_cells", "iters", "n_sub", "n_codes", "pq_iters", "sub_dim",
         "corpus_stamp")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
@@ -211,17 +221,37 @@ object AnnIndexStore {
       val delta = graft.Tables.table(s, dir, "embeddings")
         .where($"vec_id" % 10 === 9)
         .select(($"vec_id" + shift).as("vec_id"), $"embedding")
-      append(s, dir, idxPath, delta)
+      // one load serves both the append (frozen codebooks) and the audit
+      // shape below; append writes codes + refreshed meta off it
       val idx = load(s, idxPath)
-      val base = idx.codes.where($"vec_id" < shift)
-        .select($"vec_id", $"cell".as("c0"), $"code".as("k0"))
-      val app = idx.codes.where($"vec_id" >= shift)
-        .select(($"vec_id" - shift).as("vec_id"), $"cell".as("c1"), $"code".as("k1"))
-      val out = app.join(base, Seq("vec_id"))
-        .agg(count(lit(1)).as("n_appended"),
-          sum(when($"c0" === $"c1" && $"k0" === $"k1", 1L).otherwise(0L))
-            .as("n_code_matches"))
-        .crossJoin(base.agg(count(lit(1)).as("n_base")))
+      append(s, dir, idxPath, delta, Some(idx))
+      // re-open only the grown codes table (codebooks/meta are unchanged
+      // by the append except the stamp, which the audit does not read) and
+      // audit it in ONE pass: tag each row base/appended, group by the
+      // un-shifted id, compare (cell, code) within the group — replacing
+      // the former base-scan + appended-scan + join + third base-scan
+      // (three reads of the same table and a shuffle join for a
+      // per-row-pair equality check). Same three numbers, bit for bit:
+      // ids are unique per side, so min() just extracts the side's value.
+      val codes = s.read.parquet(s"$idxPath/codes")
+        .select($"cell".cast("int").as("cell"), $"vec_id", $"code")
+      val tagged = codes.select(
+        ($"vec_id" >= shift).as("is_app"),
+        when($"vec_id" >= shift, $"vec_id" - shift).otherwise($"vec_id").as("key"),
+        $"cell", $"code")
+      val perKey = tagged.groupBy($"key").agg(
+        sum(when(!$"is_app", 1L).otherwise(0L)).as("nb"),
+        sum(when($"is_app", 1L).otherwise(0L)).as("na"),
+        min(when(!$"is_app", $"cell")).as("c0"),
+        min(when($"is_app", $"cell")).as("c1"),
+        min(when(!$"is_app", $"code")).as("k0"),
+        min(when($"is_app", $"code")).as("k1"))
+      val out = perKey.agg(
+        sum($"nb").as("n_base"),
+        sum(when($"na" > 0 && $"nb" > 0, 1L).otherwise(0L)).as("n_appended"),
+        sum(when($"na" > 0 && $"nb" > 0 &&
+          $"c0" === $"c1" && $"k0" === $"k1", 1L).otherwise(0L))
+          .as("n_code_matches"))
         .select($"n_base", $"n_appended", $"n_code_matches")
       val rows = out.collect().toSeq // 1 row; break lineage off the temp dir
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
