@@ -1798,28 +1798,42 @@ object EventOps {
     val ev = events(s, dir).select($"event_id", $"event_type",
       timestamp_micros($"ts_us").as("ts"))
     val work = java.nio.file.Files.createTempDirectory("q179_late")
+    // the on-time write and the max-ts probe are independent jobs —
+    // overlap them (guide §2.6); the write's file count gates staging
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val maxTsF = Future(ev.agg(max($"ts")).head.getTimestamp(0))
       ev.where($"event_id" % lateMod =!= 0)
         .write.parquet(work.resolve("src").toString)
       val nGroup = math.max(1, new java.io.File(work.resolve("src").toString)
         .listFiles().count(_.getName.endsWith(".parquet")))
-      val maxTs = ev.agg(max($"ts")).head.getTimestamp(0)
+      val maxTs = Await.result(maxTsF, 10.minutes)
       // each group = ONE write job repartitioned to exactly nGroup files,
-      // moved into the source dir (mtime separates groups)
-      // underfilled groups are safe for the LATE and END groups (their
-      // files spill into later batches, where the eviction threshold is
-      // identical); the MID group must be exact — sentinels() guarantees
-      // nGroup non-empty partitions by construction, so stageGroup
-      // writes the frame's own partitioning verbatim
-      def stageGroup(group: String, df: DataFrame): Unit = {
+      // moved into the source dir. Group ORDER is what defines batch
+      // composition; it is pinned by EXPLICIT mtimes (t0 + rank minutes,
+      // t0 = newest on-time file) set after every move — strictly more
+      // deterministic than the previous rely-on-sequential-write-time
+      // shape, and it frees the three independent group writes to run
+      // CONCURRENTLY (guide §2.6). Underfilled groups are safe for the
+      // LATE and END groups (their files spill into later batches, where
+      // the eviction threshold is identical); the MID group must be
+      // exact — sentinels() guarantees nGroup non-empty partitions by
+      // construction, so stageGroup writes the frame's own partitioning
+      // verbatim
+      def stageGroup(group: String, df: DataFrame): Seq[java.nio.file.Path] = {
         val stage = work.resolve(s"stage_$group").toString
         df.write.parquet(stage)
         new java.io.File(stage).listFiles()
           .filter(_.getName.endsWith(".parquet")).zipWithIndex
-          .foreach { case (f, i) =>
-            java.nio.file.Files.move(f.toPath, java.nio.file.Paths.get(
-              work.resolve("src").toString, f"zz_${group}%s_$i%03d.parquet")): Unit
-          }
+          .map { case (f, i) =>
+            val dst = java.nio.file.Paths.get(
+              work.resolve("src").toString, f"zz_${group}%s_$i%03d.parquet")
+            java.nio.file.Files.move(f.toPath, dst)
+            dst
+          }.toSeq
       }
       // one row per partition => exactly nGroup files, DETERMINISTICALLY
       // (range(n).repartition(n) round-robins from a random start per
@@ -1832,11 +1846,20 @@ object EventOps {
       // group 2: mid sentinels at max+10min -> that batch's END evicts
       // every window closed at max(all ts) (wm = the ms-truncated max)
       val midMs = maxTs.getTime + 600000L
-      stageGroup("a_mid", sentinels(midMs))
-      // group 3: the late slice (repartitioned, watermark unmoved)
-      stageGroup("b_late", ev.where($"event_id" % lateMod === 0).repartition(nGroup))
-      // group 4: drain sentinels far past every window end
-      stageGroup("c_end", sentinels(maxTs.getTime + 4L * 3600L * 1000L))
+      val staged: Seq[(Int, Seq[java.nio.file.Path])] = Await.result(
+        Future.sequence(Seq(
+          Future(1 -> stageGroup("a_mid", sentinels(midMs))),
+          Future(2 -> stageGroup("b_late",
+            ev.where($"event_id" % lateMod === 0).repartition(nGroup))),
+          Future(3 -> stageGroup("c_end",
+            sentinels(maxTs.getTime + 4L * 3600L * 1000L))))), 10.minutes)
+      val t0 = new java.io.File(work.resolve("src").toString).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("zz_"))
+        .map(_.lastModified()).max
+      staged.foreach { case (rank, files) =>
+        files.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + rank * 60000L)))
+      }
       val schema = s.read.parquet(work.resolve("src").toString).schema
       val counts = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", nGroup.toString)
@@ -1862,6 +1885,7 @@ object EventOps {
       s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), rep.schema)
         .orderBy($"event_type")
     } finally {
+      pool.shutdownNow()
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
       }
