@@ -31,5 +31,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): the 188-query suite holds every operator
+  // family's session cache in one local JVM, and at 8g the old gen runs
+  // hot — a 30-query heavy-subset A/B measured 51.5 s at 8g vs 44.4 s at
+  // 24g (round-12 optimization, ~-14% pure GC tax, wins spread across
+  // the streaming lifecycles and cache-heavy operators). -Xmx is a cap,
+  // not a reservation, so lower-core runs are unaffected; production
+  // sizes driver memory the same way (guide §5) and SPARK_DRIVER_MEM
+  // stays the override.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -869,6 +869,18 @@ object Relational {
     // that the next build overwrites (bounded, not per-run growth).
     val bk = s"${s.sparkContext.applicationId}|$dir|${OpCache.dirStamp(dir)}|$buckets"
     bucketedAuditBuilt.computeIfAbsent(bk, _ => {
+      // a PREVIOUS JVM's tables are directories under the warehouse with
+      // no entry in THIS session's (in-memory) catalog — saveAsTable then
+      // fails with LOCATION_ALREADY_EXISTS instead of overwriting. Drop
+      // any catalog entry AND delete the stale locations first.
+      s.sql(s"DROP TABLE IF EXISTS $to"); s.sql(s"DROP TABLE IF EXISTS $tl")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+      val fs = wh.getFileSystem(s.sessionState.newHadoopConf())
+      Seq(to, tl).foreach { t =>
+        val p = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
+        if (fs.exists(p)) fs.delete(p, true): Unit
+      }
       table(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
         .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable(to)
