@@ -46,6 +46,10 @@ object Similarity {
     // BPE merge ranks are the same class of derived data (trained off the
     // dir's documents table) — release them with the rest
     TextAnalysis.clearBpeRankCache()
+    // staged derived stream inputs (sentinels, q104 dup slice, q111/q130
+    // fixed-file-count copies) are corpus-derived too — forget them with
+    // the Dataset memos (files die with the JVM's staging root)
+    graft.streaming.StreamOps.StageCache.clear()
   }
 
   /** (vec_id, v as double[], norm) rows — the shared input shape. */
