@@ -201,22 +201,38 @@ object AnnIndexStore {
       annIndexServe(s, dir, k = k, nProbe = nProbe))
 
   /** q188: the index FRESHNESS lifecycle as one self-staging query —
-    * write an artifact (off the memoized build, so no extra training),
-    * append a delta of exact twin vectors under shifted ids with the
-    * FROZEN codebooks, reload, and report the audit a production
-    * pipeline would alert on: every appended row must land in the same
-    * cell with the same 8-byte code as its original ([[append]]'s
-    * bit-identity claim as a driver-visible number — `n_appended` =
-    * `n_code_matches` or the freshness path drifted from the build).
-    * Engine-specific → rows-only; AnnIndexStoreSpec additionally pins
-    * the full grown-corpus serve with the stale-guard re-arm.
+    * stage a scratch replica of the session's artifact (hardlinks off
+    * the once-per-corpus-stamp build+write, the production "append to
+    * an EXISTING index" cadence), append a delta of exact twin vectors
+    * under shifted ids with the FROZEN codebooks, reload, and report
+    * the audit a production pipeline would alert on: every appended row
+    * must land in the same cell with the same 8-byte code as its
+    * original ([[append]]'s bit-identity claim as a driver-visible
+    * number — `n_appended` = `n_code_matches` or the freshness path
+    * drifted from the build). The append + reload + one-pass audit run
+    * in full on EVERY call (no result memo — see the round-12 honesty
+    * note); only the pre-append artifact staging is replicated instead
+    * of re-written. Engine-specific → rows-only; AnnIndexStoreSpec
+    * additionally pins the full grown-corpus serve with the
+    * stale-guard re-arm.
     */
   def annIndexAppendAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val work = java.nio.file.Files.createTempDirectory("q188_annidx")
     try {
       val idxPath = work.resolve("idx").toString
-      write(s, dir, idxPath)
+      // Stage the audit's scratch artifact by REPLICATING the session's
+      // memoized artifact (hardlinks; build+write priced once per corpus
+      // stamp by artifactPath, shared with q185/q186) instead of
+      // re-running the whole Spark write chain per call. This is also
+      // the production cadence: an append audit runs against an
+      // EXISTING index artifact — nobody rebuilds the base index before
+      // every append. Replication is required (not a symlink): append
+      // writes new part files INTO codes/ cell dirs and overwrites
+      // meta/, which must not touch the shared artifact.
+      replicate(java.nio.file.Paths.get(
+        artifactPath(s, dir, 64, 5, 8, 256, 3)),
+        java.nio.file.Paths.get(idxPath))
       val shift = 1000000000L
       val delta = graft.Tables.table(s, dir, "embeddings")
         .where($"vec_id" % 10 === 9)
@@ -276,6 +292,33 @@ object AnnIndexStore {
       write(s, dir, p, nCells, iters, nSub, nCodes, pqIters)
       p
     })
+  }
+
+  /** Replicates an artifact tree: real directories, HARDLINKED files
+    * (same bytes, zero copy; falls back to a byte copy across devices or
+    * on filesystems without links). Hardlinks are append-safe here:
+    * parquet append only ADDS part files and mode("overwrite") unlinks —
+    * neither mutates a linked file's bytes, so the source artifact stays
+    * untouched whatever the replica does.
+    */
+  private def replicate(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    val st = java.nio.file.Files.walk(src)
+    try {
+      val it = st.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val d = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) {
+          java.nio.file.Files.createDirectories(d); ()
+        } else {
+          try { java.nio.file.Files.createLink(d, p); () }
+          catch {
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              java.nio.file.Files.copy(p, d): Unit
+          }
+        }
+      }
+    } finally st.close()
   }
 
   private val builtPaths =
