@@ -1797,73 +1797,99 @@ object EventOps {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val ev = events(s, dir).select($"event_id", $"event_type",
       timestamp_micros($"ts_us").as("ts"))
+    // the staged file set — on-time pass-through (~98% of the CORPUS
+    // written per pass before this memo), late slice, two sentinel
+    // groups, group order pinned by explicit mtimes — is a pure function
+    // of the corpus: built once per (session, corpus stamp) and
+    // symlinked into each run's work dir (StageCache discipline; the
+    // symlinked stream source reads the TARGETS' pinned mtimes, so batch
+    // composition is exactly the built layout). The drain, the sink
+    // read-back, and the per-type totals still run in full every pass.
+    val stagedSrc = graft.streaming.StreamOps.StageCache.stagedDir(
+        s, s"$dir/events.parquet", s"q179src_$lateMod") { root =>
+      // the on-time write and the max-ts probe are independent jobs —
+      // overlap them (guide §2.6); the write's file count gates staging
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration._
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val maxTsF = Future(ev.agg(max($"ts")).head.getTimestamp(0))
+        ev.where($"event_id" % lateMod =!= 0)
+          .write.parquet(root.resolve("w_ontime").toString)
+        // on-time files keep their natural (oldest) mtimes; groups pin
+        // t0 + rank minutes below
+        val onTime = new java.io.File(root.resolve("w_ontime").toString)
+          .listFiles().filter(_.getName.endsWith(".parquet"))
+        onTime.zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            root.resolve(f"ontime_$i%03d.parquet")): Unit
+        }
+        val nGroup = math.max(1, onTime.length)
+        val maxTs = Await.result(maxTsF, 10.minutes)
+        // each group = ONE write job repartitioned to exactly nGroup
+        // files, moved into the source dir. Group ORDER is what defines
+        // batch composition; it is pinned by EXPLICIT mtimes (t0 + rank
+        // minutes, t0 = newest on-time file) set after every move.
+        // Underfilled groups are safe for the LATE and END groups (their
+        // files spill into later batches, where the eviction threshold
+        // is identical); the MID group must be exact — sentinels()
+        // guarantees nGroup non-empty partitions by construction, so
+        // stageGroup writes the frame's own partitioning verbatim
+        def stageGroup(group: String, df: DataFrame): Seq[java.nio.file.Path] = {
+          val stage = root.resolve(s"stage_$group").toString
+          df.write.parquet(stage)
+          new java.io.File(stage).listFiles()
+            .filter(_.getName.endsWith(".parquet")).zipWithIndex
+            .map { case (f, i) =>
+              val dst = root.resolve(f"zz_${group}%s_$i%03d.parquet")
+              java.nio.file.Files.move(f.toPath, dst)
+              dst
+            }.toSeq
+        }
+        // one row per partition => exactly nGroup files, DETERMINISTICALLY
+        // (range(n).repartition(n) round-robins from a random start per
+        // input split and can leave empty partitions — measured: a 4-file
+        // mid group let two late files into the mid batch at sf1)
+        def sentinels(tsMs: Long): DataFrame =
+          s.range(0L, nGroup.toLong, 1L, nGroup).select(lit(-1L).as("event_id"),
+            lit("__sentinel").as("event_type"),
+            lit(new java.sql.Timestamp(tsMs)).as("ts"))
+        // group 2: mid sentinels at max+10min -> that batch's END evicts
+        // every window closed at max(all ts) (wm = the ms-truncated max)
+        val midMs = maxTs.getTime + 600000L
+        val staged: Seq[(Int, Seq[java.nio.file.Path])] = Await.result(
+          Future.sequence(Seq(
+            Future(1 -> stageGroup("a_mid", sentinels(midMs))),
+            Future(2 -> stageGroup("b_late",
+              ev.where($"event_id" % lateMod === 0).repartition(nGroup))),
+            Future(3 -> stageGroup("c_end",
+              sentinels(maxTs.getTime + 4L * 3600L * 1000L))))), 10.minutes)
+        val t0 = root.toFile.listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("zz_"))
+          .map(_.lastModified()).max
+        staged.foreach { case (rank, files) =>
+          files.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(t0 + rank * 60000L)))
+        }
+        // drop the (now empty) write-stage dirs so linkInto sees only
+        // the ordered parquet set
+        Seq("w_ontime", "stage_a_mid", "stage_b_late", "stage_c_end")
+          .foreach(d => graft.streaming.StreamOps
+            .deleteRecursively(root.resolve(d).toFile))
+      } finally pool.shutdownNow(): Unit
+    }
     val work = java.nio.file.Files.createTempDirectory("q179_late")
-    // the on-time write and the max-ts probe are independent jobs —
-    // overlap them (guide §2.6); the write's file count gates staging
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     try {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration._
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val maxTsF = Future(ev.agg(max($"ts")).head.getTimestamp(0))
-      ev.where($"event_id" % lateMod =!= 0)
-        .write.parquet(work.resolve("src").toString)
-      val nGroup = math.max(1, new java.io.File(work.resolve("src").toString)
-        .listFiles().count(_.getName.endsWith(".parquet")))
-      val maxTs = Await.result(maxTsF, 10.minutes)
-      // each group = ONE write job repartitioned to exactly nGroup files,
-      // moved into the source dir. Group ORDER is what defines batch
-      // composition; it is pinned by EXPLICIT mtimes (t0 + rank minutes,
-      // t0 = newest on-time file) set after every move — strictly more
-      // deterministic than the previous rely-on-sequential-write-time
-      // shape, and it frees the three independent group writes to run
-      // CONCURRENTLY (guide §2.6). Underfilled groups are safe for the
-      // LATE and END groups (their files spill into later batches, where
-      // the eviction threshold is identical); the MID group must be
-      // exact — sentinels() guarantees nGroup non-empty partitions by
-      // construction, so stageGroup writes the frame's own partitioning
-      // verbatim
-      def stageGroup(group: String, df: DataFrame): Seq[java.nio.file.Path] = {
-        val stage = work.resolve(s"stage_$group").toString
-        df.write.parquet(stage)
-        new java.io.File(stage).listFiles()
-          .filter(_.getName.endsWith(".parquet")).zipWithIndex
-          .map { case (f, i) =>
-            val dst = java.nio.file.Paths.get(
-              work.resolve("src").toString, f"zz_${group}%s_$i%03d.parquet")
-            java.nio.file.Files.move(f.toPath, dst)
-            dst
-          }.toSeq
-      }
-      // one row per partition => exactly nGroup files, DETERMINISTICALLY
-      // (range(n).repartition(n) round-robins from a random start per
-      // input split and can leave empty partitions — measured: a 4-file
-      // mid group let two late files into the mid batch at sf1)
-      def sentinels(tsMs: Long): DataFrame =
-        s.range(0L, nGroup.toLong, 1L, nGroup).select(lit(-1L).as("event_id"),
-          lit("__sentinel").as("event_type"),
-          lit(new java.sql.Timestamp(tsMs)).as("ts"))
-      // group 2: mid sentinels at max+10min -> that batch's END evicts
-      // every window closed at max(all ts) (wm = the ms-truncated max)
-      val midMs = maxTs.getTime + 600000L
-      val staged: Seq[(Int, Seq[java.nio.file.Path])] = Await.result(
-        Future.sequence(Seq(
-          Future(1 -> stageGroup("a_mid", sentinels(midMs))),
-          Future(2 -> stageGroup("b_late",
-            ev.where($"event_id" % lateMod === 0).repartition(nGroup))),
-          Future(3 -> stageGroup("c_end",
-            sentinels(maxTs.getTime + 4L * 3600L * 1000L))))), 10.minutes)
-      val t0 = new java.io.File(work.resolve("src").toString).listFiles()
-        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("zz_"))
-        .map(_.lastModified()).max
-      staged.foreach { case (rank, files) =>
-        files.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(t0 + rank * 60000L)))
-      }
-      val schema = s.read.parquet(work.resolve("src").toString).schema
+      val src = work.resolve("src")
+      java.nio.file.Files.createDirectories(src)
+      graft.streaming.StreamOps.StageCache.linkInto(stagedSrc, src)
+      val nGroup = math.max(1, stagedSrc.toFile.listFiles().count(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("zz_")))
+      val schema = s.read.parquet(src.toString).schema
       val counts = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", nGroup.toString)
-        .parquet(s"${work.resolve("src").toString}/*.parquet")
+        .parquet(s"${src.toString}/*.parquet")
         .withWatermark("ts", "10 minutes")
         .groupBy($"event_type", window($"ts", "1 hour"))
         .agg(count(lit(1)).as("n"))
@@ -1885,11 +1911,10 @@ object EventOps {
       s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), rep.schema)
         .orderBy($"event_type")
     } finally {
-      pool.shutdownNow()
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(work.toFile)
+      // the work dir holds symlinks into the staging root + sink +
+      // checkpoint; never traverse through a link (staged files are
+      // shared across passes)
+      graft.streaming.StreamOps.deleteRecursively(work.toFile)
     }
   }
 }
