@@ -181,7 +181,12 @@ object Bench {
     // "queries_omitted" is emitted unconditionally so the fidelity gate
     // is auditable at a glance; the overflow fill below only engages if
     // the registry someday outgrows even deciseconds.
-    val base = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","detail":"BENCH_LAST.json""""
+    // "cold_sec" rides the compact line so the driver sees BOTH numbers:
+    // steady medians amortize every session-scoped artifact memo, the
+    // cold pass prices each build — gating on steady alone would let a
+    // memo hide work from the round-over-round comparison (the round-12
+    // verdict's accounting-shift caveat, item 2 of its next-round list).
+    val base = f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_sec":$cold%.3f,"sf":"$sfDir","detail":"BENCH_LAST.json""""
     val entries = stats.sortBy(-_._2._1)
       .map { case (k, (m, _, _)) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + math.round(m * 10).toString }
@@ -192,7 +197,27 @@ object Bench {
         if (buf.nonEmpty) buf.append(','); buf.append(e)
       } else omitted += 1
     }
-    println(s"""$base,"queries_omitted":$omitted,"queries_ds":{$buf}}""")
+    val steadyPart = s"""$base,"queries_omitted":$omitted,"queries_ds":{$buf}"""
+    // compact per-query COLD map: deciseconds for the queries whose cold
+    // pass exceeds their steady median by >= 0.3 s (the memo-amortized
+    // families), largest delta first, greedily filled into whatever
+    // budget the steady map left — steady entries are NEVER displaced
+    // (they are the regression gate; cold attribution is the audit
+    // trail, with the full-precision map always in BENCH_LAST.json).
+    val medByName = stats.toMap
+    val coldEntries = coldRun
+      .map { case (k, t) => (k, t, t - medByName(k)._1) }
+      .filter(_._3 >= 0.3).sortBy(-_._3)
+      .map { case (k, t, _) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + math.round(t * 10).toString }
+    val cbuf = new StringBuilder
+    var coldOmitted = 0
+    coldEntries.foreach { e =>
+      if (steadyPart.length + cbuf.length + e.length + 45 <= 1900) {
+        if (cbuf.nonEmpty) cbuf.append(','); cbuf.append(e)
+      } else coldOmitted += 1
+    }
+    println(s"""$steadyPart,"cold_omitted":$coldOmitted,"queries_cold_ds":{$cbuf}}""")
     spark.stop()
   }
 }

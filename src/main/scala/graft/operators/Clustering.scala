@@ -92,32 +92,12 @@ object Clustering {
     var round = 0
     var converged = curCount == 0L
     while (!converged && round < maxRounds) {
-      // large-star: every neighbor v > u links to m = min(N(u) ∪ {u}).
-      // Shape: symmetric neighbor list -> per-node min agg -> join back;
-      // no per-node neighbor buffering anywhere, so a hub node with 10^7
-      // neighbors costs a skewed join key, never executor memory.
-      val nbrs = cur.select($"u", $"v")
-        .union(cur.select($"v".as("u"), $"u".as("v")))
-      val minsL = nbrs.groupBy($"u").agg(min($"v").as("mv"))
-        .select($"u", least($"mv", $"u").as("m"))
-      val (large, largeRdd) = ckpt(nbrs.join(minsL, "u").where($"v" > $"u")
-        .select(greatest($"v", $"m").as("u"), least($"v", $"m").as("v"))
-        .where($"u" =!= $"v").distinct())
-      // small-star on the canonical (u > v) orientation: all smaller
-      // neighbors (and u itself) link to the smallest neighbor m
-      val minsS = large.groupBy($"u").agg(min($"v").as("m"))
-      val (small, smallRdd) = ckpt(large.join(minsS, "u")
-        .where($"v" =!= $"m").select($"v".as("a"), $"m".as("b"))
-        .union(minsS.select($"u".as("a"), $"m".as("b")))
-        .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
-        .where($"u" =!= $"v").distinct())
+      val (small, smallRdd) = ckpt(ccRound(cur))
       val smallCount = small.count()
       converged = smallCount == curCount && small.except(cur).isEmpty
       // the count + except actions materialized `small`; the previous
-      // round's storage (cur) and this round's intermediate (large) are
-      // dead — release them now
+      // round's storage (cur) is dead — release it now
       release(curRdd)
-      release(largeRdd)
       cur = small
       curRdd = smallRdd
       curCount = smallCount
@@ -137,6 +117,78 @@ object Clustering {
     } finally {
       if (reliable) prevCkptDir.foreach(d => s.sparkContext.setCheckpointDir(d))
     }
+  }
+
+  /** ONE alternating large-star + small-star contraction round over the
+    * canonical (u > v) edge frame, as a single fused plan (round-13
+    * restructure; guide §2.4 — fewer shuffles per iteration). Both star
+    * steps ride window minima over their partition-by-node frame instead
+    * of a groupBy(min) + equi-join back (the q142 windowed-degree trick):
+    * 3 exchanges per round (large-star window, small-star window, final
+    * distinct) where the join form paid ~6 across two separately
+    * checkpointed jobs. Per-step distincts are dropped: neither star's
+    * min is affected by duplicate rows, per-step output rows never exceed
+    * input rows, and the final distinct restores set semantics for the
+    * convergence test. No per-node neighbor buffering anywhere, so a hub
+    * node with 10^7 neighbors costs a skewed sort key, never executor
+    * memory.
+    *
+    * large-star: every neighbor v > u links to m = min(N(u) ∪ {u}).
+    * m ≤ u < v for every kept row, so the emitted (v, m) edge is already
+    * canonical (big, small) and never a self-loop — the join form's
+    * greatest/least + u≠v re-canonicalization was provably dead code.
+    *
+    * small-star on the canonical orientation: all smaller neighbors (and
+    * u itself) link to the smallest neighbor m. first(v) over the
+    * v-ordered window IS min(v) (the default frame starts at the
+    * partition head), and row_number = 1 marks the one row per node that
+    * also emits the (u, m) edge; both window functions share one spec, so
+    * this step plans a single exchange + sort. Emitted rows stay
+    * canonical: m = min(v) ≤ v < u.
+    */
+  private[graft] def ccRound(cur: DataFrame): DataFrame = {
+    val s = cur.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val nbrs = cur.select($"u", $"v")
+      .union(cur.select($"v".as("u"), $"u".as("v")))
+    val large = nbrs
+      .withColumn("m", least(min($"v").over(Window.partitionBy($"u")), $"u"))
+      .where($"v" > $"u")
+      .select($"v".as("u"), $"m".as("v"))
+    val ws = Window.partitionBy($"u").orderBy($"v")
+    large
+      .withColumn("m", first($"v").over(ws))
+      .withColumn("rn", row_number().over(ws))
+      .select(explode(array(
+        when($"rn" === 1, struct($"u".as("a"), $"m".as("b"))),
+        when($"v" =!= $"m", struct($"v".as("a"), $"m".as("b"))))).as("e"))
+      .where($"e".isNotNull)
+      .select($"e.a".as("u"), $"e.b".as("v"))
+      .distinct()
+  }
+
+  /** Round-12's join-form contraction round, kept LIVE for the plan
+    * probe and the equivalence spec (the q142 pagerankEdgesLegacy
+    * discipline): identical output set to [[ccRound]] on any canonical
+    * edge frame, ~6 exchanges against its 3.
+    */
+  private[graft] def ccRoundLegacy(cur: DataFrame): DataFrame = {
+    val s = cur.sparkSession
+    import s.implicits._
+    val nbrs = cur.select($"u", $"v")
+      .union(cur.select($"v".as("u"), $"u".as("v")))
+    val minsL = nbrs.groupBy($"u").agg(min($"v").as("mv"))
+      .select($"u", least($"mv", $"u").as("m"))
+    val large = nbrs.join(minsL, "u").where($"v" > $"u")
+      .select(greatest($"v", $"m").as("u"), least($"v", $"m").as("v"))
+      .where($"u" =!= $"v").distinct()
+    val minsS = large.groupBy($"u").agg(min($"v").as("m"))
+    large.join(minsS, "u")
+      .where($"v" =!= $"m").select($"v".as("a"), $"m".as("b"))
+      .union(minsS.select($"u".as("a"), $"m".as("b")))
+      .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
+      .where($"u" =!= $"v").distinct()
   }
 
   /** Connected components over the minhash-LSH verified pair set,

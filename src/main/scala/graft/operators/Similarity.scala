@@ -1609,17 +1609,32 @@ object Similarity {
   def hybridRrf(s: SparkSession, dir: String,
                 terms: Seq[String] = Seq("scan", "filter", "vector"),
                 queryVec: Long = 0L, kCand: Int = 50, kOut: Int = 20,
-                rrfK: Int = 60): DataFrame = {
+                rrfK: Int = 60): DataFrame =
+    hybridRrfFrom(s,
+      annBruteForce(s, dir,
+        table(s, dir, "embeddings").where(col("vec_id") === queryVec)
+          .select(col("vec_id"), col("embedding")),
+        kCand, 512),
+      graft.operators.TextAnalysis.bm25TopDocs(s, dir, terms, kCand),
+      kOut, rrfK)
+
+  /** The RRF fusion tail over ALREADY-COMPUTED candidate legs —
+    * `denseTop` in [[annBruteForce]]'s output shape, `sparseTop` in
+    * `bm25TopDocs`'s. Factored out (round 13) so q129's eval harness can
+    * hand both legs it already scored to the hybrid method instead of
+    * paying a second brute-force scoring pass + a second corpus BM25
+    * scan per eval run (guide §1.2: don't compute things twice).
+    */
+  private[graft] def hybridRrfFrom(s: SparkSession, denseTop: DataFrame,
+                                   sparseTop: DataFrame, kOut: Int,
+                                   rrfK: Int): DataFrame = {
     import s.implicits._
-    val dense = annBruteForce(s, dir,
-        table(s, dir, "embeddings").where($"vec_id" === queryVec)
-          .select($"vec_id", $"embedding"),
-        kCand, 512)
+    val dense = denseTop
       .select($"neighbor_id".as("doc_id"), $"rank".as("dense_rank"))
     // rank the sparse leg on its own (already round6-quantized) output:
     // the window is over a ≤kCand-row frame — bounded by construction,
     // the q04 top-k pattern, never a corpus-wide sort
-    val sparse = graft.operators.TextAnalysis.bm25TopDocs(s, dir, terms, kCand)
+    val sparse = sparseTop
       .withColumn("sparse_rank", row_number().over(
         Window.orderBy($"bm25".desc, $"doc_id".asc)).cast("long"))
       .select($"doc_id", $"sparse_rank")
@@ -1663,15 +1678,30 @@ object Similarity {
       .where(terms.map(t => array_contains($"ts", t)).reduce(_ && _))
       .select($"doc_id", lit(1L).as("rel"))
     val nRel = rel.agg(count(lit(1)).as("n_rel"))
-    val sparse = graft.operators.TextAnalysis.bm25TopDocs(s, dir, terms, k)
+    // each candidate leg is scored ONCE at kCand and shared (round 13,
+    // guide §1.2): the harness previously ran the brute-force scoring
+    // pass twice (dense@k + the hybrid's dense@kCand) and the corpus
+    // BM25 scan twice — but top-k of an ordered ranking is a PREFIX of
+    // top-kCand (identical tie-breaks), so dense@k = dense@kCand where
+    // rank <= k and sparse@k = the first k rows of sparse@kCand, ranks
+    // and all. localCheckpoint (eager, ≤kCand rows) materializes each
+    // leg so its two consumers in the final union don't recompute it;
+    // lineage-truncated blocks die with the invocation's RDD refs —
+    // nothing persists across runs.
+    require(kCand >= k, s"retrievalEval: kCand=$kCand must cover k=$k")
+    val sparseTop = graft.operators.TextAnalysis.bm25TopDocs(s, dir, terms, kCand)
+      .localCheckpoint(true)
+    val denseTop = annBruteForce(s, dir,
+        table(s, dir, "embeddings").where($"vec_id" === queryVec)
+          .select($"vec_id", $"embedding"), kCand, 512)
+      .localCheckpoint(true)
+    val sparse = sparseTop.orderBy($"bm25".desc, $"doc_id".asc).limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy($"bm25".desc, $"doc_id".asc)).cast("long"))
       .select(lit("sparse").as("method"), $"doc_id", $"rank")
-    val dense = annBruteForce(s, dir,
-        table(s, dir, "embeddings").where($"vec_id" === queryVec)
-          .select($"vec_id", $"embedding"), k, 512)
+    val dense = denseTop.where($"rank" <= k)
       .select(lit("dense").as("method"), $"neighbor_id".as("doc_id"), $"rank")
-    val hybrid = hybridRrf(s, dir, terms, queryVec, kCand, k)
+    val hybrid = hybridRrfFrom(s, denseTop, sparseTop, k, 60)
       .withColumn("rank", row_number().over(
         Window.orderBy($"rrf".desc, $"doc_id".asc)).cast("long"))
       .select(lit("hybrid").as("method"), $"doc_id", $"rank")

@@ -390,12 +390,6 @@ object StreamOps {
       * written.
       */
     def applyBatch(batch: DataFrame, id: Long): Boolean = {
-      val rows = batch
-        .select(col("event_type"),
-          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
-        .collect() // event_type-bounded
       conn.synchronized {
         val auto = conn.getAutoCommit
         conn.setAutoCommit(false)
@@ -410,6 +404,18 @@ object StreamOps {
           led.close()
           if (!freshBatch) { conn.rollback(); false }
           else {
+            // aggregate only AFTER the ledger accepts the batch id
+            // (guide §1.2: don't compute what you throw away) — the
+            // at-least-once replay path used to pay this full
+            // aggregation job just to discard it on the duplicate-key
+            // rollback. A collect failure mid-txn rolls the ledger
+            // insert back with it, so the reorder cannot strand an id.
+            val rows = batch
+              .select(col("event_type"),
+                floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+              .groupBy(col("event_type"))
+              .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+              .collect() // event_type-bounded
             rows.foreach { r =>
               val (et, n, sc) = (r.getString(0), r.getLong(1), r.getLong(2))
               val up = conn.prepareStatement(
@@ -795,9 +801,23 @@ object StreamOps {
     // documented production trade, but here it would silently diverge
     // from the oracle). Count overflow and fail fast instead.
     val overflow = s.sparkContext.longAccumulator("q59_bucket_overflow")
+    // leaner candidate sink (round 13, guide §2.3/§6): only CROSSING
+    // pairs reach the file sink — the stateless in-stream filter drops
+    // the ~81% corpus×corpus and incoming×incoming band collisions the
+    // verify tail discarded after reading them back — and the unused
+    // `est` column (decisions come from decideIncoming's EXACT verify,
+    // never the stream estimate) stops being written at all. The
+    // detector still emits every pair (its state machinery is
+    // untouched); only the sink bytes shrink, and the decisions are
+    // byte-identical because the tail's own where() was the same
+    // predicate.
+    val inA = col("doc_a") % mod === rem
+    val inB = col("doc_b") % mod === rem
     val q = nearDupStream(s, stream, threshold = detectorThreshold,
         overflowCounter = Some(overflow))
       .toDF("doc_a", "doc_b", "est")
+      .where(inA =!= inB)
+      .select(col("doc_a"), col("doc_b"))
       .writeStream.outputMode(OutputMode.Append)
       .format("parquet").option("path", outDir)
       .option("checkpointLocation", work.resolve("ckpt").toString)
@@ -808,12 +828,10 @@ object StreamOps {
       s"incrementalDedupStreamed: ${overflow.value} docs overflowed a band bucket " +
       s"(cap ${1 << 16}) — the streamed decisions would NOT equal the batch screen; " +
       "raise maxPerBucket or run the batch incrementalDedup for this corpus")
-    val sunk = s.read.schema("doc_a LONG, doc_b LONG, est DOUBLE").parquet(outDir)
-    // keep crossing pairs only and orient them (incoming, corpus) — the
-    // detector normalizes to (min, max) and also pairs within each side
-    val inA = col("doc_a") % mod === rem
-    val inB = col("doc_b") % mod === rem
-    val cand = sunk.where(inA =!= inB)
+    val sunk = s.read.schema("doc_a LONG, doc_b LONG").parquet(outDir)
+    // orient the crossing pairs (incoming, corpus) — the detector
+    // normalizes to (min, max) and may emit a pair once per agreeing band
+    val cand = sunk
       .select(when(inA, col("doc_a")).otherwise(col("doc_b")).as("doc_a"),
         when(inA, col("doc_b")).otherwise(col("doc_a")).as("doc_b"))
       .distinct()

@@ -49,6 +49,30 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
     assert(got(200L) == 200L && got(201L) == 200L)
   }
 
+  test("fused window contraction round equals the legacy join round") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      // canonical (u > v) distinct frames, the loop's invariant
+      val cur = Seq.fill(80)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.max(a, b), math.min(a, b)) }
+        .distinct.toDF("u", "v")
+      val got = Clustering.ccRound(cur)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = Clustering.ccRoundLegacy(cur)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want)
+    }
+    // the fused round's whole point: at most 3 exchanges (two window
+    // shuffles + the final distinct) against the legacy ~6
+    val plan = Clustering.ccRound(Seq((3L, 1L), (2L, 1L)).toDF("u", "v"))
+      .queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nExchanges <= 3, s"fused ccRound plans $nExchanges exchanges:\n$plan")
+  }
+
   test("randomized graphs match driver union-find") {
     val rnd = new scala.util.Random(42)
     (1 to 3).foreach { _ =>
