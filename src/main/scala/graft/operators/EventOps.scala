@@ -1063,6 +1063,12 @@ object EventOps {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy($"user_id", $"sess_id")
       .agg(min($"ts_us").as("start_us"), (max($"ts_us") + gapUs).as("end_us"))
+      // materialized once per invocation (round 13, guide §1.2): the
+      // start/end point union reads this frame twice and each of those
+      // feeds both the hour-offset aggregate and the sweep join — the
+      // corpus sessionize window otherwise re-runs per branch. The frame
+      // is session-bounded; blocks die with the invocation's RDD ref.
+      .localCheckpoint(true)
     val points = sess.select($"start_us".as("p_us"), lit(1L).as("delta"))
       .unionByName(sess.select($"end_us".as("p_us"), lit(-1L).as("delta")))
       .withColumn("hour", expr("p_us div 3600000000"))
@@ -1163,6 +1169,13 @@ object EventOps {
         Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select($"user_id", $"sid", $"event_type").distinct()
+      // materialized once per invocation (round 13, guide §1.2): FOUR
+      // plan branches read this frame (session total, per-type counts,
+      // both sides of the pair self-join) and exchange reuse does not
+      // cover the window computation above it — without the eager
+      // localCheckpoint the corpus sessionize window ran 4x per call.
+      // The frame is session×type-bounded; blocks die with the RDD ref.
+      .localCheckpoint(true)
     val nTotal = st.select($"user_id", $"sid").distinct()
       .agg(count(lit(1)).as("n_total"))
     val perType = st.groupBy($"event_type").agg(count(lit(1)).as("n"))

@@ -1171,11 +1171,18 @@ object StreamOps {
       }
       val clicks = side("click", "c")
       val purchases = side("purchase", "p")
+      // only ABANDONED clicks reach the sink (round 13, guide §2.3/§6):
+      // the stateless post-join filter drops the matched rows the rollup
+      // below always discarded — matched pairs emit on arrival and were
+      // pure sink-write cost (this also drops the sentinel pair's own
+      // match). The filter sits ABOVE the join, so state handling and
+      // eviction semantics are untouched; the rollup's predicate is
+      // byte-identical, applied one operator earlier.
       val joined = clicks.join(purchases,
         expr("c_user = p_user AND p_ts >= c_ts AND p_ts < c_ts + interval 1 hour"),
         "left_outer")
-        .select($"c_user".as("user_id"), unix_micros($"c_ts").as("click_us"),
-          $"p_ts".isNull.as("abandoned"))
+        .where($"p_ts".isNull)
+        .select($"c_user".as("user_id"), unix_micros($"c_ts").as("click_us"))
       val q = joined.writeStream
         .option("checkpointLocation", work.resolve("ckpt").toString)
         .format("parquet").option("path", work.resolve("out").toString)
@@ -1183,7 +1190,7 @@ object StreamOps {
         .start()
       q.awaitTermination()
       val rolled = s.read.parquet(work.resolve("out").toString)
-        .where($"abandoned" && $"user_id" >= 0) // drop the sentinel pair
+        .where($"user_id" >= 0) // drop the sentinel (never decidable, belt+braces)
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_abandoned"),
           min($"click_us").as("min_click_us"),
